@@ -1,0 +1,617 @@
+package graft.operators
+
+import graft.Exact._
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The relational surface of the engine: scans, filters, aggregations,
+  * joins (broadcast/shuffle/semi/anti/theta), window functions, sorts,
+  * set operations, grouping sets.
+  *
+  * The reference (ofekshmu/project-map-reduce) has no relational operators
+  * beyond tokenizing projections, predicate filters and count aggregation
+  * (SURVEY.md §2.2 — joins/windows/sorts/set-ops are ABSENT there), so this
+  * module is the engine's superset surface, built entirely on Catalyst
+  * primitives: every query below is a declarative DataFrame plan that gets
+  * predicate pushdown, column pruning, partial aggregation and AQE for free.
+  *
+  * Scale notes (100 TB design stance):
+  *  - dimension joins (`part`, `nation`, `customer` at star-schema ratios)
+  *    are explicitly `broadcast()` — no shuffle of the fact table;
+  *  - fact-fact joins key on the join column so the shuffle is a single
+  *    hash exchange; AQE handles skew at runtime;
+  *  - aggregates are partial (map-side combine) by construction — `groupBy`
+  *    over commutative aggs; decimal sums avoid FP-merge nondeterminism.
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- scans
+
+  /** O1/O2 analog: columnar scan with projection + pushed-down sort-limit.
+    * Catalyst plans TakeOrderedAndProject — no global sort at scale. */
+  def scanProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select($c("l_orderkey"), $c("l_linenumber"), $c("l_partkey"), $c("l_suppkey"), $c("l_quantity"))
+      .orderBy($c("l_orderkey"), $c("l_linenumber"), $c("l_partkey"), $c("l_suppkey"))
+      .limit(500)
+
+  /** O10/O15 analog: multi-predicate filter, pushed to the parquet scan. */
+  def filterPred(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(
+        $c("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        $c("l_shipdate") <  lit("1997-03-01").cast("timestamp") &&
+        $c("l_returnflag") === "R" &&
+        $c("l_discount").between(0.02, 0.06))
+      .select(
+        $c("l_orderkey"), $c("l_linenumber"), $c("l_quantity"),
+        $c("l_extendedprice"),
+        date_format($c("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      .orderBy($c("l_orderkey"), $c("l_linenumber"), $c("l_extendedprice"), $c("l_quantity"))
+
+  // ----------------------------------------------------------- aggregates
+
+  /** TPC-H Q1-shaped pricing summary: the canonical partial-agg benchmark.
+    * All money math in exact decimals (see graft.Exact). */
+  def q1Agg(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .filter($c("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    val price = dec(col("l_extendedprice"), 12, 2)
+    val oneMinusDisc = lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"), 3, 2)
+    val onePlusTax = lit(1).cast(DecimalType(3, 2)) + dec(col("l_tax"), 3, 2)
+    li.groupBy($c("l_returnflag"), $c("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"), 12, 2)).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * oneMinusDisc).cast("double").as("sum_disc_price"),
+        sum(price * oneMinusDisc * onePlusTax).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"), 12, 2)).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec(col("l_discount"), 3, 2)).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($c("l_returnflag"), $c("l_linestatus"))
+  }
+
+  /** COUNT DISTINCT (exact) per group — a two-phase shuffle in Spark;
+    * at scale this is the expand+two-agg plan Catalyst generates. */
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy($c("o_orderpriority"))
+      .agg(
+        countDistinct($c("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"), 12, 2)).cast("double").as("total_price"))
+      .orderBy($c("o_orderpriority"))
+
+  /** min/max/count-distinct — all single-pass partial aggs. */
+  def aggMinMax(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy($c("l_returnflag"))
+      .agg(
+        min($c("l_quantity")).as("min_qty"),
+        max($c("l_quantity")).as("max_qty"),
+        min($c("l_extendedprice")).as("min_price"),
+        max($c("l_extendedprice")).as("max_price"),
+        countDistinct($c("l_suppkey")).as("n_suppliers"))
+      .orderBy($c("l_returnflag"))
+
+  /** approx_count_distinct (HLL++): the 100 TB substitute for exact
+    * distinct. No DuckDB oracle (different sketch impl) → rows-only check. */
+  def aggApprox(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy($c("l_returnflag"))
+      .agg(
+        approx_count_distinct($c("l_orderkey")).as("approx_orders"),
+        approx_count_distinct($c("l_partkey")).as("approx_parts"))
+      .orderBy($c("l_returnflag"))
+
+  /** ROLLUP hierarchy totals (partial-agg friendly; one shuffle). */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup($c("l_returnflag"), $c("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"), 12, 2)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce($c("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce($c("l_linestatus"), lit("ALL")).as("status"),
+        $c("sum_qty"), $c("n"))
+      .orderBy($c("flag"), $c("status"))
+
+  /** CUBE over two dims. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube($c("o_orderstatus"), $c("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"), 12, 2)).cast("double").as("total"))
+      .select(
+        coalesce($c("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce($c("o_orderpriority"), lit("ALL")).as("priority"),
+        $c("n"), $c("total"))
+      .orderBy($c("status"), $c("priority"))
+
+  // ---------------------------------------------------------------- joins
+
+  /** Fact ⋈ broadcast dimension: `part` is tiny relative to `lineitem`
+    * at every scale factor — broadcast hash join, zero fact shuffle
+    * (beyond the final agg exchange). */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val p = part(s, d)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy($c("p_brand"))
+      .agg(
+        sum(dec(col("l_extendedprice"), 12, 2) *
+            (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"), 3, 2)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($c("p_brand"))
+  }
+
+  /** TPC-H Q3-shaped 3-way join: broadcast the filtered customer dim,
+    * shuffle-join orders↔lineitem on the order key, top-10 by revenue. */
+  def q3Shipping(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter($c("c_mktsegment") === "BUILDING")
+    val o = orders(s, d).filter($c("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = lineitem(s, d).filter($c("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy($c("l_orderkey"), $c("o_orderdate"), $c("o_orderpriority"))
+      .agg(
+        sum(dec(col("l_extendedprice"), 12, 2) *
+            (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"), 3, 2)))
+          .cast("double").as("revenue"))
+      .select(
+        $c("l_orderkey"),
+        date_format($c("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        $c("o_orderpriority"), $c("revenue"))
+      .orderBy($c("revenue").desc, $c("l_orderkey"))
+      .limit(10)
+  }
+
+  /** LEFT OUTER join preserving empty dims (zero-customer nations). */
+  def joinLeft(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d)
+    val c = customer(s, d)
+    n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
+      .groupBy($c("n_nationkey"), $c("n_name"))
+      .agg(
+        count($c("c_custkey")).as("n_customers"),
+        coalesce(sum(dec(col("c_acctbal"), 12, 2)).cast("double"), lit(0.0)).as("total_bal"))
+      .orderBy($c("n_nationkey"))
+  }
+
+  /** LEFT SEMI (EXISTS): suppliers with at least one shipped line. */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    supplier(s, d)
+      .join(lineitem(s, d), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select($c("s_suppkey"), $c("s_name"))
+      .orderBy($c("s_suppkey"))
+
+  /** LEFT ANTI (NOT EXISTS): parts never ordered. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .join(lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_anti")
+      .select($c("p_partkey"), $c("p_name"))
+      .orderBy($c("p_partkey"))
+
+  /** Theta (inequality) self-join: nation pairs within a region.
+    * Planned as BroadcastNestedLoop on the tiny side — fine since one side
+    * is always small; at scale a range condition gets a range-join plan. */
+  def joinTheta(s: SparkSession, d: String): DataFrame = {
+    val n1 = nation(s, d).select(
+      col("n_nationkey").as("k1"), col("n_name").as("name1"),
+      col("n_regionkey").as("r1"))
+    val n2 = nation(s, d).select(
+      col("n_nationkey").as("k2"), col("n_name").as("name2"),
+      col("n_regionkey").as("r2"))
+    n1.join(n2, col("r1") === col("r2") && col("k1") < col("k2"))
+      .select($c("name1"), $c("name2"), col("r1").cast("long").as("regionkey"))
+      .orderBy($c("name1"), $c("name2"))
+  }
+
+  // -------------------------------------------------------------- windows
+
+  /** Ranking window: top-3 orders per customer (row_number + rank).
+    * One hash exchange on the partition key; in-partition sort only. */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($c("o_custkey"))
+      .orderBy($c("o_totalprice").desc, $c("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .filter($c("rn") <= 3)
+      .select($c("o_custkey"), $c("o_orderkey"), $c("o_totalprice"),
+        col("rn").cast("long").as("rn"), col("rnk").cast("long").as("rnk"))
+      .orderBy($c("o_custkey"), $c("rn"))
+  }
+
+  /** Running (prefix) sum per customer — exact decimal frame agg. */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($c("o_custkey"))
+      .orderBy($c("o_orderdate"), $c("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .withColumn("running_total",
+        sum(dec(col("o_totalprice"), 12, 2)).over(w).cast("double"))
+      .select($c("o_custkey"), $c("o_orderkey"),
+        date_format($c("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        $c("o_totalprice"), $c("running_total"))
+      .orderBy($c("o_custkey"), $c("o_orderkey"))
+  }
+
+  /** lag/lead/ntile analytics per customer order history. */
+  def windowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($c("o_custkey"))
+      .orderBy($c("o_orderdate"), $c("o_orderkey"))
+    orders(s, d)
+      .withColumn("prev_price", lag($c("o_totalprice"), 1).over(w))
+      .withColumn("next_key", lead($c("o_orderkey"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("delta",
+        (dec(col("o_totalprice"), 12, 2) - dec(col("prev_price"), 12, 2)).cast("double"))
+      .select($c("o_custkey"), $c("o_orderkey"), $c("o_totalprice"),
+        $c("prev_price"), $c("next_key"), $c("quartile"), $c("delta"))
+      .orderBy($c("o_custkey"), $c("o_orderkey"))
+  }
+
+  // ------------------------------------------------------- sort / set ops
+
+  /** Global top-k: TakeOrderedAndProject, no full sort at scale. */
+  def topK(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select($c("o_orderkey"), $c("o_custkey"), $c("o_totalprice"),
+        date_format($c("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+      .orderBy($c("o_totalprice").desc, $c("o_orderkey"))
+      .limit(20)
+
+  /** UNION (distinct) of customer vs supplier nation keys. */
+  def setUnion(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").cast("long").as("nk"))
+      .union(supplier(s, d).select(col("s_nationkey").cast("long").as("nk")))
+      .distinct()
+      .orderBy($c("nk"))
+
+  /** INTERSECT. */
+  def setIntersect(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").cast("long").as("nk"))
+      .intersect(supplier(s, d).select(col("s_nationkey").cast("long").as("nk")))
+      .orderBy($c("nk"))
+
+  /** EXCEPT: nations with customers but no suppliers. */
+  def setExcept(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").cast("long").as("nk"))
+      .except(supplier(s, d).select(col("s_nationkey").cast("long").as("nk")))
+      .orderBy($c("nk"))
+
+  // ----------------------------------------------------- scalar functions
+
+  /** String function battery (upper/substring/length/concat/replace/
+    * regexp_extract/instr) — all codegen'd builtins, no UDFs. */
+  def stringFns(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        $c("p_partkey"),
+        upper($c("p_name")).as("upper_name"),
+        substring($c("p_name"), 1, 4).as("prefix4"),
+        length($c("p_name")).cast("long").as("name_len"),
+        concat_ws("|", $c("p_brand"), $c("p_type")).as("brand_type"),
+        regexp_replace($c("p_name"), " ", "_").as("snake_name"),
+        regexp_extract($c("p_name"), "^(\\w+)", 1).as("first_word"),
+        instr($c("p_name"), "e").cast("long").as("pos_e"))
+      .orderBy($c("p_partkey"))
+
+  /** Date/time function battery on order dates. */
+  def dateFns(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        $c("o_orderkey"),
+        year($c("o_orderdate")).cast("long").as("o_year"),
+        month($c("o_orderdate")).cast("long").as("o_month"),
+        dayofmonth($c("o_orderdate")).cast("long").as("o_day"),
+        quarter($c("o_orderdate")).cast("long").as("o_quarter"),
+        date_format(date_trunc("month", $c("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        datediff($c("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+      .orderBy($c("o_orderkey"))
+
+  /** Math battery (only IEEE-deterministic fns: abs/floor/ceil/sqrt/mod). */
+  def mathFns(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(
+        $c("l_orderkey"), $c("l_linenumber"),
+        abs($c("l_quantity") - 25.0).as("abs_dev"),
+        floor($c("l_extendedprice") / 1000.0).cast("long").as("price_k"),
+        ceil($c("l_quantity") / 7.0).cast("long").as("ceil_q"),
+        sqrt($c("l_quantity")).as("sqrt_q"),
+        (col("l_partkey") % 7).cast("long").as("mod7"))
+      .orderBy($c("l_orderkey"), $c("l_linenumber"), $c("price_k"), $c("sqrt_q"), $c("mod7"))
+
+  /** CASE WHEN dispatch (reference O11 analog in relational form). */
+  def caseWhen(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        when($c("event_type") === "purchase", "revenue")
+          .when($c("event_type") === "click" || $c("event_type") === "view", "engagement")
+          .otherwise("ops").as("category"),
+        $c("value"))
+      .groupBy($c("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"), 12, 2)).cast("double").as("total_value"))
+      .orderBy($c("category"))
+
+  /** JSON extraction from events.props (get_json_object ↔ json_extract). */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select($c("event_type"),
+        get_json_object($c("props"), "$.k").cast("long").as("k"))
+      .groupBy($c("event_type"))
+      .agg(
+        sum($c("k")).as("sum_k"),
+        min($c("k")).as("min_k"),
+        max($c("k")).as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy($c("event_type"))
+
+  /** Array functions over the embedding column (size / element access). */
+  def arrayFns(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(
+        $c("vec_id"),
+        size($c("embedding")).cast("long").as("dim"),
+        element_at($c("embedding"), 1).cast("double").as("first_dim"),
+        element_at($c("embedding"), 64).cast("double").as("last_dim"),
+        (abs(element_at($c("embedding"), 1).cast("double")) +
+         abs(element_at($c("embedding"), 2).cast("double"))).as("l1_head2"))
+      .orderBy($c("vec_id"))
+
+  private def $c(name: String) = col(name)
+
+  // --------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> (scanProject _),
+    "q_filter_pred" -> (filterPred _),
+    "q1_agg" -> (q1Agg _),
+    "q_agg_distinct" -> (aggDistinct _),
+    "q_agg_minmax" -> (aggMinMax _),
+    "q_agg_approx" -> (aggApprox _),
+    "q_rollup" -> (rollupAgg _),
+    "q_cube" -> (cubeAgg _),
+    "q_join_broadcast" -> (joinBroadcast _),
+    "q3_shipping" -> (q3Shipping _),
+    "q_join_left" -> (joinLeft _),
+    "q_join_semi" -> (joinSemi _),
+    "q_join_anti" -> (joinAnti _),
+    "q_join_theta" -> (joinTheta _),
+    "q_window_rank" -> (windowRank _),
+    "q_window_running" -> (windowRunning _),
+    "q_window_lag" -> (windowLag _),
+    "q_topk" -> (topK _),
+    "q_set_union" -> (setUnion _),
+    "q_set_intersect" -> (setIntersect _),
+    "q_set_except" -> (setExcept _),
+    "q_string_fns" -> (stringFns _),
+    "q_date_fns" -> (dateFns _),
+    "q_math_fns" -> (mathFns _),
+    "q_case_when" -> (caseWhen _),
+    "q_json_extract" -> (jsonExtract _),
+    "q_array_fns" -> (arrayFns _)
+  )
+
+  private val D = "DECIMAL(12,2)"
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 500""".stripMargin,
+
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-03-01'
+        |  AND l_returnflag = 'R'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity""".stripMargin,
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS $D) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS $D) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      s"""SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_minmax" ->
+      """SELECT l_returnflag,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+        |  COUNT(DISTINCT l_suppkey) AS n_suppliers
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_join_broadcast" ->
+      s"""SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS $D) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q3_shipping" ->
+      s"""SELECT l_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+        |  o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS $D) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_join_left" ->
+      s"""SELECT n_nationkey, n_name,
+        |  COUNT(c_custkey) AS n_customers,
+        |  coalesce(CAST(SUM(CAST(c_acctbal AS $D)) AS DOUBLE), 0.0) AS total_bal
+        |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_join_theta" ->
+      """SELECT n1.n_name AS name1, n2.n_name AS name2,
+        |  CAST(n1.n_regionkey AS BIGINT) AS regionkey
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+        |ORDER BY name1, name2""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rn AS BIGINT) AS rn, CAST(rnk AS BIGINT) AS rnk
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_running" ->
+      s"""SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+        |  o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS $D)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_lag" ->
+      s"""SELECT o_custkey, o_orderkey, o_totalprice,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_orderkey, 1) OVER w AS next_key,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(CAST(o_totalprice AS $D) - CAST(LAG(o_totalprice, 1) OVER w AS $D) AS DOUBLE) AS delta
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_day
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |UNION SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q_string_fns" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS upper_name,
+        |  substring(p_name, 1, 4) AS prefix4,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  replace(p_name, ' ', '_') AS snake_name,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  CAST(strpos(p_name, 'e') AS BIGINT) AS pos_e
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_fns" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  CAST(day(o_orderdate) AS BIGINT) AS o_day,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25.0) AS abs_dev,
+        |  CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+        |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil_q,
+        |  sqrt(l_quantity) AS sqrt_q,
+        |  CAST(l_partkey % 7 AS BIGINT) AS mod7
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |ORDER BY l_orderkey, l_linenumber, price_k, sqrt_q, mod7""".stripMargin,
+
+    "q_case_when" ->
+      s"""SELECT CASE WHEN event_type = 'purchase' THEN 'revenue'
+        |       WHEN event_type IN ('click', 'view') THEN 'engagement'
+        |       ELSE 'ops' END AS category,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY category""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k, COUNT(*) AS n
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_array_fns" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_dim,
+        |  CAST(embedding[64] AS DOUBLE) AS last_dim,
+        |  abs(CAST(embedding[1] AS DOUBLE)) + abs(CAST(embedding[2] AS DOUBLE)) AS l1_head2
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
+}
