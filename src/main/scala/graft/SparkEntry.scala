@@ -17,8 +17,10 @@ object SparkEntry {
     operators.Relational.q3Shipping(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+    operators.Parity.queries
 
   def oracleSql: Map[String, String] =
-    operators.Relational.oracle
+    operators.Relational.oracle ++
+    operators.Parity.oracle
 }
