@@ -18,9 +18,15 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
-    operators.Parity.queries
+    operators.Parity.queries ++
+    operators.TextAnalysis.queries ++
+    operators.Dedup.queries ++
+    operators.Similarity.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
-    operators.Parity.oracle
+    operators.Parity.oracle ++
+    operators.TextAnalysis.oracle ++
+    operators.Dedup.oracle ++
+    operators.Similarity.oracle
 }

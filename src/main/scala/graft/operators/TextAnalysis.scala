@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token/char statistics, language-ID heuristic, quality scoring, document
+  * fingerprinting, and regex token counting.
+  *
+  * Everything is built from codegen'd builtins + higher-order array
+  * functions — per-row narrow transforms, no shuffle, no UDFs: at 100 TB
+  * these run at scan speed inside whole-stage codegen with column pruning
+  * (only `doc_id`/`text`/`lang` are read).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization + char stats + type-token ratio. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("size(split(text, ' '))").cast("long").as("n_tokens"),
+        expr("size(array_distinct(split(text, ' ')))").cast("long").as("n_distinct"),
+        (expr("size(array_distinct(split(text, ' ')))").cast("double") /
+         expr("size(split(text, ' '))")).as("ttr"),
+        ((length(col("text")) - (expr("size(split(text, ' '))") - lit(1))).cast("double") /
+         expr("size(split(text, ' '))")).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  /** n-gram/stopword language-ID heuristic: rate of English function words
+    * among tokens. (The synthetic corpus is English-vocab with random lang
+    * labels, so this doubles as a mislabel detector.) */
+  def langId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("n_tokens", expr("size(split(text, ' '))"))
+      .withColumn("en_hits",
+        expr("size(filter(split(text, ' '), t -> t = 'the' OR t = 'a'))"))
+      .select(
+        col("doc_id"), col("lang"),
+        col("en_hits").cast("long").as("en_hits"),
+        (col("en_hits").cast("double") / col("n_tokens")).as("en_ratio"),
+        when(col("en_hits").cast("double") / col("n_tokens") >= 0.05, "en")
+          .otherwise("unk").as("predicted_lang"))
+      .withColumn("label_agrees", col("predicted_lang") === col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Quality score: length saturation + lexical diversity, the standard
+    * cheap pre-filter before expensive model-based scoring. */
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("n_chars_m", length(col("text")).cast("double"))
+      .withColumn("ttr",
+        expr("size(array_distinct(split(text, ' ')))").cast("double") /
+        expr("size(split(text, ' '))"))
+      .select(
+        col("doc_id"),
+        least(lit(1.0), col("n_chars_m") / 400.0).as("len_score"),
+        col("ttr"),
+        (least(lit(1.0), col("n_chars_m") / 400.0) * 0.5 + col("ttr") * 0.5).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprints: exact content hash + order-independent
+    * bag-of-words hash (canonicalized sorted distinct tokens) — the key
+    * primitive under exact/near dedup. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp_exact"),
+        md5(expr("array_join(array_sort(array_distinct(split(text, ' '))), ' ')")).as("fp_bow"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting three ways: whitespace, regex word tokens, and a
+    * BPE-ish fixed-piece chunking ([a-z]{1,4} greedy pieces). */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        expr("size(split(text, ' '))").cast("long").as("n_ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("long").as("n_word_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]{1,4}', 0))").cast("long").as("n_bpeish_pieces"))
+      .orderBy(col("doc_id"))
+
+  // --------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (textStats _),
+    "q_lang_id" -> (langId _),
+    "q_quality_score" -> (qualityScore _),
+    "q_fingerprint" -> (fingerprint _),
+    "q_token_count" -> (tokenCount _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id, lang,
+        |  CAST(en_hits AS BIGINT) AS en_hits,
+        |  CAST(en_hits AS DOUBLE) / n_tokens AS en_ratio,
+        |  CASE WHEN CAST(en_hits AS DOUBLE) / n_tokens >= 0.05 THEN 'en' ELSE 'unk' END AS predicted_lang,
+        |  (CASE WHEN CAST(en_hits AS DOUBLE) / n_tokens >= 0.05 THEN 'en' ELSE 'unk' END) = lang AS label_agrees
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS en_hits,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |  least(1.0, CAST(length(text) AS DOUBLE) / 400.0) AS len_score,
+        |  ttr,
+        |  least(1.0, CAST(length(text) AS DOUBLE) / 400.0) * 0.5 + ttr * 0.5 AS quality
+        |FROM (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(text) AS fp_exact,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bow
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpeish_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
