@@ -21,12 +21,16 @@ object SparkEntry {
     operators.Parity.queries ++
     operators.TextAnalysis.queries ++
     operators.Dedup.queries ++
-    operators.Similarity.queries
+    operators.Similarity.queries ++
+    operators.EventsOps.queries ++
+    streaming.Streaming.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
     operators.Parity.oracle ++
     operators.TextAnalysis.oracle ++
     operators.Dedup.oracle ++
-    operators.Similarity.oracle
+    operators.Similarity.oracle ++
+    operators.EventsOps.oracle ++
+    streaming.Streaming.oracle
 }

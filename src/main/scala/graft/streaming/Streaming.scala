@@ -1,0 +1,128 @@
+package graft.streaming
+
+import graft.Exact.dec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference's "streaming" is SQS polling loops with visibility-timeout
+  * redelivery — unordered, at-least-once, windowless (SURVEY.md §2.2). The
+  * engine replaces that with event-time Structured Streaming: watermarks,
+  * tumbling windows, and stateful stream dedup (exactly-once over an
+  * at-least-once transport — the repair for SURVEY.md §A Q4).
+  *
+  * The two `q_stream_*` driver queries below genuinely execute as streams:
+  * a file streaming source reads the events parquet, the aggregation runs
+  * through the streaming state store into a memory sink, and the
+  * materialized sink table is returned for oracle comparison. Batch twins
+  * live in [[graft.operators.EventsOps]] — identical logical plans, so a
+  * stream/batch divergence would fail the oracle gate.
+  *
+  * Scale: micro-batch file sources shard by file; state (window counts,
+  * dedup keys) is partitioned by grouping key across executors; watermarks
+  * bound state size — at 100 TB/day the dedup state holds only the
+  * watermark horizon, not history.
+  */
+object Streaming {
+
+  /** events schema for the file streaming source (ts = raw parquet nanos,
+    * read as long via nanosAsLong — see graft.Tables.events). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File streaming source over the events table, nanos → timestamp.
+    * The file source wants a directory files arrive in (the realistic
+    * landing-zone shape); the single events.parquet is staged into one
+    * via symlink. */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_events_${math.abs(d.hashCode)}")
+    Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(d, "events.parquet"))
+    s.readStream.schema(eventsSchema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling 1-hour counts per event type, with a watermark — the
+    * streaming twin of EventsOps.tumbling. */
+  def tumblingCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"), 12, 2)).cast("double").as("total_value"))
+
+  /** Stateful streaming dedup on the event key under simulated
+    * at-least-once redelivery (the input stream is unioned with a
+    * duplicated slice; identical payloads, so any survivor is correct). */
+  def dedupStream(stream: DataFrame): DataFrame = {
+    val dupes = stream.filter(col("event_id") % 10 === 0)
+    stream.union(dupes)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and return
+    * the materialized result (synchronous: processAllAvailable). */
+  def runToMemory(s: SparkSession, streamed: DataFrame, name: String,
+      mode: String): DataFrame = {
+    s.catalog.dropTempView(name)
+    val q = streamed.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+
+  /** Driver query: tumbling window agg executed AS A STREAM (complete
+    * mode), surfaced with epoch-ms window bounds for the oracle. */
+  def streamTumbling(s: SparkSession, d: String): DataFrame = {
+    val res = runToMemory(s, tumblingCounts(eventsStream(s, d)),
+      "graft_stream_tumbling", "complete")
+    res.select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        unix_millis(col("w.end")).as("window_end_ms"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("window_start_ms"), col("event_type"))
+  }
+
+  /** Driver query: stateful stream dedup (append mode), one row per
+    * event_id regardless of redelivery. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val res = runToMemory(s, dedupStream(eventsStream(s, d)),
+      "graft_stream_dedup", "append")
+    res.select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  // --------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> (streamTumbling _),
+    "q_stream_dedup" -> (streamDedup _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    // identical to the batch twin — stream/batch equivalence is the test
+    "q_stream_tumbling" -> graft.operators.EventsOps.tumblingOracle,
+
+    "q_stream_dedup" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

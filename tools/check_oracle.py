@@ -31,6 +31,9 @@ def main(sf_dir, out_dir):
 
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    for name in oracles:
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            results[name] = "MISSING_RESULT (query failed in Verify)"
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
