@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.EventsOps.queries ++
+    operators.Multimodal.queries ++
     streaming.Streaming.queries
 
   def oracleSql: Map[String, String] =
@@ -32,5 +33,6 @@ object SparkEntry {
     operators.Dedup.oracle ++
     operators.Similarity.oracle ++
     operators.EventsOps.oracle ++
+    operators.Multimodal.oracle ++
     streaming.Streaming.oracle
 }
