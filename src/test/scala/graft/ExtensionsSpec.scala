@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class ExtensionsSpec extends SparkFunSuite {
+
+  test("text stats: counts are consistent and positive") {
+    val rows = TextAnalysis.textStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") > 0)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_tokens"))
+      val ttr = r.getAs[Double]("ttr")
+      assert(ttr > 0 && ttr <= 1.0)
+    }
+  }
+
+  test("fingerprints are deterministic across runs") {
+    val a = TextAnalysis.fingerprint(spark, sf).collect().map(_.toSeq)
+    val b = TextAnalysis.fingerprint(spark, sf).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
+  test("minhash candidates respect the est-jaccard post-filter") {
+    val rows = Dedup.dedupMinhash(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("matches") >= 6)
+      assert(r.getAs[Long]("d1") < r.getAs[Long]("d2"))
+      assert(r.getAs[Double]("est_jaccard") >= 0.75)
+    }
+  }
+
+  test("simhash: 32-bit signature per document") {
+    val rows = Dedup.dedupSimhash(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    assert(rows.forall(_.getAs[String]("simhash").matches("[01]{32}")))
+  }
+
+  test("ngram jaccard bounded to (0.6, 1]") {
+    val rows = Dedup.dedupNgram(spark, sf).collect()
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.6 && j <= 1.0)
+    }
+  }
+
+  test("knn: 5 neighbors per query, cosine in [-1,1], ranks ordered") {
+    val rows = Similarity.knnBrute(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size === 20)
+    byQ.values.foreach { g =>
+      assert(g.length === 5)
+      val sims = g.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("sim"))
+      assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+      assert(sims.forall(v => v >= -1.0 && v <= 1.0))
+    }
+  }
+
+  test("lsh knn only pairs vectors from the same bucket") {
+    val rows = Similarity.knnLsh(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("bucket").matches("[01]{4}")))
+  }
+
+  test("multimodal decode: checksum matches payload, metadata deterministic") {
+    val rows = Multimodal.multimodalDecode(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[String]("checksum").matches("[0-9a-f]{32}"))
+      assert(r.getAs[Long]("n_bytes") > 0)
+      if (r.getAs[String]("modality") == "image")
+        assert(r.getAs[Long]("duration_ms") === 0L)
+    }
+  }
+}

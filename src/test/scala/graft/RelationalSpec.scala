@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkFunSuite {
+
+  test("q1_agg: six flag/status groups, counts sum to filtered lineitem") {
+    val rows = Relational.q1Agg(spark, sf).collect()
+    assert(rows.length === 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, sf)
+      .filter("l_shipdate <= timestamp '1998-09-02'").count()
+    assert(total === expected)
+  }
+
+  test("q_topk: descending by totalprice, k=20") {
+    val prices = Relational.topK(spark, sf).collect().map(_.getAs[Double]("o_totalprice"))
+    assert(prices.length === 20)
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q_join_left preserves nations with zero customers") {
+    val rows = Relational.joinLeft(spark, sf).collect()
+    assert(rows.length === 25) // all nations survive the left join
+    assert(rows.forall(_.getAs[Long]("n_customers") >= 0))
+  }
+
+  test("semi + anti partition the dimension") {
+    val semi = Relational.joinSemi(spark, sf).count()
+    val anti = Relational.joinAnti(spark, sf).count()
+    assert(semi <= Tables.supplier(spark, sf).count())
+    assert(anti === Tables.part(spark, sf).count() -
+      Tables.lineitem(spark, sf).select("l_partkey").distinct().count())
+  }
+
+  test("q_window_rank: rn is 1..3 within each customer") {
+    val rows = Relational.windowRank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("rn") >= 1 && r.getAs[Long]("rn") <= 3))
+  }
+
+  test("rollup has grand-total row equal to table count") {
+    val rows = Relational.rollupAgg(spark, sf).collect()
+    val grand = rows.filter(r => r.getAs[String]("flag") == "ALL" &&
+      r.getAs[String]("status") == "ALL")
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n") === Tables.lineitem(spark, sf).count())
+  }
+}
