@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for the float-vector dot product.
+  *
+  * The similarity operators originally used `zip_with` + `aggregate`
+  * higher-order folds — correct, but interpreted (codegen fallback) and
+  * ~100 µs per 64-dim fold; on an n×m candidate join that dominates the
+  * whole query (167 s of a 333 s bench round). This expression generates a
+  * tight primitive loop inside whole-stage codegen instead.
+  *
+  * Semantics are IDENTICAL to the sequential double fold (same order, same
+  * double accumulation), so oracle results are unchanged bit-for-bit.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int vdN = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double vdS = 0.0;
+         |for (int vdI = 0; vdI < vdN; vdI++) {
+         |  vdS += ((double) $a.getFloat(vdI)) * ((double) $b.getFloat(vdI));
+         |}
+         |${ev.value} = vdS;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Merge-intersection count of two SORTED long arrays (set semantics —
+  * inputs must be sorted and distinct, e.g. `array_sort(array_distinct(…))`).
+  * Replaces the explode→shuffle-join→count plan for set-overlap operators
+  * (n-gram Jaccard): the quadratic per-shingle join blowup becomes one
+  * linear merge walk per candidate pair, inside codegen. */
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0L
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int siI = 0; int siJ = 0; long siN = 0L;
+         |while (siI < $a.numElements() && siJ < $b.numElements()) {
+         |  long siX = $a.getLong(siI); long siY = $b.getLong(siJ);
+         |  if (siX == siY) { siN++; siI++; siJ++; }
+         |  else if (siX < siY) { siI++; } else { siJ++; }
+         |}
+         |${ev.value} = siN;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+
+  /** Register `vec_dot` in the session's function registry (idempotent —
+    * createOrReplace). Must be called before using [[cosine]]/[[vecDot]]. */
+  def register(s: SparkSession): Unit = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect", exprs => SortedLongIntersect(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** dot(a, b) over array<float> columns, in double precision. */
+  def vecDot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
+
+  /** cosine(a, b) = dot / (|a| * |b|) — same math/order as the previous
+    * higher-order-function fold, now codegen'd. */
+  def cosine(a: String, b: String): Column =
+    expr(s"vec_dot($a, $b) / (sqrt(vec_dot($a, $a)) * sqrt(vec_dot($b, $b)))")
+}

@@ -36,19 +36,30 @@ object Dedup {
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("bow_key"))
 
-  /** MinHash signature: 8 hash functions h = md5(token || '#' || h) over
-    * the distinct-token set; computed per-row, no explode. */
-  private val sigExpr =
-    expr("""transform(sequence(0, 7), h ->
-      array_min(transform(array_distinct(split(text, ' ')),
-        t -> md5(concat(t, '#', CAST(h AS STRING))))))""".stripMargin)
+  /** MinHash signatures: 8 hash functions h = md5(token || '#' || h) over
+    * the distinct-token set. Computed as explode → codegen'd md5 → min
+    * hash-agg → collect into the signature array: every stage whole-stage
+    * codegen (the per-row higher-order fold variant ran interpreted and
+    * was ~10× slower at sf0.1). */
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("t"))
+      .select(col("doc_id"), explode(expr("sequence(0, 7)")).as("h"),
+        col("t"))
+      .withColumn("hv", md5(concat(col("t"), lit("#"), col("h").cast("string"))))
+      .groupBy(col("doc_id"), col("h")).agg(min(col("hv")).as("mv"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(h, mv))), x -> x.mv)").as("sig"))
 
   /** MinHash + LSH banding (2 bands x 4 rows): candidate pairs from
     * band-bucket collisions, then estimated Jaccard >= 0.75 post-filter.
     * This is the scale path for near-dedup: the n² pair space never
     * materializes, only same-bucket candidates do. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val sigs = documents(s, d).select(col("doc_id"), sigExpr.as("sig"))
+    // persisted: the signature table is referenced three times below
+    // (banding + both sides of the estimated-Jaccard join); without the
+    // cache the signature aggregation is recomputed for each reference.
+    val sigs = signatures(s, d).persist()
     val bands = sigs.select(col("doc_id"),
         posexplode(expr("""transform(sequence(0, 1), b ->
           md5(concat(element_at(sig, 4*b+1), element_at(sig, 4*b+2),
@@ -61,10 +72,14 @@ object Dedup {
       .distinct()
     val s1 = sigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))
     val s2 = sigs.select(col("doc_id").as("d2"), col("sig").as("sig2"))
+    // match count as 8 explicit element comparisons — stays inside
+    // whole-stage codegen (an interpreted zip_with fold here dominated the
+    // candidate-pair stage at larger SFs)
     pairs.join(s1, "d1").join(s2, "d2")
       .withColumn("matches",
-        expr("""aggregate(zip_with(sig1, sig2, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
-                0, (acc, v) -> acc + v)"""))
+        (0 until 8).map(i =>
+          when(expr(s"element_at(sig1, ${i + 1}) = element_at(sig2, ${i + 1})"), 1)
+            .otherwise(0)).reduce(_ + _))
       .filter(col("matches") >= 6)
       .select(col("d1"), col("d2"), col("matches").cast("long").as("matches"),
         (col("matches") / 8.0).as("est_jaccard"))
@@ -75,19 +90,22 @@ object Dedup {
     * similarity over shingles, blocked by `source` so the pair space is
     * per-block (the blocking key would be the LSH bucket at scale). */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    // Shingle sets as sorted 64-bit hash arrays, one row per doc; pairs
+    // join within the `source` block and intersect via the codegen'd
+    // merge-walk expression. Compared to explode→join-per-shingle→count,
+    // this avoids the quadratic row blowup on common shingles entirely:
+    // |pairs| rows × one linear merge each. (The 3-gram alphabet is tiny,
+    // so xxhash64 collisions are a non-concern for count semantics.)
+    graft.functions.VectorFunctions.register(s)
     val sh = documents(s, d).select(col("doc_id"), col("source"),
-      explode(expr(
-        "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"))
-        .as("shingle"))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.source") === col("b.source") && col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc_id").as("d1"), col("n_shingles").as("n1")), "d1")
-      .join(sz.select(col("doc_id").as("d2"), col("n_shingles").as("n2")), "d2")
+      expr("array_sort(array_distinct(transform(sequence(1, length(text) - 2), i -> xxhash64(substring(text, i, 3)))))")
+        .as("shingles"))
+    val a = sh.select(col("source"), col("doc_id").as("d1"),
+      col("shingles").as("sh1"), size(col("shingles")).as("n1"))
+    val b = sh.select(col("source").as("source_b"), col("doc_id").as("d2"),
+      col("shingles").as("sh2"), size(col("shingles")).as("n2"))
+    a.join(b, col("source") === col("source_b") && col("d1") < col("d2"))
+      .withColumn("inter", expr("sorted_intersect(sh1, sh2)"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= 0.6)
@@ -98,20 +116,31 @@ object Dedup {
   /** 32-bit SimHash per document, computed entirely per-row (nested
     * higher-order aggregate over the token set — no explode, no shuffle):
     * bit b = sign of the sum over tokens of ±1 by md5-bit b. */
-  def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    // Flat explode → codegen'd bit extraction → hash agg: every stage is
+    // whole-stage codegen (the nested higher-order fold variant ran
+    // interpreted and recomputed md5 per bit position; this hashes each
+    // token once and shuffles only (doc, bit, ±1) partial sums).
+    val tok = documents(s, d)
       .select(col("doc_id"),
-        expr("""array_join(
-            transform(sequence(0, 31), b ->
-              CASE WHEN aggregate(
-                  array_distinct(split(text, ' ')),
-                  0,
-                  (acc, t) -> acc + (CASE WHEN (shiftright(
-                      locate(substring(md5(t), CAST(b DIV 4 AS INT) + 1, 1), '0123456789abcdef') - 1,
-                      3 - CAST(b % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END)
-                ) > 0 THEN '1' ELSE '0' END),
-            '')""").as("simhash"))
+        explode(expr("array_distinct(split(text, ' '))")).as("t"))
+      .withColumn("m", md5(col("t")))
+    val bits = tok
+      .select(col("doc_id"), col("m"),
+        explode(expr("sequence(0, 31)")).as("b"))
+      .withColumn("contrib", expr(
+        """CASE WHEN (shiftright(
+          |  locate(substring(m, CAST(b DIV 4 AS INT) + 1, 1), '0123456789abcdef') - 1,
+          |  3 - CAST(b % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END""".stripMargin))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("sm"))
+    bits
+      .withColumn("c", when(col("sm") > 0, "1").otherwise("0"))
+      .groupBy(col("doc_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(b, c))), x -> x.c), '')")
+        .as("simhash"))
       .orderBy(col("doc_id"))
+  }
 
   // --------------------------------------------------------------- wiring
 

@@ -22,16 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cosine(a, b) as a deterministic sequential double fold. */
-  private def cosine(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)
-       |/ (sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-       |     CAST(0 AS DOUBLE), (acc, v) -> acc + v))
-       | * sqrt(aggregate(transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-       |     CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin)
-
-  /** The same cosine in DuckDB SQL (explicit per-dimension fold). */
+  /** The cosine in DuckDB SQL (explicit per-dimension fold — identical
+    * math/order to the codegen'd [[graft.functions.FloatVecDot]] path). */
   private def cosSql(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
@@ -40,14 +32,20 @@ object Similarity {
   /** Brute-force cosine top-5 for 20 query vectors: broadcast the queries,
     * stream the candidate scan, rank per query. */
   def knnBrute(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val e = embeddings(s, d)
+    // norms are computed once per vector BEFORE the pair join (sqrt(na) is
+    // the same double either way, so results stay bit-identical) — each
+    // pair then costs one dot product instead of three.
     val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        sqrt(expr("vec_dot(embedding, embedding)")).as("qn"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      sqrt(expr("vec_dot(embedding, embedding)")).as("cn"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("sim", round(cosine("qv", "cv"), 6))
+      .withColumn("sim", round(expr("vec_dot(qv, cv)") / (col("qn") * col("cn")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("cid"), col("rn").cast("long").as("rn"), col("sim"))
@@ -63,16 +61,19 @@ object Similarity {
       when(expr(s"element_at($v, 17)") >= 0f, "1").otherwise("0"),
       when(expr(s"element_at($v, 33)") >= 0f, "1").otherwise("0"),
       when(expr(s"element_at($v, 49)") >= 0f, "1").otherwise("0"))
+    graft.functions.VectorFunctions.register(s)
     val e = embeddings(s, d)
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        bucketOf("embedding").as("bucket"))
+        bucketOf("embedding").as("bucket"),
+        sqrt(expr("vec_dot(embedding, embedding)")).as("qn"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-      bucketOf("embedding").as("cbucket"))
+      bucketOf("embedding").as("cbucket"),
+      sqrt(expr("vec_dot(embedding, embedding)")).as("cn"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     c.join(broadcast(q), col("bucket") === col("cbucket") && col("qid") =!= col("cid"))
-      .withColumn("sim", round(cosine("qv", "cv"), 6))
+      .withColumn("sim", round(expr("vec_dot(qv, cv)") / (col("qn") * col("cn")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("bucket"), col("cid"),
@@ -83,11 +84,14 @@ object Similarity {
   /** Embedding near-duplicate pairs: thresholded cosine self-join
     * (0.35 ≈ p99.8 of this corpus's pair similarity). */
   def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val e = embeddings(s, d)
-    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
-    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+      sqrt(expr("vec_dot(embedding, embedding)")).as("n1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+      sqrt(expr("vec_dot(embedding, embedding)")).as("n2"))
     a.join(b, col("v1") < col("v2"))
-      .withColumn("sim", round(cosine("e1", "e2"), 6))
+      .withColumn("sim", round(expr("vec_dot(e1, e2)") / (col("n1") * col("n2")), 6))
       .filter(col("sim") >= 0.35)
       .select(col("v1"), col("v2"), col("sim"))
       .orderBy(col("v1"), col("v2"))
