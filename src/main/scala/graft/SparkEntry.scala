@@ -18,6 +18,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+    operators.Relational2.queries ++
+    sources.SourcesSinks.queries ++
     operators.Parity.queries ++
     operators.TextAnalysis.queries ++
     operators.Dedup.queries ++
@@ -28,6 +30,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
+    operators.Relational2.oracle ++
+    sources.SourcesSinks.oracle ++
     operators.Parity.oracle ++
     operators.TextAnalysis.oracle ++
     operators.Dedup.oracle ++

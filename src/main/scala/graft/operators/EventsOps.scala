@@ -87,9 +87,32 @@ object EventsOps {
       .orderBy(col("hour_ms"))
   }
 
+  /** As-of join, composed the scalable way: instead of a per-row range
+    * join (quadratic blowup), union both sides into one event-time stream
+    * and carry the last purchase timestamp forward with an ignore-nulls
+    * last_value window — one shuffle on the key, linear in events. For
+    * each 'error' event: the same user's most recent 'purchase' at or
+    * before it. (DuckDB's native ASOF JOIN has different tie semantics at
+    * equal timestamps, so the oracle mirrors this window formulation.) */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_millis(col("ts")).as("ts_ms"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("purchase_ts",
+        when(col("event_type") === "purchase", col("ts_ms")))
+      .withColumn("last_purchase_ms", last(col("purchase_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("last_purchase_ms"))
+      .orderBy(col("event_id"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (asofJoin _),
     "q_events_tumbling" -> (tumbling _),
     "q_events_sliding" -> (sliding _),
     "q_events_session" -> (session _),
@@ -106,6 +129,18 @@ object EventsOps {
       |ORDER BY window_start_ms, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, event_type, ts_ms,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN ts_ms END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ms
+        |  FROM e)
+        |SELECT user_id, event_id, ts_ms, last_purchase_ms
+        |FROM m WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+
     "q_events_tumbling" -> tumblingOracle,
 
     "q_events_sliding" ->

@@ -142,9 +142,23 @@ object Parity {
       .orderBy(col("app_id"))
   }
 
+  /** O20/Q6: the reference's worker-sizing heuristic — `workers =
+    * numLines / n` (n = lines-per-worker, LocalApp.java:117-126, integer
+    * division) clamped to the 19-instance free-tier cap (also
+    * Manager.java:108-110). In the engine this is what partition-count
+    * selection replaces; reproduced here as the parity artifact with n=5. */
+  def paritySizing(s: SparkSession, d: String): DataFrame =
+    pipeline(s, d)
+      .groupBy(col("app_id"))
+      .agg(count(lit(1)).as("n_lines"))
+      .select(col("app_id"), col("n_lines"),
+        least(expr("n_lines DIV 5"), lit(19L)).as("workers"))
+      .orderBy(col("app_id"))
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_parity_sizing" -> (paritySizing _),
     "q_parity_pipeline" -> (parityPipeline _),
     "q_parity_correlation" -> (parityCorrelation _),
     "q_parity_gather" -> (parityGather _),
@@ -181,6 +195,11 @@ object Parity {
       |""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_parity_sizing" -> (pipelineCte +
+      """SELECT app_id, COUNT(*) AS n_lines,
+        |  least(COUNT(*) // 5, 19) AS workers
+        |FROM results GROUP BY app_id ORDER BY app_id""".stripMargin),
+
     "q_parity_pipeline" -> (pipelineCte +
       "SELECT doc_id, app_id, operation, input_ref, output, is_error, result_row FROM results ORDER BY doc_id"),
 

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.Exact.dec
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second tranche of relational surface: exact percentiles, pivot,
+  * grouping sets, generator (explode) queries, and scalar subqueries.
+  * All Catalyst built-ins; see Relational.scala for the first tranche.
+  */
+object Relational2 {
+
+  /** Exact percentiles (interpolated) per group. At 100 TB you'd switch to
+    * approx_percentile sketches; the exact form is the oracle-able baseline. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** PIVOT: linestatus breakdown as columns per returnflag. */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .orderBy(col("l_returnflag"))
+
+  /** GROUPING SETS ((flag), (status), ()) via SQL. */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM graft_lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin)
+  }
+
+  /** Generator/UDTF surface: explode the token stream, global top-20. */
+  def explodeTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(expr("split(text, ' ')")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  /** Scalar subquery: orders priced over 3x the (exact-decimal) average. */
+  def scalarSubquery(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_orders_ss")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM graft_orders_ss
+        |WHERE o_totalprice > 3 * (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |  FROM graft_orders_ss)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  // --------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentiles" -> (percentiles _),
+    "q_pivot" -> (pivotStatus _),
+    "q_grouping_sets" -> (groupingSets _),
+    "q_explode_tokens" -> (explodeTokens _),
+    "q_scalar_subquery" -> (scalarSubquery _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
+        |  SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin,
+
+    "q_explode_tokens" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 3 * (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,136 @@
+package graft.sources
+
+import graft.Exact.dec
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink matrix beyond parquet: CSV, JSON, and line-text round
+  * trips, plus the binaryFile blob source.
+  *
+  * The reference's sources/sinks are text files and S3 objects moved
+  * whole (SURVEY.md O1-O6, O18, O24); in Spark every format below is the
+  * same `spark.read`/`df.write` surface over any Hadoop filesystem —
+  * s3a:// at scale, local tmp here. Each round-trip query WRITES with the
+  * engine and READS back with the engine, then aggregates; the oracle
+  * checks the result against the original table, so a lossy
+  * serialization round trip would fail the gate.
+  */
+object SourcesSinks {
+
+  private def stage(sub: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_sink_stage", sub)
+    p.toString
+  }
+
+  /** CSV sink → CSV source (schema-ful, header) → aggregate. */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = stage(s"csv_${math.abs(d.hashCode)}")
+    nation(s, d).write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.option("header", "true").schema(schema).csv(out)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        min(col("n_name")).as("first_name"))
+      .select(col("n_regionkey").cast("long").as("regionkey"),
+        col("n_nations"), col("first_name"))
+      .orderBy(col("regionkey"))
+  }
+
+  /** JSON sink → JSON source → aggregate (timestamps carried as epoch ms). */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = stage(s"json_${math.abs(d.hashCode)}")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
+        col("o_orderstatus"))
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_date_ms", LongType),
+      StructField("o_orderstatus", StringType)))
+    s.read.schema(schema).json(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"), 12, 2)).cast("double").as("total"),
+        min(col("o_date_ms")).as("first_date_ms"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Line-text sink → line-text source: the reference's native format
+    * (result file, one row per line — Manager.java:287-312). Writes the
+    * parity result rows as text, reads them back, re-tokenizes, and
+    * re-derives the gather accounting. */
+  def textRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = stage(s"text_${math.abs(d.hashCode)}")
+    graft.operators.Parity.pipeline(s, d)
+      .select(col("result_row"))
+      .write.mode("overwrite").text(out)
+    s.read.text(out)
+      .select(split(col("value"), "\t").getItem(0).as("op_colon"),
+        (split(col("value"), "\t").getItem(2).startsWith("Error:")).as("is_error"))
+      .groupBy(col("op_colon"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_error"), 1L).otherwise(0L)).as("n_errors"))
+      .orderBy(col("op_colon"))
+  }
+
+  /** Blob source (O2/O4 analog): binaryFile over the staged text files —
+    * path/length metadata + content available as a binary column. Local
+    * paths aren't oracle-able → rows-only check. */
+  def binarySource(s: SparkSession, d: String): DataFrame = {
+    val out = stage(s"text_${math.abs(d.hashCode)}")
+    // ensure the stage exists (textRoundtrip writes it; idempotent here)
+    graft.operators.Parity.pipeline(s, d)
+      .select(col("result_row")).write.mode("overwrite").text(out)
+    s.read.format("binaryFile").load(out)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("length"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("file_name"))
+  }
+
+  // --------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sink_csv_roundtrip" -> (csvRoundtrip _),
+    "q_sink_json_roundtrip" -> (jsonRoundtrip _),
+    "q_sink_text_roundtrip" -> (textRoundtrip _),
+    "q_source_binary" -> (binarySource _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sink_csv_roundtrip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+        |  COUNT(*) AS n_nations, MIN(n_name) AS first_name
+        |FROM nation GROUP BY 1 ORDER BY regionkey""".stripMargin,
+
+    "q_sink_json_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  MIN(epoch_ms(o_orderdate)) AS first_date_ms
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_sink_text_roundtrip" ->
+      (graft.operators.Parity.oracle("q_parity_gather")
+        .replace(
+          """SELECT app_id,
+            |  COUNT(*) AS n_results,
+            |  SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS n_errors,
+            |  SUM(CASE WHEN is_error THEN 0 ELSE 1 END) AS n_ok,
+            |  COUNT(DISTINCT operation) AS n_ops
+            |FROM results GROUP BY app_id ORDER BY app_id""".stripMargin,
+          """SELECT operation || ':' AS op_colon, COUNT(*) AS n,
+            |  SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS n_errors
+            |FROM results GROUP BY 1 ORDER BY op_colon""".stripMargin))
+    // q_source_binary: rows-only (local file paths not reproducible in SQL)
+  )
+}
