@@ -1,0 +1,28 @@
+package graft
+
+import graft.functions.{FloatVecDot, SortedLongIntersect}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: makes the engine's native
+  * expressions available to ANY session (including pure-SQL users) via
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * Programmatic users can instead call
+  * [[graft.functions.VectorFunctions.register]] on an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      exprs => FloatVecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect"),
+      new ExpressionInfo(classOf[SortedLongIntersect].getName, "sorted_intersect"),
+      exprs => SortedLongIntersect(exprs(0), exprs(1))))
+  }
+}

@@ -64,9 +64,30 @@ object Relational2 {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Skew-safe two-phase aggregation: the 3-value l_returnflag key is the
+    * canonical hot-key skew case — a plain groupBy funnels ~20M rows per
+    * key through 3 reducers at 100 TB. Salting fans each hot key over 16
+    * sub-keys for the partial phase, then combines; decimal sums make the
+    * re-aggregation exact, so results equal the direct groupBy (which is
+    * what the oracle checks). AQE's skew handling covers joins; salting is
+    * the aggregation-side tool. */
+  def saltedAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        sum(dec(col("l_quantity"), 12, 2)).as("part_qty"),
+        count(lit(1)).as("part_n"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("part_qty")).cast("double").as("sum_qty"),
+        sum(col("part_n")).as("n"))
+      .orderBy(col("l_returnflag"))
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_agg" -> (saltedAgg _),
     "q_percentiles" -> (percentiles _),
     "q_pivot" -> (pivotStatus _),
     "q_grouping_sets" -> (groupingSets _),
@@ -75,6 +96,12 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_percentiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,

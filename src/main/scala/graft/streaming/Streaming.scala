@@ -1,9 +1,19 @@
 package graft.streaming
 
 import graft.Exact.dec
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** Event for the stateful sessionizer (top-level for the product encoder). */
+case class UserEvent(user_id: Long, ts_ms: Long, value: Double)
+
+/** Closed session emitted by the stateful sessionizer. */
+case class UserSession(user_id: Long, session_start_ms: Long,
+  session_end_ms: Long, n_events: Long, total_value: Double)
+
+/** Mutable session accumulator kept in the state store. */
+case class SessionAcc(start: Long, last: Long, n: Long, total: Double)
 
 /** Structured Streaming surface of the engine.
   *
@@ -71,6 +81,34 @@ object Streaming {
     stream.union(dupes)
       .withWatermark("ts", "2 hours")
       .dropDuplicates("event_id")
+  }
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * engine's escape hatch when session_window's merge semantics aren't
+    * enough (per-session custom accumulators, mid-session triggers, …).
+    * Gap-based: an event ≥ gapMs after the previous one closes the open
+    * session and emits it; the open session rides in the state store
+    * (partitioned by user across executors; at scale its size is bounded
+    * by the number of concurrently-open sessions, not history). */
+  def sessionizeStateful(ds: Dataset[UserEvent], gapMs: Long): Dataset[UserSession] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[UserEvent], state: GroupState[SessionAcc]) =>
+          val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+          var acc = state.getOption.orNull
+          events.toSeq.sortBy(e => (e.ts_ms, e.value)).foreach { e =>
+            if (acc == null) acc = SessionAcc(e.ts_ms, e.ts_ms, 1L, e.value)
+            else if (e.ts_ms - acc.last >= gapMs) {
+              closed += UserSession(uid, acc.start, acc.last + gapMs, acc.n, acc.total)
+              acc = SessionAcc(e.ts_ms, e.ts_ms, 1L, e.value)
+            } else acc = SessionAcc(acc.start, e.ts_ms, acc.n + 1L, acc.total + e.value)
+          }
+          if (acc != null) state.update(acc)
+          closed.iterator
+      }
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and return

@@ -55,6 +55,34 @@ class StreamingSpec extends SparkFunSuite {
     assert(out.map(_.getAs[Long]("event_id")).sorted.toSeq === Seq(10L, 11L))
   }
 
+  test("flatMapGroupsWithState sessionizer emits closed sessions across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[graft.streaming.UserEvent]
+    val out = graft.streaming.Streaming.sessionizeStateful(ms.toDS(), gapMs = 600000L)
+    s.catalog.dropTempView("t_mem_sessions")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("t_mem_sessions").start()
+    try {
+      // batch 1: two events 1 min apart -> one open session
+      ms.addData(graft.streaming.UserEvent(7L, 0L, 1.0),
+        graft.streaming.UserEvent(7L, 60000L, 2.0))
+      q.processAllAvailable()
+      assert(s.table("t_mem_sessions").count() === 0) // still open
+      // batch 2: event 20 min later -> closes the first session
+      ms.addData(graft.streaming.UserEvent(7L, 1260000L, 5.0))
+      q.processAllAvailable()
+      val sessions = s.table("t_mem_sessions").collect()
+      assert(sessions.length === 1)
+      val ses = sessions.head
+      assert(ses.getAs[Long]("session_start_ms") === 0L)
+      assert(ses.getAs[Long]("session_end_ms") === 660000L) // last + gap
+      assert(ses.getAs[Long]("n_events") === 2L)
+      assert(ses.getAs[Double]("total_value") === 3.0)
+    } finally q.stop()
+  }
+
   test("file-source streaming tumbling equals the batch events aggregation") {
     val streamed = Streaming.streamTumbling(spark, sf).collect()
     val batch = operators.EventsOps.tumbling(spark, sf).collect()
