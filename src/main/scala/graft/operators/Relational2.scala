@@ -52,13 +52,13 @@ object Relational2 {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
-  /** Scalar subquery: orders priced over 3x the (exact-decimal) average. */
+  /** Scalar subquery: orders priced over 1.8x the (exact-decimal) average. */
   def scalarSubquery(s: SparkSession, d: String): DataFrame = {
     orders(s, d).createOrReplaceTempView("graft_orders_ss")
     s.sql(
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM graft_orders_ss
-        |WHERE o_totalprice > 3 * (
+        |WHERE o_totalprice > 1.8 * (
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
         |  FROM graft_orders_ss)
         |ORDER BY o_orderkey""".stripMargin)
@@ -132,7 +132,7 @@ object Relational2 {
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
-        |WHERE o_totalprice > 3 * (
+        |WHERE o_totalprice > 1.8 * (
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
         |  FROM orders)
         |ORDER BY o_orderkey""".stripMargin
