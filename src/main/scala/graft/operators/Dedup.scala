@@ -104,7 +104,15 @@ object Dedup {
       col("shingles").as("sh1"), size(col("shingles")).as("n1"))
     val b = sh.select(col("source").as("source_b"), col("doc_id").as("d2"),
       col("shingles").as("sh2"), size(col("shingles")).as("n2"))
-    a.join(b, col("source") === col("source_b") && col("d1") < col("d2"))
+    // length-ratio prune (semantics-preserving): inter <= min(n1,n2) and
+    // union >= max(n1,n2), so jaccard <= min/max — pairs with
+    // min < 0.6*max can never pass the threshold and are dropped inside
+    // the join, before the intersect runs. This is the standard
+    // set-similarity-join size filter; at scale it pairs with prefix
+    // filtering to keep the candidate set near-linear.
+    a.join(b, col("source") === col("source_b") && col("d1") < col("d2") &&
+        least(col("n1"), col("n2")).cast("double") >=
+        greatest(col("n1"), col("n2")) * 0.6)
       .withColumn("inter", expr("sorted_intersect(sh1, sh2)"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
