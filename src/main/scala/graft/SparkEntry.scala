@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
     operators.Relational2.queries ++
+    operators.Relational3.queries ++
     sources.SourcesSinks.queries ++
     operators.Parity.queries ++
     operators.TextAnalysis.queries ++
@@ -31,6 +32,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
     operators.Relational2.oracle ++
+    operators.Relational3.oracle ++
     sources.SourcesSinks.oracle ++
     operators.Parity.oracle ++
     operators.TextAnalysis.oracle ++

@@ -150,9 +150,25 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** MinHash signatures via the typed custom aggregate
+    * ([[graft.functions.MinHashAggregator]], the UDAF surface) — same hash
+    * family as [[signatures]], so the oracle checks it against the
+    * SQL-derived signature exactly. */
+  def minhashUdaf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("t"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .agg(graft.functions.MinHashAggregator.toColumn.name("sig_csv"))
+      .toDF("doc_id", "sig_csv")
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minhash_udaf" -> (minhashUdaf _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_normalized" -> (dedupNormalized _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -161,6 +177,16 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_minhash_udaf" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 8), h ->
+        |      list_min(list_transform(list_distinct(string_split(text, ' ')),
+        |        t -> md5(t || '#' || CAST(h AS VARCHAR))))) AS s
+        |  FROM documents)
+        |SELECT doc_id, array_to_string(s, ',') AS sig_csv
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_key, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc
         |FROM documents GROUP BY 1 ORDER BY content_key""".stripMargin,

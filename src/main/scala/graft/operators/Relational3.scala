@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.Exact.dec
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Third tranche: deep relational shapes — the long join chain, correlated
+  * subqueries (Catalyst decorrelation), range window frames, bucketed
+  * co-located joins, and partitioned sinks with partition pruning.
+  */
+object Relational3 {
+
+  /** TPC-H Q5 shape: 6-table star chain (region→nation→{customer,supplier}
+    * →orders→lineitem) with the local-supplier correlation
+    * (c_nationkey = s_nationkey). Dims broadcast; the only fact shuffle is
+    * orders↔lineitem on the order key. */
+  def q5Region(s: SparkSession, d: String): DataFrame = {
+    val r = region(s, d).filter(col("r_name") === "ASIA")
+    val n = nation(s, d)
+    val c = customer(s, d)
+    val o = orders(s, d).filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = lineitem(s, d)
+    val sup = supplier(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(c),
+        o("o_custkey") === c("c_custkey") &&
+        sup("s_nationkey") === c("c_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice"), 12, 2) *
+          (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"), 3, 2)))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q4 shape: correlated EXISTS with an inequality — Catalyst
+    * decorrelates it into a left-semi join, no per-row subquery execution. */
+  def existsCorrelated(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_orders_q4")
+    lineitem(s, d).createOrReplaceTempView("graft_lineitem_q4")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM graft_orders_q4
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM graft_lineitem_q4
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** RANGE window frame: 30-day trailing spend per customer (peers at the
+    * same day aggregate together — deterministic under date ties, unlike a
+    * ROWS frame). */
+  def windowRange(s: SparkSession, d: String): DataFrame = {
+    val withDays = orders(s, d)
+      .withColumn("day_no",
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_no"))
+      .rangeBetween(-30, 0)
+    withDays
+      .withColumn("trailing_30d",
+        sum(dec(col("o_totalprice"), 12, 2)).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_no"),
+        col("o_totalprice"), col("trailing_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Bucketed co-located join: both fact tables written bucketed+sorted on
+    * the join key, then joined WITHOUT a shuffle (the sort-merge join reads
+    * bucket-aligned files; `.explain` shows no Exchange above the scans).
+    * This is the 100 TB answer to repeated fact-fact joins: pay the
+    * partitioning once at write time, never at query time. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_warehouse").toString
+    def writeBucketed(df: DataFrame, table: String, key: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      // one file per bucket (repartition on the bucket key) — Spark only
+      // trusts per-bucket sort order when a bucket is a single file, which
+      // is what eliminates the Sort below the join as well as the Exchange
+      df.repartition(8, col(key)).write.mode("overwrite")
+        .bucketBy(8, key).sortBy(key)
+        .option("path", s"$base/$table")
+        .format("parquet")
+        .saveAsTable(table)
+    }
+    writeBucketed(lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "graft_li_bkt", "l_orderkey")
+    writeBucketed(orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus")),
+      "graft_ord_bkt", "o_orderkey")
+    // merge hint: at this test SF Catalyst would broadcast the small side,
+    // hiding the point — at 100 TB neither side broadcasts, and the
+    // bucket-aligned sort-merge join below runs with NO exchange and NO
+    // sort (both pre-bucketed and pre-sorted on the key).
+    s.table("graft_li_bkt").hint("merge")
+      .join(s.table("graft_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice"), 12, 2) *
+            (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"), 3, 2)))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Partitioned parquet sink + partition-pruned read: orders written
+    * partitioned by year, read back with a partition filter (only the 1997
+    * directory is scanned — `.explain` shows PartitionFilters). */
+  def partitionedSink(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_part_orders_${math.abs(d.hashCode)}").toString
+    orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    s.read.parquet(out)
+      .filter(col("o_year") === 1997)
+      .groupBy(month(col("o_orderdate")).cast("long").as("o_month"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"), 12, 2)).cast("double").as("total"))
+      .orderBy(col("o_month"))
+  }
+
+  // --------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q5_region" -> (q5Region _),
+    "q_exists_correlated" -> (existsCorrelated _),
+    "q_window_range" -> (windowRange _),
+    "q_bucketed_join" -> (bucketedJoin _),
+    "q_partitioned_sink" -> (partitionedSink _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q5_region" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_exists_correlated" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, day_no, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY day_no
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no
+        |  FROM orders)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_partitioned_sink" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY o_month""".stripMargin
+  )
+}

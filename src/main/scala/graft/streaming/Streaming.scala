@@ -148,11 +148,30 @@ object Streaming {
       .orderBy(col("event_id"))
   }
 
+  /** Stream-static join: the streaming events join a static dimension
+    * (event-type weights) broadcast to every micro-batch — the standard
+    * enrichment topology (stream fact ⋈ slowly-changing dim). */
+  def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weights = Seq(
+      ("click", 1L), ("view", 1L), ("purchase", 5L), ("signup", 3L), ("error", 0L)
+    ).toDF("event_type", "weight")
+    val joined = eventsStream(s, d)
+      .join(org.apache.spark.sql.functions.broadcast(weights), Seq("event_type"))
+      .groupBy(col("event_type"), col("weight"))
+      .agg(count(lit(1)).as("n"))
+    val res = runToMemory(s, joined, "graft_stream_static", "complete")
+    res.select(col("event_type"), col("n"),
+        (col("n") * col("weight")).as("weighted"))
+      .orderBy(col("event_type"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (streamTumbling _),
-    "q_stream_dedup" -> (streamDedup _)
+    "q_stream_dedup" -> (streamDedup _),
+    "q_stream_static_join" -> (streamStaticJoin _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -161,6 +180,13 @@ object Streaming {
 
     "q_stream_dedup" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_stream_static_join" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(*) * (CASE event_type
+        |    WHEN 'click' THEN 1 WHEN 'view' THEN 1 WHEN 'purchase' THEN 5
+        |    WHEN 'signup' THEN 3 ELSE 0 END) AS weighted
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
