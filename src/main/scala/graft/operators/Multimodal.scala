@@ -92,8 +92,28 @@ object Multimodal {
     }
   }
 
+  /** Resize plan record: target box 224, aspect preserved (integer math). */
+  final case class MediaResize(doc_id: Long, modality: String, width: Long,
+    height: Long, out_w: Long, out_h: Long)
+
+  /** Resize planning over decoded metadata — the parameter computation is
+    * real (aspect-preserving fit into a 224 box, integer arithmetic); the
+    * pixel work would live in the same partition-batched iterator as
+    * [[decode]]. */
+  def resizePlan(meta: Dataset[MediaMeta]): Dataset[MediaResize] = {
+    import meta.sparkSession.implicits._
+    meta.mapPartitions(_.map { m =>
+      val mx = math.max(m.width, m.height)
+      MediaResize(m.doc_id, m.modality, m.width, m.height,
+        out_w = m.width * 224L / mx, out_h = m.height * 224L / mx)
+    })
+  }
+
   def multimodalDecode(s: SparkSession, d: String): DataFrame =
     decode(mediaTable(s, d)).toDF().orderBy(col("doc_id"))
+
+  def multimodalResize(s: SparkSession, d: String): DataFrame =
+    resizePlan(decode(mediaTable(s, d))).toDF().orderBy(col("doc_id"))
 
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =
     features(mediaTable(s, d)).toDF().orderBy(col("doc_id"))
@@ -102,7 +122,8 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> (multimodalDecode _),
-    "q_multimodal_features" -> (multimodalFeatures _)
+    "q_multimodal_features" -> (multimodalFeatures _),
+    "q_multimodal_resize" -> (multimodalResize _)
   )
 
   /** Oracles re-derive the deterministic stub arithmetic in SQL — the
@@ -131,6 +152,18 @@ object Multimodal {
         |    list_sum(list_transform(range(1, len(text) + 1),
         |      i -> ord(substr(text, i, 1)))) AS byte_sum
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_resize" ->
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+        |    CAST(64 + length(text) % 640 AS BIGINT) AS width,
+        |    CAST(64 + (length(text) * 7) % 480 AS BIGINT) AS height
+        |  FROM documents)
+        |SELECT doc_id, modality, width, height,
+        |  width * 224 // greatest(width, height) AS out_w,
+        |  height * 224 // greatest(width, height) AS out_h
+        |FROM meta ORDER BY doc_id""".stripMargin
   )
 }

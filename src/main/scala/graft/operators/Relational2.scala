@@ -84,9 +84,36 @@ object Relational2 {
         sum(col("part_n")).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Higher-order array functions (transform / filter / aggregate /
+    * zip_with-equivalent index comparison) over the embedding column. */
+  def higherOrderFns(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(
+        col("vec_id"),
+        expr("size(filter(embedding, x -> x >= 0))").cast("long").as("n_pos"),
+        expr("element_at(transform(embedding, x -> CAST(x AS DOUBLE) * 2.0), 1)").as("scaled_first"),
+        expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))").as("sum_fold"),
+        expr("""size(filter(sequence(1, 64), i ->
+          element_at(embedding, CAST(i AS INT)) < element_at(embedding, CAST(65 - i AS INT))))""")
+          .cast("long").as("n_lt_mirror"))
+      .orderBy(col("vec_id"))
+
+  /** Map-type functions: JSON → map<string,bigint> → key/value access. */
+  def mapFns(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("event_id") < 500)
+      .select(
+        col("event_id"),
+        expr("size(map_keys(from_json(props, 'map<string,bigint>')))").cast("long").as("n_keys"),
+        expr("element_at(from_json(props, 'map<string,bigint>'), 'k')").as("k_val"),
+        expr("array_contains(map_keys(from_json(props, 'map<string,bigint>')), 'k')").as("has_k"))
+      .orderBy(col("event_id"))
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_higher_order_fns" -> (higherOrderFns _),
+    "q_map_fns" -> (mapFns _),
     "q_salted_agg" -> (saltedAgg _),
     "q_percentiles" -> (percentiles _),
     "q_pivot" -> (pivotStatus _),
@@ -96,6 +123,21 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_higher_order_fns" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(embedding, x -> x >= 0)) AS BIGINT) AS n_pos,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)[1] AS scaled_first,
+        |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS sum_fold,
+        |  CAST(len(list_filter(range(1, 65), i -> embedding[i] < embedding[65 - i])) AS BIGINT) AS n_lt_mirror
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_map_fns" ->
+      """SELECT event_id,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  list_contains(json_keys(props), 'k') AS has_k
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+
     "q_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -130,9 +130,32 @@ object Relational3 {
       .orderBy(col("o_month"))
   }
 
+  /** Top-3 orders per customer via the bounded-heap typed Aggregator
+    * (state O(k) per group, map-side partials — see
+    * [[graft.functions.TopKAggregator]]) instead of a full window sort.
+    * Oracle-checked to equal the row_number window form exactly. */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val topk = new graft.functions.TopKAggregator(3)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topk.toColumn.name("top"))
+      .toDF("o_custkey", "top")
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"),
+        col("col._2").as("o_orderkey"),
+        col("col._1").as("o_totalprice"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_per_group" -> (topkPerGroup _),
     "q5_region" -> (q5Region _),
     "q_exists_correlated" -> (existsCorrelated _),
     "q_window_range" -> (windowRange _),
@@ -141,6 +164,15 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
     "q5_region" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue

@@ -33,6 +33,14 @@ class RelationalSpec extends SparkFunSuite {
       Tables.lineitem(spark, sf).select("l_partkey").distinct().count())
   }
 
+  test("top-k aggregator equals the window row_number form") {
+    val viaAgg = operators.Relational3.topkPerGroup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"), r.getAs[Long]("rn")))
+    val viaWindow = operators.Relational.windowRank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"), r.getAs[Long]("rn")))
+    assert(viaAgg.toSeq === viaWindow.toSeq)
+  }
+
   test("q_window_rank: rn is 1..3 within each customer") {
     val rows = Relational.windowRank(spark, sf).collect()
     assert(rows.nonEmpty)
