@@ -118,6 +118,21 @@ object Parity {
         concat(lit("<br>"), col("result_row")).as("html_line"))
       .orderBy(col("doc_id"))
 
+  /** O24 complete form: the whole report as ONE HTML document per client —
+    * banner + <br>-joined result lines in doc order (LocalApp.java:302-343
+    * renders exactly this shape). The collect_list/sort/join runs per
+    * app_id group, so at scale each client's report builds independently. */
+  def parityReportDoc(s: SparkSession, d: String): DataFrame =
+    pipeline(s, d)
+      .groupBy(col("app_id"))
+      .agg(expr(
+        """concat('<html><body><h1>Results</h1>',
+          |  array_join(transform(array_sort(collect_list(struct(doc_id, result_row))),
+          |    x -> concat('<br>', x.result_row)), ''),
+          |  '</body></html>')""".stripMargin).as("report_html"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("app_id"))
+
   /** §2.3 job-message round trip: build the 6-token JobSpec wire format
     * (the reference's producer sends 4 tokens while its consumer reads 6 —
     * SURVEY.md §A Q1; the engine uses the consumer's 6-field schema,
@@ -163,6 +178,7 @@ object Parity {
     "q_parity_correlation" -> (parityCorrelation _),
     "q_parity_gather" -> (parityGather _),
     "q_parity_report" -> (parityReport _),
+    "q_parity_report_doc" -> (parityReportDoc _),
     "q_parity_jobspec" -> (parityJobspec _)
   )
 
@@ -216,6 +232,14 @@ object Parity {
 
     "q_parity_report" -> (pipelineCte +
       "SELECT doc_id, '<br>' || result_row AS html_line FROM results ORDER BY doc_id"),
+
+    "q_parity_report_doc" -> (pipelineCte +
+      """SELECT app_id,
+        |  '<html><body><h1>Results</h1>' ||
+        |    string_agg('<br>' || result_row, '' ORDER BY doc_id) ||
+        |    '</body></html>' AS report_html,
+        |  COUNT(*) AS n_lines
+        |FROM results GROUP BY app_id ORDER BY app_id""".stripMargin),
 
     "q_parity_jobspec" -> (pipelineCte +
       """, jobs AS (

@@ -166,12 +166,40 @@ object Streaming {
       .orderBy(col("event_type"))
   }
 
+  /** foreachBatch sink: each micro-batch is handed to arbitrary batch
+    * writer code (here: parquet appends into a landing dir — the idiom for
+    * sinks Structured Streaming doesn't speak natively, the engine analog
+    * of the reference's per-job S3 result upload). The landing dir is then
+    * read back and aggregated; oracle = the same aggregation on the
+    * source table, so lost/duplicated batches would fail the gate. */
+  def streamForeachBatch(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Paths
+    val out = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_febatch_${math.abs(d.hashCode)}").toString
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(out))
+    val q = eventsStream(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"), 12, 2)).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_dedup" -> (streamDedup _),
-    "q_stream_static_join" -> (streamStaticJoin _)
+    "q_stream_static_join" -> (streamStaticJoin _),
+    "q_stream_foreachbatch" -> (streamForeachBatch _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -187,6 +215,11 @@ object Streaming {
         |  COUNT(*) * (CASE event_type
         |    WHEN 'click' THEN 1 WHEN 'view' THEN 1 WHEN 'purchase' THEN 5
         |    WHEN 'signup' THEN 3 ELSE 0 END) AS weighted
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_foreachbatch" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
