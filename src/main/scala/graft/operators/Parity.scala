@@ -34,9 +34,34 @@ import org.apache.spark.sql.functions._
   * whatever partitioning the scan provides — no shuffle until the gather
   * aggregation, which is a partial-agg count.
   */
+/** Typed task record (SURVEY.md §1.3: the engine makes the reference's
+  * implicit positional message layouts explicit, schema-checked types). */
+final case class TaskSpec(doc_id: Long, app_id: String, operation: String,
+  input_ref: String)
+
+/** Typed result record — error-as-value: `output` carries either the
+  * artifact ref or the in-band `Error: …` string, `is_error` splits them. */
+final case class TaskResult(doc_id: Long, app_id: String, operation: String,
+  input_ref: String, output: String, is_error: Boolean, result_row: String)
+
 object Parity {
 
   private val TAB = "\t"
+
+  /** Typed view of the task stream (Dataset[TaskSpec]). */
+  def taskSpecs(s: SparkSession, d: String): org.apache.spark.sql.Dataset[TaskSpec] = {
+    import s.implicits._
+    pipeline(s, d)
+      .select(col("doc_id"), col("app_id"), col("operation"), col("input_ref"))
+      .as[TaskSpec]
+  }
+
+  /** Typed view of the result stream (Dataset[TaskResult]) — the
+    * `Dataset[TaskSpec] → Dataset[TaskResult]` pipeline stage contract. */
+  def taskResults(s: SparkSession, d: String): org.apache.spark.sql.Dataset[TaskResult] = {
+    import s.implicits._
+    pipeline(s, d).as[TaskResult]
+  }
 
   /** Stage 1 (LocalApp analog): documents → task wire messages.
     * appId multiplexes 7 concurrent "clients" (Manager.java:22 multi-tenant

@@ -152,9 +152,58 @@ object Relational3 {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** TPC-H Q6 shape: single-table filter + agg — the pushdown benchmark
+    * (every predicate reaches the parquet scan). */
+  def q6Forecast(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice"), 12, 2) * dec(col("l_discount"), 3, 2))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q12 shape: join + conditional two-way agg (CASE inside SUM). */
+  def q12Priority(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d).filter(
+      col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val o = orders(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H Q14 shape: conditional revenue ratio (promo share). */
+  def q14Promo(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d).filter(
+      col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+    val p = part(s, d)
+    val rev = dec(col("l_extendedprice"), 12, 2) *
+      (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"), 3, 2))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(16, 4))))
+          .cast("double") * 100.0 /
+         sum(rev).cast("double")).as("promo_revenue_pct"),
+        count(lit(1)).as("n"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast" -> (q6Forecast _),
+    "q12_priority" -> (q12Priority _),
+    "q14_promo" -> (q14Promo _),
     "q_topk_per_group" -> (topkPerGroup _),
     "q5_region" -> (q5Region _),
     "q_exists_correlated" -> (existsCorrelated _),
@@ -164,6 +213,36 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q6_forecast" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q12_priority" ->
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+        |    ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) * 100.0
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS promo_revenue_pct,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
+
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
         |FROM (

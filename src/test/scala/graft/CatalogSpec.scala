@@ -14,6 +14,25 @@ class CatalogSpec extends SparkFunSuite {
     assert(missing.isEmpty, s"oracle entries without a query: $missing")
   }
 
+  test("no module silently overwrites another's query name") {
+    val moduleSizes = Seq(
+      operators.Relational.queries.size, operators.Relational2.queries.size,
+      operators.Relational3.queries.size, sources.SourcesSinks.queries.size,
+      operators.Parity.queries.size, operators.TextAnalysis.queries.size,
+      operators.Dedup.queries.size, operators.Similarity.queries.size,
+      operators.EventsOps.queries.size, operators.Multimodal.queries.size,
+      streaming.Streaming.queries.size)
+    assert(moduleSizes.sum === SparkEntry.queries.size,
+      "duplicate query name across modules (map merge dropped one)")
+  }
+
+  test("typed pipeline stage: Dataset[TaskSpec] -> Dataset[TaskResult]") {
+    val specs = operators.Parity.taskSpecs(spark, sf)
+    val results = operators.Parity.taskResults(spark, sf)
+    assert(specs.count() === results.count())
+    assert(results.filter(_.is_error).count() > 0)
+  }
+
   test("every catalog query executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
