@@ -109,9 +109,35 @@ object Relational2 {
         expr("array_contains(map_keys(from_json(props, 'map<string,bigint>')), 'k')").as("has_k"))
       .orderBy(col("event_id"))
 
+  /** Null semantics battery: outer-join nulls through coalesce / nullif /
+    * null-aware counting — count(col) skips nulls, count(*) doesn't;
+    * aggregates over all-null groups stay null until coalesced. */
+  def nullSemantics(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d)
+    val c = customer(s, d)
+    n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
+      .groupBy(col("n_nationkey"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("c_custkey")).as("n_nonnull"),
+        coalesce(max(col("c_acctbal")), lit(-1.0)).as("max_bal_or_neg1"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_null"),
+        max(nullif(col("c_mktsegment"), lit("BUILDING"))).as("max_seg_not_building"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** UNION ALL (bag semantics — the distinct form lives in q_set_union). */
+  def unionAll(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").cast("long").as("nk"))
+      .union(supplier(s, d).select(col("s_nationkey").cast("long").as("nk")))
+      .groupBy(col("nk")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nk"))
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_null_semantics" -> (nullSemantics _),
+    "q_union_all" -> (unionAll _),
     "q_higher_order_fns" -> (higherOrderFns _),
     "q_map_fns" -> (mapFns _),
     "q_salted_agg" -> (saltedAgg _),
@@ -123,6 +149,22 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_null_semantics" ->
+      """SELECT n_nationkey,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(c_custkey) AS n_nonnull,
+        |  coalesce(MAX(c_acctbal), -1.0) AS max_bal_or_neg1,
+        |  SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |  MAX(nullif(c_mktsegment, 'BUILDING')) AS max_seg_not_building
+        |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT nk, COUNT(*) AS n FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |  UNION ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |GROUP BY nk ORDER BY nk""".stripMargin,
+
     "q_higher_order_fns" ->
       """SELECT vec_id,
         |  CAST(len(list_filter(embedding, x -> x >= 0)) AS BIGINT) AS n_pos,

@@ -198,9 +198,22 @@ object Relational3 {
         count(lit(1)).as("n"))
   }
 
+  /** Top-3 per customer through the CUSTOM PHYSICAL OPERATOR
+    * (graft.plans.TopKPerGroup: LogicalPlan + Strategy + Exec) — one hash
+    * exchange, bounded per-group selection, no sort. Oracle-checked equal
+    * to the window form; the Aggregator and window variants of the same
+    * semantics live in q_topk_per_group / q_window_rank. */
+  def topkCustomOp(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.TopKPerGroupOp.topK(base, "o_custkey", "o_totalprice", "o_orderkey", 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_custom_op" -> (topkCustomOp _),
     "q6_forecast" -> (q6Forecast _),
     "q12_priority" -> (q12Priority _),
     "q14_promo" -> (q14Promo _),
@@ -213,6 +226,16 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_topk_custom_op" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
     "q6_forecast" ->
       """SELECT
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,

@@ -33,6 +33,14 @@ class RelationalSpec extends SparkFunSuite {
       Tables.lineitem(spark, sf).select("l_partkey").distinct().count())
   }
 
+  test("custom physical operator top-k equals the window form") {
+    val viaOp = operators.Relational3.topkCustomOp(spark, sf).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey")))
+    val viaWindow = operators.Relational.windowRank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey")))
+    assert(viaOp.toSeq === viaWindow.toSeq)
+  }
+
   test("top-k aggregator equals the window row_number form") {
     val viaAgg = operators.Relational3.topkPerGroup(spark, sf).collect()
       .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"), r.getAs[Long]("rn")))
