@@ -72,6 +72,31 @@ object EventsOps {
       .orderBy(col("event_id"))
   }
 
+  /** Canonical-row dedup under DIVERGENT redelivery: the reference's
+    * at-least-once bug (SURVEY.md §A Q4) can deliver a second result for
+    * the same task with a different payload (different worker, different
+    * artifact id) — full-row distinct keeps BOTH. The repair is keep-first
+    * by a deterministic rule: rank replicas per key and keep rank 1.
+    * Simulated by unioning a mutated replica (+1000 value, 'replay' tag)
+    * for every 10th event; the canonical pick is the lowest
+    * (value, event_type) per event_id. */
+  def dedupKeepFirst(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(
+      col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+      col("user_id"), col("event_type"), col("value"))
+    val replayed = e.filter(col("event_id") % 10 === 0)
+      .withColumn("value", col("value") + 1000.0)
+      .withColumn("event_type", lit("replay"))
+    val all = e.union(replayed)
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("value"), col("event_type"))
+    all.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("ts_ms"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Streaming leaderboard shape: top event type per hour (window agg +
     * ranking window on top). */
   def hourlyTop(s: SparkSession, d: String): DataFrame = {
@@ -117,6 +142,7 @@ object EventsOps {
     "q_events_sliding" -> (sliding _),
     "q_events_session" -> (session _),
     "q_events_dedup" -> (dedup _),
+    "q_events_dedup_keep_first" -> (dedupKeepFirst _),
     "q_events_hourly_top" -> (hourlyTop _)
   )
 
@@ -182,6 +208,22 @@ object EventsOps {
         |  SELECT * FROM events
         |  UNION ALL SELECT * FROM events WHERE event_id % 10 = 0)
         |ORDER BY event_id""".stripMargin,
+
+    "q_events_dedup_keep_first" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+        |  FROM events),
+        |allrows AS (
+        |  SELECT * FROM e
+        |  UNION ALL
+        |  SELECT event_id, ts_ms, user_id, 'replay' AS event_type, value + 1000.0 AS value
+        |  FROM e WHERE event_id % 10 = 0),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+        |    ORDER BY value, event_type) AS rn
+        |  FROM allrows)
+        |SELECT event_id, ts_ms, user_id, event_type, value
+        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q_events_hourly_top" ->
       s"""WITH hourly AS (
