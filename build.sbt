@@ -3,6 +3,12 @@ ThisBuild / version := "0.1.0"
 name := "projectmapreducespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
+// PDFBox (public Apache jars, same version the reference vendors) for the
+// real ToText/ToImage/ToHTML document transforms. commons-logging API is
+// provided by Spark's jcl-over-slf4j.
+Compile / unmanagedJars ++= (file("lib") * "*.jar").classpath
+Runtime / unmanagedJars ++= (file("lib") * "*.jar").classpath
+Test / unmanagedJars ++= (file("lib") * "*.jar").classpath
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Relational3.queries ++
     sources.SourcesSinks.queries ++
     operators.Parity.queries ++
+    operators.Pdf.queries ++
     operators.TextAnalysis.queries ++
     operators.Dedup.queries ++
     operators.Similarity.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
     operators.Relational3.oracle ++
     sources.SourcesSinks.oracle ++
     operators.Parity.oracle ++
+    operators.Pdf.oracle ++
     operators.TextAnalysis.oracle ++
     operators.Dedup.oracle ++
     operators.Similarity.oracle ++

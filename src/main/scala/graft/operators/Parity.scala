@@ -250,8 +250,8 @@ object Parity {
     "q_parity_gather" -> (pipelineCte +
       """SELECT app_id,
         |  COUNT(*) AS n_results,
-        |  SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS n_errors,
-        |  SUM(CASE WHEN is_error THEN 0 ELSE 1 END) AS n_ok,
+        |  CAST(SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        |  CAST(SUM(CASE WHEN is_error THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
         |  COUNT(DISTINCT operation) AS n_ops
         |FROM results GROUP BY app_id ORDER BY app_id""".stripMargin),
 

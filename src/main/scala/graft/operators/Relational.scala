@@ -600,7 +600,7 @@ object Relational {
 
     "q_json_extract" ->
       """SELECT event_type,
-        |  SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k, COUNT(*) AS n
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k, COUNT(*) AS n
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)

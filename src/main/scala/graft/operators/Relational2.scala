@@ -154,7 +154,7 @@ object Relational2 {
         |  COUNT(*) AS n_rows,
         |  COUNT(c_custkey) AS n_nonnull,
         |  coalesce(MAX(c_acctbal), -1.0) AS max_bal_or_neg1,
-        |  SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
         |  MAX(nullif(c_mktsegment, 'BUILDING')) AS max_seg_not_building
         |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
         |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
@@ -195,8 +195,8 @@ object Relational2 {
 
     "q_pivot" ->
       """SELECT l_returnflag,
-        |  SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
-        |  SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_grouping_sets" ->

@@ -124,12 +124,12 @@ object SourcesSinks {
         .replace(
           """SELECT app_id,
             |  COUNT(*) AS n_results,
-            |  SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS n_errors,
-            |  SUM(CASE WHEN is_error THEN 0 ELSE 1 END) AS n_ok,
+            |  CAST(SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+            |  CAST(SUM(CASE WHEN is_error THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
             |  COUNT(DISTINCT operation) AS n_ops
             |FROM results GROUP BY app_id ORDER BY app_id""".stripMargin,
           """SELECT operation || ':' AS op_colon, COUNT(*) AS n,
-            |  SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS n_errors
+            |  CAST(SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
             |FROM results GROUP BY 1 ORDER BY op_colon""".stripMargin))
     // q_source_binary: rows-only (local file paths not reproducible in SQL)
   )

@@ -68,6 +68,12 @@ def compare(got, exp):
         return f"ROWCOUNT got={len(got)} exp={len(exp)}"
     got = got[gc].reset_index(drop=True)
     exp = exp[ec].reset_index(drop=True)
+    # Dtype-strict: the driver's hash is type-sensitive (DuckDB SUM(int) ->
+    # HUGEINT vs Spark BIGINT slipped through pandas == coercion in round 1).
+    for c in gc:
+        gd, ed = str(got[c].dtype), str(exp[c].dtype)
+        if gd != ed and "object" not in (gd, ed):
+            return f"DTYPE col={c} got={gd} exp={ed}"
     for c in gc:
         g, e = got[c], exp[c]
         for i in range(len(g)):
