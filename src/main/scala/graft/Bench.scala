@@ -10,6 +10,13 @@ import org.apache.spark.sql.SparkSession
   * prune the expensive expressions away and would flatter the numbers).
   * A tiny warmup action runs first so session/codegen init isn't billed
   * to the first query.
+  *
+  * Between queries: drop cached blocks and run a GC — round-1 benching
+  * showed cross-query pollution (a 2 s projection billed 86 s right after
+  * the streaming queries' state-store churn); each timing should charge
+  * the query, not its predecessor's garbage.
+  *
+  * Optional args: query names to bench (default: the whole catalog).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,14 +32,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: session + codegen + parquet reader init
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val only: Option[Set[String]] = if (args.nonEmpty) Some(args.toSet) else None
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -1,6 +1,10 @@
 package graft.functions
 
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
 import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed custom aggregate (the engine's UDAF surface,
@@ -13,38 +17,65 @@ import org.apache.spark.sql.expressions.Aggregator
   * minimum — associative and commutative, so Spark can partial-aggregate
   * map-side and merge across partitions, which is what makes a custom
   * sketch scale: state is O(slots), never O(rows).
+  *
+  * Hot-path discipline (this runs once per token): one thread-local
+  * MessageDigest reused across calls (`getInstance` per call was 8 allocs/
+  * token), one UTF-8 encode per token with the 2-byte `#h` suffix streamed
+  * via `update()`, table-driven hex (replacing 128 `String.format` calls
+  * per token), and an in-place Array buffer (the Aggregator contract
+  * permits mutating and returning the buffer).
   */
-object MinHashAggregator extends Aggregator[(Long, String), Seq[String], String] {
+object MinHashAggregator extends Aggregator[(Long, String), Array[String], String] {
 
   private val Slots = 8
   /** lexicographically above every md5 hex digest */
   private val Sentinel = "￿"
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val Hex = "0123456789abcdef".toCharArray
 
-  override def zero: Seq[String] = Seq.fill(Slots)(Sentinel)
-
-  override def reduce(buf: Seq[String], in: (Long, String)): Seq[String] = {
-    val a = buf.toArray
-    var h = 0
-    while (h < Slots) {
-      val v = md5hex(in._2 + "#" + h)
-      if (v < a(h)) a(h) = v
-      h += 1
+  private def hex32(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = Hex((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = Hex(d(i) & 0xf)
+      i += 1
     }
-    a.toSeq
+    new String(out)
   }
 
-  override def merge(a: Seq[String], b: Seq[String]): Seq[String] =
-    a.lazyZip(b).map((x, y) => if (y < x) y else x)
+  override def zero: Array[String] = Array.fill(Slots)(Sentinel)
 
-  override def finish(r: Seq[String]): String = r.mkString(",")
+  override def reduce(buf: Array[String], in: (Long, String)): Array[String] = {
+    val md = digests.get()
+    val tokenBytes = in._2.getBytes(StandardCharsets.UTF_8)
+    var h = 0
+    while (h < Slots) {
+      // md5(token || '#' || h) without materializing the suffixed string
+      md.reset()
+      md.update(tokenBytes)
+      md.update('#'.toByte)
+      md.update(('0' + h).toByte)
+      val v = hex32(md.digest())
+      if (v < buf(h)) buf(h) = v
+      h += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[String], b: Array[String]): Array[String] = {
+    var i = 0
+    while (i < Slots) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def finish(r: Array[String]): String = r.mkString(",")
 
   // Catalyst-native buffer encoding (an array of strings in the agg
   // buffer) — a kryo-blob buffer serialized ~8x slower here
-  override def bufferEncoder: Encoder[Seq[String]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def bufferEncoder: Encoder[Array[String]] = ExpressionEncoder()
   override def outputEncoder: Encoder[String] = Encoders.STRING
 }

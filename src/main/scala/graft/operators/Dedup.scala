@@ -56,30 +56,41 @@ object Dedup {
     * This is the scale path for near-dedup: the n² pair space never
     * materializes, only same-bucket candidates do. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    // persisted: the signature table is referenced three times below
-    // (banding + both sides of the estimated-Jaccard join); without the
-    // cache the signature aggregation is recomputed for each reference.
+    // Persist + eagerly materialize: the self-join below references the
+    // signature table from two branches of ONE job — without an action
+    // first, both branches race the cache and compute the aggregation
+    // twice. (localCheckpoint was tried and measured 2x WORSE here: it
+    // strips the stats AQE needs and the band join skews.) The cache is
+    // freed by the callers' per-query clearCache (Bench) / session teardown.
     val sigs = signatures(s, d).persist()
-    val bands = sigs.select(col("doc_id"),
+    sigs.count()
+    // Signatures ride along with the band keys, so candidate match-counting
+    // happens INSIDE the band self-join — no join-back of two sig copies
+    // onto millions of candidate pairs (that was ~10 s of the 17 s round-1
+    // cost at sf0.1). matches is a function of (d1, d2), so the estimated-
+    // Jaccard filter runs BEFORE the distinct and prunes its shuffle.
+    val bands = sigs.select(col("doc_id"), col("sig"),
         posexplode(expr("""transform(sequence(0, 1), b ->
           md5(concat(element_at(sig, 4*b+1), element_at(sig, 4*b+2),
                      element_at(sig, 4*b+3), element_at(sig, 4*b+4))))""")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val pairs = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
-    val s1 = sigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))
-    val s2 = sigs.select(col("doc_id").as("d2"), col("sig").as("sig2"))
     // match count as 8 explicit element comparisons — stays inside
     // whole-stage codegen (an interpreted zip_with fold here dominated the
     // candidate-pair stage at larger SFs)
-    pairs.join(s1, "d1").join(s2, "d2")
-      .withColumn("matches",
-        (0 until 8).map(i =>
-          when(expr(s"element_at(sig1, ${i + 1}) = element_at(sig2, ${i + 1})"), 1)
-            .otherwise(0)).reduce(_ + _))
+    def slotEq(i: Int) =
+      expr(s"element_at(x.sig, ${i + 1}) = element_at(y.sig, ${i + 1})")
+    // A true near-dup usually collides in BOTH bands, so a distinct() here
+    // would shuffle ~2x the final rows just to drop the double-emissions.
+    // Instead each pair is emitted exactly once, from its minimal matching
+    // band: band 1 emits only if band 0's four slots don't all match
+    // (both signatures are already on the joined row — pure codegen, no
+    // extra exchange).
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.band") === 0 || !(0 until 4).map(slotEq).reduce(_ && _))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        (0 until 8).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _).as("matches"))
       .filter(col("matches") >= 6)
       .select(col("d1"), col("d2"), col("matches").cast("long").as("matches"),
         (col("matches") / 8.0).as("est_jaccard"))

@@ -18,7 +18,8 @@ class CatalogSpec extends SparkFunSuite {
     val moduleSizes = Seq(
       operators.Relational.queries.size, operators.Relational2.queries.size,
       operators.Relational3.queries.size, sources.SourcesSinks.queries.size,
-      operators.Parity.queries.size, operators.TextAnalysis.queries.size,
+      operators.Parity.queries.size, operators.Pdf.queries.size,
+      operators.TextAnalysis.queries.size,
       operators.Dedup.queries.size, operators.Similarity.queries.size,
       operators.EventsOps.queries.size, operators.Multimodal.queries.size,
       streaming.Streaming.queries.size)
