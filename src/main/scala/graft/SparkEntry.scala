@@ -23,6 +23,7 @@ object SparkEntry {
     sources.SourcesSinks.queries ++
     operators.Parity.queries ++
     operators.Pdf.queries ++
+    operators.Fetch.queries ++
     operators.TextAnalysis.queries ++
     operators.Dedup.queries ++
     operators.Similarity.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
     sources.SourcesSinks.oracle ++
     operators.Parity.oracle ++
     operators.Pdf.oracle ++
+    operators.Fetch.oracle ++
     operators.TextAnalysis.oracle ++
     operators.Dedup.oracle ++
     operators.Similarity.oracle ++

@@ -15,6 +15,10 @@ case class UserSession(user_id: Long, session_start_ms: Long,
 /** Mutable session accumulator kept in the state store. */
 case class SessionAcc(start: Long, last: Long, n: Long, total: Double)
 
+/** Hand-fed event for the watermark late-drop proof (top-level for the
+  * product encoder). */
+case class LateEv(event_id: Long, ts: java.sql.Timestamp, value: Double)
+
 /** Structured Streaming surface of the engine.
   *
   * The reference's "streaming" is SQS polling loops with visibility-timeout
@@ -75,13 +79,32 @@ object Streaming {
 
   /** Stateful streaming dedup on the event key under simulated
     * at-least-once redelivery (the input stream is unioned with a
-    * duplicated slice; identical payloads, so any survivor is correct). */
+    * duplicated slice; identical payloads, so any survivor is correct).
+    *
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`): with the
+    * event-time column absent from the dedup key, plain dropDuplicates
+    * never purges its key state — the watermark would bound nothing and
+    * state would grow with history. The WithinWatermark form evicts keys
+    * once they age past the watermark, so state holds only the redelivery
+    * horizon (the visibility-timeout analog), which is what makes this
+    * exactly-once repair run indefinitely at 100 TB/day. */
   def dedupStream(stream: DataFrame): DataFrame = {
     val dupes = stream.filter(col("event_id") % 10 === 0)
     stream.union(dupes)
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
   }
+
+  /** Session windows (10-minute gap) per user AS A STREAM — the streaming
+    * twin of EventsOps.session; the state store merges windows as events
+    * arrive, the watermark lets closed sessions finalize (and, in append
+    * mode, bounds session state). */
+  def sessionCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"), 12, 2)).cast("double").as("total_value"))
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * engine's escape hatch when session_window's merge semantics aren't
@@ -148,6 +171,61 @@ object Streaming {
       .orderBy(col("event_id"))
   }
 
+  /** Driver query: session windows executed AS A STREAM (complete mode),
+    * oracle = the batch q_events_session SQL — stream/batch session-merge
+    * equivalence is the test. */
+  def streamSession(s: SparkSession, d: String): DataFrame = {
+    val res = runToMemory(s, sessionCounts(eventsStream(s, d)),
+      "graft_stream_session", "complete")
+    res.select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start_ms"))
+  }
+
+  /** Driver query: PROOF that the watermark drops late data. Three
+    * hand-fed micro-batches (MemoryStream, so batch boundaries are exact):
+    * batch 1 advances the watermark to 10:30, batch 2 carries a 09:00 row
+    * that is now LATE (dropped pre-aggregation) plus an on-time 11:30 row,
+    * batch 3 is a far-future sentinel whose watermark advance finalizes
+    * every real window (its own window stays open and is therefore never
+    * emitted in append mode). The oracle pins the exact surviving windows —
+    * if the engine failed to drop the late row, an extra 09:00 window
+    * would appear and the gate would fail. */
+  def streamLateDrop(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val H = 3600000L
+    val base = 1704067200000L // 2024-01-01 00:00:00 UTC
+    def ev(id: Long, ms: Long, v: Double) =
+      LateEv(id, new java.sql.Timestamp(ms), v)
+    val ms = MemoryStream[LateEv]
+    val agg = ms.toDF()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"), 12, 2)).cast("double").as("total_value"))
+    val name = "graft_stream_late_drop"
+    s.catalog.dropTempView(name)
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      ms.addData(ev(1, base + 10 * H, 1.5), ev(2, base + 11 * H, 2.5))
+      q.processAllAvailable() // watermark -> 10:30
+      ms.addData(ev(3, base + 9 * H, 100.0), // LATE: below the watermark
+        ev(4, base + 11 * H + 30 * 60000L, 3.25))
+      q.processAllAvailable()
+      ms.addData(ev(5, base + 23 * H, 0.0)) // sentinel: finalize everything
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("n"), col("total_value"))
+      .orderBy(col("window_start_ms"))
+  }
+
   /** Stream-static join: the streaming events join a static dimension
     * (event-type weights) broadcast to every micro-batch — the standard
     * enrichment topology (stream fact ⋈ slowly-changing dim). */
@@ -198,6 +276,8 @@ object Streaming {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_stream_session" -> (streamSession _),
+    "q_stream_late_drop" -> (streamLateDrop _),
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_stream_foreachbatch" -> (streamForeachBatch _)
   )
@@ -205,6 +285,19 @@ object Streaming {
   val oracle: Map[String, String] = Map(
     // identical to the batch twin — stream/batch equivalence is the test
     "q_stream_tumbling" -> graft.operators.EventsOps.tumblingOracle,
+
+    // the batch session SQL verbatim: stream/batch session-merge equivalence
+    "q_stream_session" -> graft.operators.EventsOps.oracle("q_events_session"),
+
+    // the exact windows that survive the watermark (see streamLateDrop):
+    // an undropped 09:00 row would add a fourth window and fail the gate
+    "q_stream_late_drop" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1704103200000 AS BIGINT), CAST(1 AS BIGINT), CAST(1.5 AS DOUBLE)),
+        |  (CAST(1704106800000 AS BIGINT), CAST(1 AS BIGINT), CAST(2.5 AS DOUBLE)),
+        |  (CAST(1704108600000 AS BIGINT), CAST(1 AS BIGINT), CAST(3.25 AS DOUBLE)))
+        |  AS t(window_start_ms, n, total_value)
+        |ORDER BY window_start_ms""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
