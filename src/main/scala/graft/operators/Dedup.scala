@@ -97,32 +97,65 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** Character-3-gram Jaccard within each source partition: exact set
-    * similarity over shingles, blocked by `source` so the pair space is
-    * per-block (the blocking key would be the LSH bucket at scale). */
-  def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    // Shingle sets as sorted 64-bit hash arrays, one row per doc; pairs
-    // join within the `source` block and intersect via the codegen'd
-    // merge-walk expression. Compared to explode→join-per-shingle→count,
-    // this avoids the quadratic row blowup on common shingles entirely:
-    // |pairs| rows × one linear merge each. (The 3-gram alphabet is tiny,
-    // so xxhash64 collisions are a non-concern for count semantics.)
-    graft.functions.VectorFunctions.register(s)
-    val sh = documents(s, d).select(col("doc_id"), col("source"),
-      expr("array_sort(array_distinct(transform(sequence(1, length(text) - 2), i -> xxhash64(substring(text, i, 3)))))")
+  /** Shingle sets as sorted 64-bit hash arrays, one row per doc. Guarded
+    * for texts under 3 chars: Spark's `sequence(1, 0)` counts DOWN
+    * ([1, 0] — bogus substring positions) where the oracle's `range` is
+    * empty; such docs get an empty set on both sides. (The 3-gram
+    * alphabet is tiny, so xxhash64 collisions are a non-concern for
+    * count semantics.) */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), col("source"),
+      expr("""CASE WHEN length(text) >= 3
+             |  THEN array_sort(array_distinct(transform(
+             |    sequence(1, length(text) - 2), i -> xxhash64(substring(text, i, 3)))))
+             |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)
         .as("shingles"))
-    val a = sh.select(col("source"), col("doc_id").as("d1"),
-      col("shingles").as("sh1"), size(col("shingles")).as("n1"))
-    val b = sh.select(col("source").as("source_b"), col("doc_id").as("d2"),
-      col("shingles").as("sh2"), size(col("shingles")).as("n2"))
-    // length-ratio prune (semantics-preserving): inter <= min(n1,n2) and
-    // union >= max(n1,n2), so jaccard <= min/max — pairs with
-    // min < 0.6*max can never pass the threshold and are dropped inside
-    // the join, before the intersect runs. This is the standard
-    // set-similarity-join size filter; at scale it pairs with prefix
-    // filtering to keep the candidate set near-linear.
-    a.join(b, col("source") === col("source_b") && col("d1") < col("d2") &&
-        least(col("n1"), col("n2")).cast("double") >=
+
+  /** Prefix-filtered candidate pairs (AllPairs/PPJoin prefix lemma): rank
+    * each doc's shingles by GLOBAL rarity; for Jaccard >= t a qualifying
+    * pair must share a shingle inside both docs' first n - ceil(t*n) + 1
+    * rarest shingles, so candidates come from an equi-join on prefix
+    * shingles only — the intra-block candidate space is near-linear in
+    * practice instead of O(block^2). Rare shingles drive the join, so hot
+    * (common) shingles never fan out. */
+  private def ngramCandidates(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleSets(s, d)
+    val exploded = sh.select(col("doc_id"), col("source"),
+      size(col("shingles")).as("n"), explode(col("shingles")).as("sh"))
+    val freq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefixes = exploded.join(freq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .filter(col("rk") <= col("n") - ceil(col("n") * 0.6) + 1)
+      .select(col("sh"), col("source"), col("doc_id"), col("n"))
+    // the size filter runs inside the candidate join too: a qualifying
+    // pair has jaccard <= min(n)/max(n), so mismatched sizes never even
+    // become candidates
+    prefixes.as("a").join(prefixes.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n"), col("b.n")).cast("double") >=
+          greatest(col("a.n"), col("b.n")) * 0.6)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Character-3-gram Jaccard within each source partition: exact set
+    * similarity over shingles. Candidates come from the prefix filter
+    * ([[ngramCandidates]]); each candidate is then size-pruned (min/max >=
+    * t — semantics-preserving: jaccard <= min/max) and verified with the
+    * codegen'd merge-walk intersect — |candidates| linear merges, never a
+    * per-shingle join blowup. */
+  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val sh = shingleSets(s, d)
+    ngramCandidates(s, d)
+      .join(sh.select(col("doc_id").as("d1"), col("shingles").as("sh1"),
+        size(col("shingles")).as("n1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingles").as("sh2"),
+        size(col("shingles")).as("n2")), "d2")
+      .filter(least(col("n1"), col("n2")).cast("double") >=
         greatest(col("n1"), col("n2")) * 0.6)
       .withColumn("inter", expr("sorted_intersect(sh1, sh2)"))
       .withColumn("jaccard",
@@ -131,6 +164,11 @@ object Dedup {
       .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** Candidate-efficiency stats for the prefix filter (spec-checked:
+    * candidates should stay within a small factor of the final pairs). */
+  def ngramCandidateStats(s: SparkSession, d: String): (Long, Long) =
+    (ngramCandidates(s, d).count(), dedupNgram(s, d).count())
 
   /** 32-bit SimHash per document, computed entirely per-row (nested
     * higher-order aggregate over the token set — no explode, no shuffle):

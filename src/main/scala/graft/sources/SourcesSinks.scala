@@ -82,20 +82,22 @@ object SourcesSinks {
       .orderBy(col("op_colon"))
   }
 
-  /** Blob source (O2/O4 analog): binaryFile over the staged text files —
-    * path/length metadata + content available as a binary column. Local
-    * paths aren't oracle-able → rows-only check. */
+  /** Blob source (O2/O4 analog): binaryFile over a staged text file —
+    * path/length metadata + content available as a binary column. The
+    * stage is written as ONE file in doc order, so the blob's exact bytes
+    * (and therefore md5/length) are derivable from the source table and
+    * the oracle checks content, not just row counts. (The single-file
+    * coalesce is the test harness making bytes deterministic, not the
+    * scale path — binaryFile itself shards per file.) */
   def binarySource(s: SparkSession, d: String): DataFrame = {
-    val out = stage(s"text_${math.abs(d.hashCode)}")
-    // ensure the stage exists (textRoundtrip writes it; idempotent here)
+    val out = stage(s"binary_${math.abs(d.hashCode)}")
     graft.operators.Parity.pipeline(s, d)
+      .repartition(1).sortWithinPartitions(col("doc_id"))
       .select(col("result_row")).write.mode("overwrite").text(out)
     s.read.format("binaryFile").load(out)
-      .select(
-        element_at(split(col("path"), "/"), -1).as("file_name"),
-        col("length"),
-        md5(col("content")).as("content_md5"))
-      .orderBy(col("file_name"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("length")).as("total_bytes"),
+        min(md5(col("content"))).as("content_md5"))
   }
 
   // --------------------------------------------------------------- wiring
@@ -130,7 +132,22 @@ object SourcesSinks {
             |FROM results GROUP BY app_id ORDER BY app_id""".stripMargin,
           """SELECT operation || ':' AS op_colon, COUNT(*) AS n,
             |  CAST(SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
-            |FROM results GROUP BY 1 ORDER BY op_colon""".stripMargin))
-    // q_source_binary: rows-only (local file paths not reproducible in SQL)
+            |FROM results GROUP BY 1 ORDER BY op_colon""".stripMargin)),
+
+    // the staged blob is one file of '\n'-terminated result rows in doc
+    // order — its bytes, hence md5 and length, derive from the source table
+    "q_source_binary" ->
+      (graft.operators.Parity.oracle("q_parity_gather")
+        .replace(
+          """SELECT app_id,
+            |  COUNT(*) AS n_results,
+            |  CAST(SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+            |  CAST(SUM(CASE WHEN is_error THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+            |  COUNT(DISTINCT operation) AS n_ops
+            |FROM results GROUP BY app_id ORDER BY app_id""".stripMargin,
+          """SELECT CAST(1 AS BIGINT) AS n_files,
+            |  CAST(SUM(octet_length(encode(result_row)) + 1) AS BIGINT) AS total_bytes,
+            |  md5(string_agg(result_row || chr(10), '' ORDER BY doc_id)) AS content_md5
+            |FROM results""".stripMargin))
   )
 }

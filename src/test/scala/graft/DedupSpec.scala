@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkFunSuite {
+
+  test("prefix filter: candidate pairs stay within 10x of final pairs") {
+    val (candidates, finalPairs) = Dedup.ngramCandidateStats(spark, sf)
+    assert(finalPairs > 0)
+    assert(candidates <= 10 * finalPairs,
+      s"prefix filter too loose: $candidates candidates for $finalPairs pairs")
+  }
+
+  test("shingle guard: texts under 3 chars get an empty set, not bogus shingles") {
+    val s = spark
+    import s.implicits._
+    val guard =
+      """CASE WHEN length(text) >= 3
+        |  THEN array_sort(array_distinct(transform(
+        |    sequence(1, length(text) - 2), i -> xxhash64(substring(text, i, 3)))))
+        |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+    val rows = Seq("", "a", "ab", "abc", "abcd").toDF("text")
+      .select(col("text"), expr(guard).as("sh"))
+      .collect()
+      .map(r => r.getAs[String]("text") -> r.getAs[Seq[Long]]("sh").length)
+      .toMap
+    assert(rows("") === 0 && rows("a") === 0 && rows("ab") === 0)
+    assert(rows("abc") === 1) // exactly the one 3-gram
+    assert(rows("abcd") === 2)
+  }
+
+  test("minhash UDAF signature equals the SQL-path signature per document") {
+    val sqlSig = Dedup.queries("q_dedup_minhash") // forces registration
+    val udaf = Dedup.minhashUdaf(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("sig_csv")).toMap
+    // independent recomputation of one signature via the aggregator alone
+    val text = Tables.documents(spark, sf).filter(col("doc_id") === 1)
+      .collect().head.getAs[String]("text")
+    val tokens = text.split(" ").distinct
+    val sig = tokens.foldLeft(graft.functions.MinHashAggregator.zero) {
+      (buf, t) => graft.functions.MinHashAggregator.reduce(buf, (1L, t))
+    }
+    assert(udaf(1L) === graft.functions.MinHashAggregator.finish(sig))
+  }
+}
