@@ -12,12 +12,13 @@ import org.apache.spark.sql.functions._
   * would amortize codec init across the batch instead of paying it per
   * row.
   *
-  * The actual byte decoding is a STUB — no image/audio codecs exist in
-  * this container — replaced by a deterministic synthesis from the
-  * payload bytes (marked below). Everything around it is real and
-  * load-bearing: the binary column, the typed schema, the partition
-  * iterator shape, and the metadata contract are exactly what a codec
-  * plug-in would drop into.
+  * IMAGE and AUDIO run REAL codecs (JDK javax.imageio / javax.sound.
+  * sampled — see [[imagePipeline]]/[[audioPipeline]]): synthesize genuine
+  * PNG/WAV bytes, decode them back, resize / featurize, all oracle-exact.
+  * Only VIDEO decoding remains a deterministic stub (no video codec in
+  * this container — marked below); around it the binary column, typed
+  * schema, partition iterator shape, and metadata contract are exactly
+  * what the codec plug-in drops into.
   *
   * Scale: payloads stay opaque bytes end-to-end (no driver collect, no
   * string round-trip); decode is a narrow map — at 100 TB the only plan
@@ -109,6 +110,116 @@ object Multimodal {
     })
   }
 
+  // ------------------------------------------------------- real codecs
+  // The JDK ships real image (javax.imageio: PNG/JPEG/BMP/GIF) and audio
+  // (javax.sound.sampled: WAV/AIFF) codecs, so those two modalities run
+  // the REAL decode → transform → featurize path below; only video still
+  // has no in-container codec and keeps the deterministic stub above.
+  // Payload bytes are synthesized in-engine (a real PNG / real WAV whose
+  // decoded properties are analytic functions of doc_id), so the DuckDB
+  // oracle checks the full codec round trip exactly.
+
+  /** Real image pipeline output: decoded dims, aspect-fit resize dims,
+    * mean channel values over the RESIZED pixels. */
+  final case class ImageOut(doc_id: Long, width: Long, height: Long,
+    out_w: Long, out_h: Long, mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Synthesize a real PNG (solid color, dims from doc_id) → decode with
+    * ImageIO → aspect-preserving resize into a 224 box with Graphics2D →
+    * per-channel means over the resized pixels. Every stage is the real
+    * codec; solid fill makes the means exact under any interpolation. */
+  def imagePipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      // codec instances are JVM-static (ImageIO registry) — init amortized
+      it.map { id =>
+        val w = (16 + id % 48).toInt
+        val h = (16 + (id * 7) % 48).toInt
+        val rgb = ((id % 256) << 16 | ((id * 3) % 256) << 8 | ((id * 7) % 256)).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val png = bos.toByteArray
+        // REAL decode of the bytes we just minted
+        val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val (dw, dh) = (dec.getWidth, dec.getHeight)
+        val mx = math.max(dw, dh)
+        val (ow, oh) = (dw * 224 / mx, dh * 224 / mx)
+        val resized = new java.awt.image.BufferedImage(
+          ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = resized.createGraphics()
+        g2.drawImage(dec, 0, 0, ow, oh, null)
+        g2.dispose()
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            val p = resized.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (ow * oh).toDouble
+        ImageOut(id, dw, dh, ow, oh, sr / n, sg / n, sb / n)
+      }
+    }
+    out.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Real audio pipeline output: frame count, rate, derived duration, RMS
+    * amplitude of the decoded PCM. */
+  final case class AudioOut(doc_id: Long, n_frames: Long, sample_rate_hz: Long,
+    duration_ms: Long, rms: Double)
+
+  /** Synthesize a real WAV (16-bit PCM mono square wave, frame count and
+    * amplitude from doc_id) → decode with javax.sound.sampled → frame/rate
+    * metadata + RMS over decoded samples. A square wave's RMS is exactly
+    * its amplitude, so the oracle is analytic. */
+  def audioPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rate = 8000
+        val nFrames = (800 + id % 800).toInt
+        val amp = (1000 + id % 9000).toInt
+        val pcm = new Array[Byte](nFrames * 2)
+        var i = 0
+        while (i < nFrames) {
+          val s16 = if (i % 2 == 0) amp else -amp
+          pcm(2 * i) = (s16 & 0xff).toByte
+          pcm(2 * i + 1) = ((s16 >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nFrames),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val wav = bos.toByteArray
+        // REAL decode of the bytes we just minted
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        val frames = ais.getFrameLength
+        val hz = ais.getFormat.getSampleRate.toLong
+        val decoded = ais.readAllBytes()
+        var sumSq = 0.0
+        var j = 0
+        while (j < decoded.length) {
+          val s16 = ((decoded(j) & 0xff) | (decoded(j + 1) << 8)).toShort.toDouble
+          sumSq += s16 * s16
+          j += 2
+        }
+        AudioOut(id, frames, hz, frames * 1000L / hz, math.sqrt(sumSq / frames))
+      }
+    }
+    out.toDF().orderBy(col("doc_id"))
+  }
+
   def multimodalDecode(s: SparkSession, d: String): DataFrame =
     decode(mediaTable(s, d)).toDF().orderBy(col("doc_id"))
 
@@ -123,7 +234,9 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_features" -> (multimodalFeatures _),
-    "q_multimodal_resize" -> (multimodalResize _)
+    "q_multimodal_resize" -> (multimodalResize _),
+    "q_image_pipeline" -> (imagePipeline _),
+    "q_audio_pipeline" -> (audioPipeline _)
   )
 
   /** Oracles re-derive the deterministic stub arithmetic in SQL — the
@@ -164,6 +277,31 @@ object Multimodal {
         |SELECT doc_id, modality, width, height,
         |  width * 224 // greatest(width, height) AS out_w,
         |  height * 224 // greatest(width, height) AS out_h
-        |FROM meta ORDER BY doc_id""".stripMargin
+        |FROM meta ORDER BY doc_id""".stripMargin,
+
+    // the PNG round trip is lossless and the fill is solid, so decoded
+    // dims and post-resize channel means are analytic in doc_id
+    "q_image_pipeline" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(16 + doc_id % 48 AS BIGINT) AS width,
+        |    CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  width * 224 // greatest(width, height) AS out_w,
+        |  height * 224 // greatest(width, height) AS out_h,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
+        |FROM dims ORDER BY doc_id""".stripMargin,
+
+    // 16-bit PCM is lossless and a square wave's RMS equals its amplitude
+    "q_audio_pipeline" ->
+      """SELECT doc_id,
+        |  CAST(800 + doc_id % 800 AS BIGINT) AS n_frames,
+        |  CAST(8000 AS BIGINT) AS sample_rate_hz,
+        |  (800 + doc_id % 800) * 1000 // 8000 AS duration_ms,
+        |  CAST(1000 + doc_id % 9000 AS DOUBLE) AS rms
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

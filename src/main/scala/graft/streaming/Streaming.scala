@@ -226,6 +226,27 @@ object Streaming {
       .orderBy(col("window_start_ms"))
   }
 
+  /** Driver query: the CUSTOM stateful sessionizer (flatMapGroupsWithState)
+    * run over the event stream. Values are fed as exact cents so the
+    * per-session running sum is order-independent integer arithmetic in
+    * doubles (no FP-summation-order divergence vs the oracle's decimal
+    * sum). Only CLOSED sessions emit — each user's final session is still
+    * open in the state store when the stream drains, and the oracle
+    * excludes exactly those — which is itself the semantic proof that
+    * sessions close on gap, not on end-of-input. */
+  def streamSessionStateful(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stream = eventsStream(s, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        round(col("value") * 100).as("value"))
+      .as[UserEvent]
+    val sessions = sessionizeStateful(stream, gapMs = 600000L).toDF()
+    val res = runToMemory(s, sessions, "graft_stream_session_stateful", "append")
+    res.select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+        col("n_events"), (col("total_value") / 100.0).as("total_value"))
+      .orderBy(col("user_id"), col("session_start_ms"))
+  }
+
   /** Stream-static join: the streaming events join a static dimension
     * (event-type weights) broadcast to every micro-batch — the standard
     * enrichment topology (stream fact ⋈ slowly-changing dim). */
@@ -277,6 +298,7 @@ object Streaming {
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_session" -> (streamSession _),
+    "q_stream_session_stateful" -> (streamSessionStateful _),
     "q_stream_late_drop" -> (streamLateDrop _),
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_stream_foreachbatch" -> (streamForeachBatch _)
@@ -288,6 +310,36 @@ object Streaming {
 
     // the batch session SQL verbatim: stream/batch session-merge equivalence
     "q_stream_session" -> graft.operators.EventsOps.oracle("q_events_session"),
+
+    // batch gap-sessions minus each user's LAST session (still open in the
+    // state store when the stream drains — closed-only emission)
+    "q_stream_session_stateful" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+        |o AS (
+        |  SELECT user_id, ms, value,
+        |    LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, ms, value,
+        |    CASE WHEN prev IS NULL OR ms - prev >= 600000 THEN 1 ELSE 0 END AS new_s
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, ms, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id,
+        |    MIN(ms) AS session_start_ms,
+        |    MAX(ms) + 600000 AS session_end_ms,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY MIN(ms) DESC) AS rk
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT user_id, session_start_ms, session_end_ms, n_events, total_value
+        |FROM sess WHERE rk > 1
+        |ORDER BY user_id, session_start_ms""".stripMargin,
 
     // the exact windows that survive the watermark (see streamLateDrop):
     // an undropped 09:00 row would add a fourth window and fail the gate
