@@ -131,14 +131,20 @@ object Multimodal {
   def imagePipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val out = documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
-      // codec instances are JVM-static (ImageIO registry) — init amortized
+      // codec instances are JVM-static (ImageIO registry) — init amortized.
+      // Default ImageIO streams are DISK-cached (a temp file per encode/
+      // decode!) — keep them in memory.
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
         val w = (16 + id % 48).toInt
         val h = (16 + (id * 7) % 48).toInt
         val rgb = ((id % 256) << 16 | ((id * 3) % 256) << 8 | ((id * 7) % 256)).toInt
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+        val gf = img.createGraphics()
+        gf.setColor(new java.awt.Color(rgb))
+        gf.fillRect(0, 0, w, h)
+        gf.dispose()
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         val png = bos.toByteArray
@@ -152,18 +158,16 @@ object Multimodal {
         val g2 = resized.createGraphics()
         g2.drawImage(dec, 0, 0, ow, oh, null)
         g2.dispose()
+        // bulk pixel grab — per-pixel getRGB pays a color-model call each
+        val px = resized.getRGB(0, 0, ow, oh, null, 0, ow)
         var (sr, sg, sb) = (0L, 0L, 0L)
-        var y = 0
-        while (y < oh) {
-          var x = 0
-          while (x < ow) {
-            val p = resized.getRGB(x, y)
-            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          i += 1
         }
-        val n = (ow * oh).toDouble
+        val n = px.length.toDouble
         ImageOut(id, dw, dh, ow, oh, sr / n, sg / n, sb / n)
       }
     }

@@ -46,6 +46,8 @@ object PdfOps extends Serializable {
 
   // PDFRenderer needs AWT; force headless before any java.awt class loads.
   System.setProperty("java.awt.headless", "true")
+  // ImageIO streams default to a temp FILE per encode — keep them in memory.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Deterministic in-engine PDF source: one page-1 text line. `corrupt`
     * yields bytes that fail `PDDocument.load` (the reference's fetch-failure
