@@ -182,6 +182,24 @@ object Parity {
       .orderBy(col("app_id"))
   }
 
+  /** O8/O9 typed variant: schema-checked wire-message parse via `from_csv`
+    * (the reference tokenizes positionally and trusts the layout,
+    * Workers.java:236-239; the engine's parse is schema-typed, so a
+    * malformed message surfaces as nulls instead of an
+    * ArrayIndexOutOfBounds-killed worker). */
+  def parityTaskParse(s: SparkSession, d: String): DataFrame =
+    taskMessages(s, d)
+      .select(col("doc_id"),
+        from_csv(col("task_msg"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "app_id STRING, operation STRING, input_ref STRING"),
+          Map("sep" -> TAB)).as("t"))
+      .select(col("doc_id"), col("t.app_id").as("app_id"),
+        col("t.operation").as("operation"), col("t.input_ref").as("input_ref"),
+        (col("t.app_id").isNotNull && col("t.operation").isNotNull &&
+          col("t.input_ref").isNotNull).as("well_formed"))
+      .orderBy(col("doc_id"))
+
   /** O20/Q6: the reference's worker-sizing heuristic — `workers =
     * numLines / n` (n = lines-per-worker, LocalApp.java:117-126, integer
     * division) clamped to the 19-instance free-tier cap (also
@@ -204,7 +222,8 @@ object Parity {
     "q_parity_gather" -> (parityGather _),
     "q_parity_report" -> (parityReport _),
     "q_parity_report_doc" -> (parityReportDoc _),
-    "q_parity_jobspec" -> (parityJobspec _)
+    "q_parity_jobspec" -> (parityJobspec _),
+    "q_parity_taskparse" -> (parityTaskParse _)
   )
 
   /** Shared oracle CTE: the same pipeline in DuckDB SQL. chr(9) = TAB. */
@@ -254,6 +273,10 @@ object Parity {
         |  CAST(SUM(CASE WHEN is_error THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
         |  COUNT(DISTINCT operation) AS n_ops
         |FROM results GROUP BY app_id ORDER BY app_id""".stripMargin),
+
+    "q_parity_taskparse" -> (pipelineCte +
+      """SELECT doc_id, app_id, operation, input_ref, TRUE AS well_formed
+        |FROM results ORDER BY doc_id""".stripMargin),
 
     "q_parity_report" -> (pipelineCte +
       "SELECT doc_id, '<br>' || result_row AS html_line FROM results ORDER BY doc_id"),

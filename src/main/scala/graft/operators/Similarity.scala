@@ -81,6 +81,46 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into cells;
+    * queries probe their nprobe=2 nearest cells and rank only those
+    * cells' members — the inverted-file layout ANN engines use at scale
+    * (cell = posting list; at 100 TB each cell is a partition and probing
+    * is partition pruning). Centroids here are a deterministic seed (the
+    * first 16 vectors) so the DuckDB oracle can replay assignment
+    * exactly; a production build would Lloyd-iterate them — the plan
+    * shape (broadcast centroids → argmin assign → equi-join on cell)
+    * is identical. */
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d)
+    val base = e.select(col("vec_id"), col("embedding"),
+      sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
+    val cents = base.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    // score every vector against the 16 broadcast centroids; cell =
+    // argmax cosine (rounded like every similarity in this module)
+    val scored = base.join(broadcast(cents))
+      .withColumn("cs", round(expr("vec_dot(embedding, cv)") / (col("nrm") * col("cn")), 6))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))))
+    val assigned = scored.filter(col("crk") === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("nrm").as("cnrm"), col("cent_id").as("cell"))
+    val qprobes = scored.filter(col("vec_id") < 30 && col("crk") <= 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"), col("cent_id").as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    assigned.join(qprobes, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", round(expr("vec_dot(qemb, cemb)") / (col("qnrm") * col("cnrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), col("rn").cast("long").as("rn"), col("sim"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Embedding near-duplicate pairs, EXACT, as a block-tile kernel.
     *
     * At this corpus's 0.35 threshold the vectors are near-isotropic —
@@ -200,6 +240,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> (knnBrute _),
     "q_knn_lsh" -> (knnLsh _),
+    "q_knn_ivf" -> (knnIvf _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_embed_neardup_lsh" -> (embedNearDupLsh _)
   )
@@ -233,6 +274,32 @@ object Similarity {
         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM p)
         |SELECT qid, bucket, cid, CAST(rn AS BIGINT) AS rn, sim FROM r
         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    "q_knn_ivf" ->
+      s"""WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    round(${cosSql("e.embedding", "c.cv")}, 6) AS cs,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(${cosSql("e.embedding", "c.cv")}, 6) DESC, c.cent_id) AS crk
+        |  FROM embeddings e, cents c),
+        |assigned AS (
+        |  SELECT vec_id AS cid, cent_id AS cell FROM scored WHERE crk = 1),
+        |qprobes AS (
+        |  SELECT vec_id AS qid, cent_id AS cell FROM scored
+        |  WHERE vec_id < 30 AND crk <= 2),
+        |ranked AS (
+        |  SELECT q.qid, a.cid,
+        |    round(${cosSql("qe.embedding", "ce.embedding")}, 6) AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY round(${cosSql("qe.embedding", "ce.embedding")}, 6) DESC, a.cid) AS rn
+        |  FROM qprobes q
+        |    JOIN assigned a ON a.cell = q.cell AND a.cid <> q.qid
+        |    JOIN embeddings qe ON qe.vec_id = q.qid
+        |    JOIN embeddings ce ON ce.vec_id = a.cid)
+        |SELECT qid, cid, CAST(rn AS BIGINT) AS rn, sim
+        |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
     "q_embed_neardup" ->
       s"""SELECT a.vec_id AS v1, b.vec_id AS v2,

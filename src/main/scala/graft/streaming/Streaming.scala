@@ -19,6 +19,11 @@ case class SessionAcc(start: Long, last: Long, n: Long, total: Double)
   * product encoder). */
 case class LateEv(event_id: Long, ts: java.sql.Timestamp, value: Double)
 
+/** Event carrying its WATERMARKED timestamp column through to the
+  * stateful operator (event-time timeout requires it to survive
+  * projection). */
+case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
 /** Structured Streaming surface of the engine.
   *
   * The reference's "streaming" is SQS polling loops with visibility-timeout
@@ -132,6 +137,61 @@ object Streaming {
           if (acc != null) state.update(acc)
           closed.iterator
       }
+  }
+
+  /** Timeout-closing sessionizer: like [[sessionizeStateful]], but an idle
+    * session also closes when the event-time WATERMARK passes its gap
+    * horizon (`GroupState.setTimeoutTimestamp(last + gap)`) — the missing
+    * piece of NoTimeout sessionization, where a user who never returns
+    * holds state forever. At 100 TB/day this is what bounds session-store
+    * size to the active-user set. Requires a watermark on the input. */
+  def sessionizeEventTimeout(ds: Dataset[TimedEvent], gapMs: Long): Dataset[UserSession] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, events: Iterator[TimedEvent], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val acc = state.get
+            state.remove()
+            Iterator.single(UserSession(uid, acc.start, acc.last + gapMs, acc.n, acc.total))
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+            var acc = state.getOption.orNull
+            events.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+              val ms = e.ts.getTime
+              if (acc == null) acc = SessionAcc(ms, ms, 1L, e.value)
+              else if (ms - acc.last >= gapMs) {
+                closed += UserSession(uid, acc.start, acc.last + gapMs, acc.n, acc.total)
+                acc = SessionAcc(ms, ms, 1L, e.value)
+              } else acc = SessionAcc(acc.start, ms, acc.n + 1L, acc.total + e.value)
+            }
+            if (acc != null) {
+              state.update(acc)
+              state.setTimeoutTimestamp(acc.last + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Driver query: the timeout sessionizer over the event stream. Output =
+    * every gap-closed session PLUS idle sessions whose gap horizon the
+    * final watermark passed; only sessions still inside the horizon stay
+    * open. The oracle replays exactly that split. */
+  def streamSessionTimeout(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stream = eventsStream(s, d)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100).as("value"))
+      .as[TimedEvent]
+    val sessions = sessionizeEventTimeout(stream, gapMs = 600000L).toDF()
+    val res = runToMemory(s, sessions, "graft_stream_session_timeout", "append")
+    res.select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+        col("n_events"), (col("total_value") / 100.0).as("total_value"))
+      .orderBy(col("user_id"), col("session_start_ms"))
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and return
@@ -299,6 +359,7 @@ object Streaming {
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_session" -> (streamSession _),
     "q_stream_session_stateful" -> (streamSessionStateful _),
+    "q_stream_session_timeout" -> (streamSessionTimeout _),
     "q_stream_late_drop" -> (streamLateDrop _),
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_stream_foreachbatch" -> (streamForeachBatch _)
@@ -339,6 +400,38 @@ object Streaming {
         |  FROM g GROUP BY user_id, sid)
         |SELECT user_id, session_start_ms, session_end_ms, n_events, total_value
         |FROM sess WHERE rk > 1
+        |ORDER BY user_id, session_start_ms""".stripMargin,
+
+    // gap-closed sessions PLUS idle sessions the final watermark
+    // (max event ts, 0s delay) timed out; only the within-horizon tail
+    // stays open
+    "q_stream_session_timeout" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+        |o AS (
+        |  SELECT user_id, ms, value,
+        |    LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, ms, value,
+        |    CASE WHEN prev IS NULL OR ms - prev >= 600000 THEN 1 ELSE 0 END AS new_s
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, ms, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id,
+        |    MIN(ms) AS session_start_ms,
+        |    MAX(ms) + 600000 AS session_end_ms,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY MIN(ms) DESC) AS rk
+        |  FROM g GROUP BY user_id, sid),
+        |wm AS (SELECT MAX(epoch_ms(ts)) AS maxts FROM events)
+        |SELECT user_id, session_start_ms, session_end_ms, n_events, total_value
+        |FROM sess, wm WHERE rk > 1 OR session_end_ms < maxts
         |ORDER BY user_id, session_start_ms""".stripMargin,
 
     // the exact windows that survive the watermark (see streamLateDrop):
