@@ -120,7 +120,12 @@ object Dedup {
     * (common) shingles never fan out. */
   private def ngramCandidates(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleSets(s, d)
+    // The shingle transform (~2.5 s/scan at sf0.1) feeds four plan
+    // branches and the prefix table feeds both self-join sides — cache
+    // each, eagerly, so neither races its own second reference. Freed by
+    // the callers' per-query clearCache (Bench/Verify) / session teardown.
+    val sh = shingleSets(s, d).persist()
+    sh.count()
     val exploded = sh.select(col("doc_id"), col("source"),
       size(col("shingles")).as("n"), explode(col("shingles")).as("sh"))
     val freq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -129,6 +134,8 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .filter(col("rk") <= col("n") - ceil(col("n") * 0.6) + 1)
       .select(col("sh"), col("source"), col("doc_id"), col("n"))
+      .persist()
+    prefixes.count()
     // the size filter runs inside the candidate join too: a qualifying
     // pair has jaccard <= min(n)/max(n), so mismatched sizes never even
     // become candidates
