@@ -269,8 +269,16 @@ object Streaming {
         sum(dec(col("value"), 12, 2)).cast("double").as("total_value"))
     val name = "graft_stream_late_drop"
     s.catalog.dropTempView(name)
-    val q = agg.writeStream.outputMode("append").format("memory")
-      .queryName(name).start()
+    // 5 hand-fed rows across 3 micro-batches: the default 32 shuffle
+    // partitions would spin up 32 state-store instances per batch for
+    // nothing — the state-partition count is fixed at query start, so
+    // scope a small value to this query only.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    val q =
+      try agg.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       ms.addData(ev(1, base + 10 * H, 1.5), ev(2, base + 11 * H, 2.5))
       q.processAllAvailable() // watermark -> 10:30
