@@ -101,14 +101,21 @@ object Similarity {
         col("nrm").as("cn"))
     // score every vector against the 16 broadcast centroids; cell =
     // argmax cosine (rounded like every similarity in this module)
-    val scored = base.join(broadcast(cents))
+    // one pass scores n×16 (the 16-row broadcast cross product IS the
+    // assignment step); cache the per-vector top-2 so the corpus
+    // assignment and the query probes don't re-run the scoring subtree
+    val top2 = base.join(broadcast(cents))
       .withColumn("cs", round(expr("vec_dot(embedding, cv)") / (col("nrm") * col("cn")), 6))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))))
-    val assigned = scored.filter(col("crk") === 1)
+      .filter(col("crk") <= 2)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"), col("crk"))
+      .persist()
+    top2.count()
+    val assigned = top2.filter(col("crk") === 1)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
         col("nrm").as("cnrm"), col("cent_id").as("cell"))
-    val qprobes = scored.filter(col("vec_id") < 30 && col("crk") <= 2)
+    val qprobes = top2.filter(col("vec_id") < 30)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"), col("cent_id").as("cell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))

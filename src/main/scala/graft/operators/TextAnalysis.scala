@@ -83,9 +83,36 @@ object TextAnalysis {
         expr("size(regexp_extract_all(text, '[a-z]{1,4}', 0))").cast("long").as("n_bpeish_pieces"))
       .orderBy(col("doc_id"))
 
+  /** The end-to-end training-set selection the individual operators exist
+    * for, composed as ONE declarative plan: language gate (en_ratio) ∧
+    * quality gate ∧ exact-dedup canonical-row keep (min doc_id per
+    * content fingerprint). One shuffle total — the window over the
+    * fingerprint; every gate is a codegen'd per-row expression, so at
+    * 100 TB this is scan → one exchange → filter. */
+  def trainingSelect(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents(s, d)
+      .withColumn("n_tokens", expr("size(split(text, ' '))"))
+      .withColumn("ttr",
+        expr("size(array_distinct(split(text, ' ')))").cast("double") / col("n_tokens"))
+      .withColumn("en_ratio",
+        expr("size(filter(split(text, ' '), w -> w = 'the' OR w = 'a'))").cast("double") /
+          col("n_tokens"))
+      .withColumn("quality",
+        least(lit(1.0), length(col("text")).cast("double") / 400.0) * 0.5 +
+          col("ttr") * 0.5)
+      .withColumn("fp", md5(col("text")))
+      .withColumn("keep", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep") &&
+        col("quality") >= 0.5 && col("en_ratio") >= 0.05)
+      .select(col("doc_id"), col("quality"), col("en_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_training_select" -> (trainingSelect _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
@@ -94,6 +121,26 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_training_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, md5(text) AS fp,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS ttr,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS en_ratio
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, fp, en_ratio,
+        |    least(1.0, CAST(length(text) AS DOUBLE) / 400.0) * 0.5 + ttr * 0.5 AS quality
+        |  FROM t),
+        |k AS (
+        |  SELECT doc_id, en_ratio, quality,
+        |    MIN(doc_id) OVER (PARTITION BY fp) AS keep
+        |  FROM q)
+        |SELECT doc_id, quality, en_ratio
+        |FROM k WHERE doc_id = keep AND quality >= 0.5 AND en_ratio >= 0.05
+        |ORDER BY doc_id""".stripMargin,
+
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,
