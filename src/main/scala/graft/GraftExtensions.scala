@@ -24,5 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect"),
       new ExpressionInfo(classOf[SortedLongIntersect].getName, "sorted_intersect"),
       exprs => SortedLongIntersect(exprs(0), exprs(1))))
+    // the custom physical operator's planner strategy, so extension-
+    // configured sessions plan TopKPerGroup without touching
+    // spark.experimental (TopKPerGroupOp.topK still registers it
+    // idempotently for plain sessions)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -37,19 +37,23 @@ object Dedup {
       .orderBy(col("bow_key"))
 
   /** MinHash signatures: 8 hash functions h = md5(token || '#' || h) over
-    * the distinct-token set. Computed as explode → codegen'd md5 → min
-    * hash-agg → collect into the signature array: every stage whole-stage
-    * codegen (the per-row higher-order fold variant ran interpreted and
-    * was ~10× slower at sf0.1). */
-  private def signatures(s: SparkSession, d: String): DataFrame =
+    * the distinct-token set, via the typed [[graft.functions.
+    * MinHashAggregator]]: ONE token explode and ONE partial-aggregated
+    * shuffle, 8 slots folded per token inside the aggregator. (History:
+    * the per-row higher-order fold ran interpreted, ~10× slow; the
+    * explode-×8 + two-level SQL agg was whole-stage codegen but still 3×
+    * this path's cost at sf0.1 — same hash family throughout, so the
+    * oracle never moved.) */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     documents(s, d)
       .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("t"))
-      .select(col("doc_id"), explode(expr("sequence(0, 7)")).as("h"),
-        col("t"))
-      .withColumn("hv", md5(concat(col("t"), lit("#"), col("h").cast("string"))))
-      .groupBy(col("doc_id"), col("h")).agg(min(col("hv")).as("mv"))
-      .groupBy(col("doc_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(h, mv))), x -> x.mv)").as("sig"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .agg(graft.functions.MinHashAggregator.toColumn.name("sig_csv"))
+      .toDF("doc_id", "sig_csv")
+      .select(col("doc_id"), split(col("sig_csv"), ",").as("sig"))
+  }
 
   /** MinHash + LSH banding (2 bands x 4 rows): candidate pairs from
     * band-bucket collisions, then estimated Jaccard >= 0.75 post-filter.
