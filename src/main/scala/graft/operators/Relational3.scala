@@ -210,9 +210,31 @@ object Relational3 {
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** Range (band) join: facts joined to a broadcast interval table on an
+    * inequality — the classic banding/point-in-interval join shape. The
+    * band side is tiny so Catalyst's nested-loop over a broadcast is the
+    * right plan (each fact row scans 5 intervals in registers); at scale
+    * the fact side never shuffles — only the final per-band partial agg
+    * does. */
+  def bandJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (0, 0.00, 0.02), (1, 0.02, 0.04), (2, 0.04, 0.06),
+      (3, 0.06, 0.08), (4, 0.08, 1.00)
+    ).toDF("band_id", "lo", "hi")
+    lineitem(s, d)
+      .join(broadcast(bands),
+        col("l_discount") >= col("lo") && col("l_discount") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"), 12, 2)).cast("double").as("sum_qty"))
+      .orderBy(col("band_id"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_band_join" -> (bandJoin _),
     "q_topk_custom_op" -> (topkCustomOp _),
     "q6_forecast" -> (q6Forecast _),
     "q12_priority" -> (q12Priority _),
@@ -226,6 +248,15 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_band_join" ->
+      """WITH bands(band_id, lo, hi) AS (VALUES
+        |  (0, 0.00, 0.02), (1, 0.02, 0.04), (2, 0.04, 0.06),
+        |  (3, 0.06, 0.08), (4, 0.08, 1.00))
+        |SELECT band_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN bands ON l_discount >= lo AND l_discount < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
     "q_topk_custom_op" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM (
