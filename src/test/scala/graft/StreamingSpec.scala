@@ -88,4 +88,49 @@ class StreamingSpec extends SparkFunSuite {
     val batch = operators.EventsOps.tumbling(spark, sf).collect()
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
+
+  test("checkpointed restart resumes exactly-once: stop mid-stream, restart, no dup/loss") {
+    // Four one-row files delivered one per micro-batch; the query is
+    // killed after the first two batches and RESTARTED from its
+    // checkpoint — the sum over a foreachBatch-appended sink must equal
+    // the batch total exactly (a replayed or skipped file would break it).
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_ckpt_test")
+    val (in, ckpt, out) = (root.resolve("in"), root.resolve("ckpt"), root.resolve("out"))
+    Files.createDirectories(in)
+    def writeFile(i: Int): Unit =
+      Seq((i.toLong, i * 10.0)).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+    (1 to 2).foreach(writeFile)
+
+    def start() = s.readStream
+      .schema("id LONG, v DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("append").parquet(out.toString)
+      }
+      .start()
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // "crash" after files 1-2 are committed to the checkpoint
+    (3 to 4).foreach(writeFile)
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    val got = s.read.parquet(out.toString)
+      .agg(org.apache.spark.sql.functions.count_distinct(col("id")).cast("long"),
+        org.apache.spark.sql.functions.count(lit(1)),
+        org.apache.spark.sql.functions.sum(col("v")))
+      .collect().head
+    assert(got.getLong(0) === 4L, "distinct ids: loss or never-arrived")
+    assert(got.getLong(1) === 4L, "row count: a replayed batch duplicated rows")
+    assert(got.getDouble(2) === 100.0)
+  }
 }
