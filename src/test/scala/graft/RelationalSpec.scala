@@ -85,4 +85,21 @@ class RelationalSpec extends SparkFunSuite {
       assert(math.abs(ap - ep).toDouble / ep <= 0.15, s"$flag parts: $ap vs $ep")
     }
   }
+
+  test("approx_percentile tracks the exact percentile within its accuracy bound") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val rows = Tables.events(spark, sf)
+      .agg(
+        expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("approx"),
+        expr("percentile(value, array(0.5, 0.95))").as("exact"))
+      .collect().head
+    val approx = rows.getAs[scala.collection.Seq[Double]]("approx")
+    val exact = rows.getAs[scala.collection.Seq[Double]]("exact")
+    // accuracy=1000 bounds RANK error at n/1000; translate to a value
+    // tolerance via the observed spread rather than assuming a distribution
+    val spread = exact.last - exact.head max 1.0
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) <= 0.1 * spread, s"approx $a vs exact $e")
+    }
+  }
 }
