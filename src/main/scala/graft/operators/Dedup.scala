@@ -136,7 +136,10 @@ object Dedup {
     val prefixes = exploded.join(freq, "sh")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
-      .filter(col("rk") <= col("n") - ceil(col("n") * 0.6) + 1)
+      // prefix bound n - ceil(0.6*n) + 1 in EXACT integer arithmetic
+      // (ceil(0.6*n) = (3n+4) DIV 5): the floating-point form could round a
+      // hair high and shorten the prefix by one — a silent completeness bug
+      .filter(col("rk") <= expr("n - (3*n + 4) DIV 5 + 1"))
       .select(col("sh"), col("source"), col("doc_id"), col("n"))
       .persist()
     prefixes.count()

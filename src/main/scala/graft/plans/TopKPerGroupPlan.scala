@@ -76,7 +76,23 @@ object TopKPerGroupOp {
       .queryExecution.analyzed
     def attr(n: String): Attribute = lp.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"column $n not in ${lp.output.map(_.name)}"))
-    val (score, tie) = (attr(scoreCol), attr(tieCol))
+    val (grp, score, tie) = (attr(groupCol), attr(scoreCol), attr(tieCol))
+    // Spill runs sort group keys via Comparable — array/struct/map/binary
+    // keys would only fail at task time under memory pressure, so reject
+    // them here, at analysis time, like the score/tie checks.
+    grp.dataType match {
+      case org.apache.spark.sql.types.StringType | LongType | IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType | DoubleType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           (_: org.apache.spark.sql.types.DecimalType) => ()
+      case other => throw new IllegalArgumentException(
+        s"group column $groupCol must be an atomic comparable type " +
+          s"(spill runs sort keys), got ${other.sql}")
+    }
     if (score.dataType != DoubleType)
       throw new IllegalArgumentException(
         s"score column $scoreCol must be DOUBLE, got ${score.dataType.sql}")
@@ -84,7 +100,7 @@ object TopKPerGroupOp {
       throw new IllegalArgumentException(
         s"tie column $tieCol must be BIGINT or INT, got ${tie.dataType.sql}")
     org.apache.spark.sql.classic.GraftBridge.ofRows(cs,
-      TopKPerGroup(attr(groupCol), score, tie, k, lp))
+      TopKPerGroup(grp, score, tie, k, lp))
   }
 }
 
@@ -112,6 +128,11 @@ case class TopKPerGroupExec(group: Expression, score: Expression, tie: Expressio
     val types = child.output.map(_.dataType).toArray
     val budget = conf.getConfString(
       "spark.graft.topkPerGroup.maxBufferedRows", "4000000").toLong
+    // The k-way merge phase re-uses insert() with spilling disabled; a
+    // budget below k could otherwise trigger a mid-merge writeRun whose
+    // rows no Run would ever read back — silent data loss. Fail loudly.
+    require(budget >= k,
+      s"spark.graft.topkPerGroup.maxBufferedRows ($budget) must be >= k ($k)")
     val numSpills = longMetric("numSpills")
     val spilledRows = longMetric("spilledRows")
 
@@ -146,7 +167,7 @@ case class TopKPerGroupExec(group: Expression, score: Expression, tie: Expressio
         retained = 0
       }
 
-      def insert(rowIn: InternalRow, copyRow: Boolean): Unit = {
+      def insert(rowIn: InternalRow, copyRow: Boolean, allowSpill: Boolean): Unit = {
         val rawKey = gBound.eval(rowIn)
         // iterator rows are reused backing buffers — copy anything retained
         val key = rawKey match {
@@ -178,11 +199,11 @@ case class TopKPerGroupExec(group: Expression, score: Expression, tie: Expressio
           buf.insert(lo, (ns, sv, tv, if (copyRow) rowIn.copy() else rowIn))
           retained += 1
           if (buf.length > kLocal) { buf.remove(buf.length - 1); retained -= 1 }
-          if (retained > budget) writeRun()
+          if (allowSpill && retained > budget) writeRun()
         }
       }
 
-      iter.foreach(insert(_, copyRow = true))
+      iter.foreach(insert(_, copyRow = true, allowSpill = true))
 
       if (spillFiles.isEmpty) buffers.valuesIterator.flatMap(_.iterator.map(_._4))
       else {
@@ -221,7 +242,7 @@ case class TopKPerGroupExec(group: Expression, score: Expression, tie: Expressio
               buffers.clear()
               runs.foreach { r =>
                 while (!r.done && keyOrd.compare(r.key, minKey) == 0) {
-                  insert(r.row, copyRow = false) // run rows own their bytes
+                  insert(r.row, copyRow = false, allowSpill = false) // run rows own their bytes
                   r.advance()
                 }
               }

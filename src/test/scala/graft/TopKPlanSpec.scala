@@ -74,6 +74,28 @@ class TopKPlanSpec extends SparkFunSuite {
       TopKPerGroupOp.topK(df2, "g", "score", "tie", 3)
     }
     assert(e2.getMessage.contains("must be BIGINT or INT"))
+    // non-comparable group key (array) rejected at analysis time too —
+    // previously this only failed at task time, and only when a spill hit
+    val df3 = s.range(10).select(array(col("id")).as("g"),
+      col("id").cast("double").as("score"), col("id").as("tie"))
+    val e3 = intercept[IllegalArgumentException] {
+      TopKPerGroupOp.topK(df3, "g", "score", "tie", 3)
+    }
+    assert(e3.getMessage.contains("atomic comparable"))
+  }
+
+  test("a buffer budget below k fails loudly instead of losing merge rows") {
+    val s = spark
+    s.conf.set("spark.graft.topkPerGroup.maxBufferedRows", "2")
+    try {
+      val df = s.range(100).select((col("id") % 5).as("g"),
+        col("id").cast("double").as("score"), col("id").as("tie"))
+      val e = intercept[Exception] {
+        TopKPerGroupOp.topK(df, "g", "score", "tie", 3).collect()
+      }
+      assert(e.getMessage.contains("must be >= k") ||
+        Option(e.getCause).exists(_.getMessage.contains("must be >= k")))
+    } finally s.conf.unset("spark.graft.topkPerGroup.maxBufferedRows")
   }
 
   test("null scores order last, matching row_number over desc_nulls_last") {
