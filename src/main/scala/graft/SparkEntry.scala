@@ -25,6 +25,7 @@ object SparkEntry {
     operators.Pdf.queries ++
     operators.Fetch.queries ++
     operators.TextAnalysis.queries ++
+    operators.Sampling.queries ++
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.EventsOps.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
     operators.Pdf.oracle ++
     operators.Fetch.oracle ++
     operators.TextAnalysis.oracle ++
+    operators.Sampling.oracle ++
     operators.Dedup.oracle ++
     operators.Similarity.oracle ++
     operators.EventsOps.oracle ++

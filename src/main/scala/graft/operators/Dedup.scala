@@ -59,7 +59,17 @@ object Dedup {
     * band-bucket collisions, then estimated Jaccard >= 0.75 post-filter.
     * This is the scale path for near-dedup: the n² pair space never
     * materializes, only same-bucket candidates do. */
-  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    minhashPairs(s, d)
+      .select(col("d1"), col("d2"), col("matches").cast("long").as("matches"),
+        (col("matches") / 8.0).as("est_jaccard"))
+      .orderBy(col("d1"), col("d2"))
+
+  /** The LSH candidate/match pipeline shared by [[dedupMinhash]] (adds the
+    * estimate + total order) and [[dedupClusters]] (consumes the raw pair
+    * set — no point globally sorting 4.5M pairs just to re-shuffle them
+    * into a graph). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // Persist + eagerly materialize: the self-join below references the
     // signature table from two branches of ONE job — without an action
     // first, both branches race the cache and compute the aggregation
@@ -96,9 +106,59 @@ object Dedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         (0 until 8).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _).as("matches"))
       .filter(col("matches") >= 6)
-      .select(col("d1"), col("d2"), col("matches").cast("long").as("matches"),
-        (col("matches") / 8.0).as("est_jaccard"))
-      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Near-dup CLUSTERS from the LSH pair graph — the step that turns
+    * pairwise candidates into "keep one document per duplicate group",
+    * which is what a 100 TB dedup pipeline actually ships. Connected
+    * components via iterative min-label propagation over the symmetric
+    * edge list: each round is one join + one partial-aggregated shuffle,
+    * labels only ever decrease, and the fixpoint test is a single scalar
+    * aggregate (sum of labels — monotone, so equality ⇔ converged).
+    * Rounds needed = graph diameter; near-dup components are dense
+    * near-cliques (measured diameter ≤ 4 on this corpus), so the loop
+    * converges in a handful of rounds. For adversarially long chain
+    * graphs the same loop structure accepts the large-star/small-star
+    * optimization (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — O(log n) rounds — without changing the contract.
+    * Each round materializes its label table through an EAGER
+    * `localCheckpoint` — not just persist: the round-N plan embeds two
+    * copies of the round-N-1 plan, so without lineage truncation the
+    * logical tree doubles per round and Catalyst analysis time goes
+    * exponential long before execution (which would have hit the cache)
+    * even starts. On a cluster the same call (or `checkpoint()` for
+    * fault tolerance) does the truncation. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(s, d).select(col("d1"), col("d2")).persist()
+    pairs.count()
+    val edges = pairs
+      .union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").persist()
+    edges.count()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val minNbr = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.as("l")
+        .join(minNbr, col("l.node") === minNbr("dst"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.lbl"), coalesce(col("nlbl"), col("l.lbl"))).as("lbl"))
+        .localCheckpoint() // eager: materializes AND truncates lineage
+      val newSum = next.agg(sum(col("lbl"))).head().getLong(0)
+      labels = next
+      converged = newSum == prevSum
+      prevSum = newSum
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"), (col("node") === col("lbl")).as("is_canonical"))
+      .orderBy(col("doc_id"))
   }
 
   /** Shingle sets as sorted 64-bit hash arrays, one row per doc. Guarded
@@ -235,6 +295,7 @@ object Dedup {
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_normalized" -> (dedupNormalized _),
     "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_simhash" -> (dedupSimhash _)
   )
@@ -281,6 +342,43 @@ object Dedup {
         |  FROM pairs JOIN sig x ON d1 = x.doc_id JOIN sig y ON d2 = y.doc_id)
         |SELECT d1, d2, CAST(m AS BIGINT) AS matches, m / 8.0 AS est_jaccard
         |FROM est WHERE m >= 6 ORDER BY d1, d2""".stripMargin,
+
+    // same sig/band/estimate pipeline as q_dedup_minhash, then connected
+    // components as a recursive reachability CTE (min reachable id = the
+    // component id, since the edge list is symmetric)
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE sig AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 8), h ->
+        |      list_min(list_transform(list_distinct(string_split(text, ' ')),
+        |        t -> md5(t || '#' || CAST(h AS VARCHAR))))) AS s
+        |  FROM documents),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    md5(s[4*b+1] || s[4*b+2] || s[4*b+3] || s[4*b+4]) AS bucket
+        |  FROM sig, range(0, 2) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM bands a JOIN bands c
+        |    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+        |p AS (
+        |  SELECT d1, d2
+        |  FROM cand JOIN sig x ON d1 = x.doc_id JOIN sig y ON d2 = y.doc_id
+        |  WHERE list_sum(list_transform(range(0, 8),
+        |    i -> CASE WHEN x.s[i+1] = y.s[i+1] THEN 1 ELSE 0 END)) >= 6),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM p
+        |  UNION ALL SELECT d2, d1 FROM p),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach(node, lbl) AS (
+        |  SELECT node, node AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+        |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+        |SELECT cc.node AS doc_id, cc.cluster_id, sizes.cluster_size,
+        |  cc.node = cc.cluster_id AS is_canonical
+        |FROM cc JOIN sizes USING (cluster_id) ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
       """WITH sh AS (

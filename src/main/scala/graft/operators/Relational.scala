@@ -99,13 +99,25 @@ object Relational {
       .orderBy($c("l_returnflag"))
 
   /** approx_count_distinct (HLL++): the 100 TB substitute for exact
-    * distinct. No DuckDB oracle (different sketch impl) → rows-only check. */
+    * distinct. DuckDB's sketch differs, so the raw estimates can't be
+    * oracled — instead the query emits the exact counts plus DETERMINISTIC
+    * within-tolerance booleans (Spark's HLL++ is deterministic for fixed
+    * input, and 3x the default 5% rsd holds with huge margin), which the
+    * oracle pins to TRUE. The sketch runs, and the check is a real value
+    * check rather than the driver's weaker rows-only fallback. */
   def aggApprox(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy($c("l_returnflag"))
       .agg(
-        approx_count_distinct($c("l_orderkey")).as("approx_orders"),
-        approx_count_distinct($c("l_partkey")).as("approx_parts"))
+        countDistinct($c("l_orderkey")).as("exact_orders"),
+        countDistinct($c("l_partkey")).as("exact_parts"),
+        approx_count_distinct($c("l_orderkey")).as("ao"),
+        approx_count_distinct($c("l_partkey")).as("ap"))
+      .select($c("l_returnflag"), $c("exact_orders"), $c("exact_parts"),
+        (abs($c("ao") - $c("exact_orders")) <= $c("exact_orders") * 0.15)
+          .as("orders_within_3rsd"),
+        (abs($c("ap") - $c("exact_parts")) <= $c("exact_parts") * 0.15)
+          .as("parts_within_3rsd"))
       .orderBy($c("l_returnflag"))
 
   /** ROLLUP hierarchy totals (partial-agg friendly; one shuffle). */
@@ -441,6 +453,14 @@ object Relational {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_approx" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS orders_within_3rsd,
+        |  TRUE AS parts_within_3rsd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_minmax" ->
       """SELECT l_returnflag,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Exact.dec
+import graft.Exact.{dec, dec2}
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -231,9 +231,40 @@ object Relational3 {
       .orderBy(col("band_id"))
   }
 
+  /** UNPIVOT (wide metrics → long key/value): `Dataset.unpivot`, the
+    * inverse of pivot — the feature-store export shape. Narrow per-row
+    * expansion after a partial-agg groupBy; no extra shuffle beyond the
+    * aggregation's own. */
+  def unpivotMetrics(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(dec(col("l_quantity"), 12, 2)).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).cast("double").as("n_rows"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  /** Equi-width histogram via `width_bucket` — 10 buckets over the
+    * quantity domain [1, 51). Bucketing is a per-row codegen'd expression;
+    * the count is one partial-agg shuffle on ≤ 12 keys. (The oracle spells
+    * the same bucket arithmetic explicitly — DuckDB has no width_bucket.) */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(expr("width_bucket(l_quantity, 1.0D, 51.0D, 10)").as("bucket"),
+        col("l_quantity"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
+      .orderBy(col("bucket"))
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> (unpivotMetrics _),
+    "q_histogram" -> (histogram _),
     "q_band_join" -> (bandJoin _),
     "q_topk_custom_op" -> (topkCustomOp _),
     "q6_forecast" -> (q6Forecast _),
@@ -248,6 +279,26 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |  UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM a)
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    // width_bucket(q, 1, 51, 10) = floor((q-1)/5)+1 for q in [1,51) —
+    // the whole quantity domain, so the arithmetic form is exact
+    "q_histogram" ->
+      """SELECT CAST(FLOOR((l_quantity - 1.0) / 5.0) AS BIGINT) + 1 AS bucket,
+        |  COUNT(*) AS n, MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "q_band_join" ->
       """WITH bands(band_id, lo, hi) AS (VALUES
         |  (0, 0.00, 0.02), (1, 0.02, 0.04), (2, 0.04, 0.06),

@@ -242,9 +242,37 @@ object Similarity {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage/
+    * bandwidth play every large ANN deployment makes (4× smaller vectors,
+    * SIMD-friendly dot products downstream). Per-vector scale = max |v|;
+    * q_i = round(v_i · 127 / scale), spelled as `floor(x + 0.5)` so both
+    * engines round identically (no round-half-even divergence). Everything
+    * is per-row higher-order-function arithmetic in explicit DOUBLE — scan
+    * speed, no shuffle, bit-identical across engines. */
+  def embedQuantize(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("scale_max",
+        expr("array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"))
+      .select(col("vec_id"),
+        expr("size(embedding)").cast("long").as("n_dims"),
+        col("scale_max"),
+        expr("""CASE WHEN scale_max = 0.0D
+               |  THEN transform(embedding, v -> CAST(0 AS BIGINT))
+               |  ELSE transform(embedding, v ->
+               |    CAST(floor(CAST(v AS DOUBLE) * 127.0D / scale_max + 0.5D) AS BIGINT))
+               |END""".stripMargin).as("q8"),
+        expr("""CASE WHEN scale_max = 0.0D THEN 0.0D
+               |  ELSE array_max(transform(embedding, v ->
+               |    abs(CAST(v AS DOUBLE) -
+               |        CAST(floor(CAST(v AS DOUBLE) * 127.0D / scale_max + 0.5D) AS DOUBLE)
+               |          * scale_max / 127.0D)))
+               |END""".stripMargin).as("max_abs_err"))
+      .orderBy(col("vec_id"))
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quantize" -> (embedQuantize _),
     "q_knn_brute" -> (knnBrute _),
     "q_knn_lsh" -> (knnLsh _),
     "q_knn_ivf" -> (knnIvf _),
@@ -253,6 +281,28 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale_max
+        |  FROM embeddings)
+        |SELECT e.vec_id,
+        |  CAST(len(e.embedding) AS BIGINT) AS n_dims,
+        |  m.scale_max,
+        |  CASE WHEN m.scale_max = 0
+        |    THEN list_transform(e.embedding, v -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(e.embedding, v ->
+        |      CAST(floor(CAST(v AS DOUBLE) * 127.0 / m.scale_max + 0.5) AS BIGINT))
+        |  END AS q8,
+        |  CASE WHEN m.scale_max = 0 THEN 0.0
+        |    ELSE list_max(list_transform(e.embedding, v ->
+        |      abs(CAST(v AS DOUBLE) -
+        |          floor(CAST(v AS DOUBLE) * 127.0 / m.scale_max + 0.5)
+        |            * m.scale_max / 127.0)))
+        |  END AS max_abs_err
+        |FROM embeddings e JOIN m ON e.vec_id = m.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
+
     "q_knn_brute" ->
       s"""WITH p AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

@@ -109,9 +109,72 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition filter: fraction of word-2-grams taken by the
+    * single most frequent 2-gram, plus the duplicate-word fraction —
+    * the standard cheap signals for machine-generated/looped text. The
+    * keep decision uses EXACT integer cross-multiplication
+    * (`top2*100 <= tot2*6`), so there is no float rounding to diverge
+    * between engines. Shape: one explode + two partial-agg shuffles
+    * keyed by (doc, gram) then doc — uniform keys, scales linearly. */
+  def repetitionFilter(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .select(col("doc_id"),
+        explode(expr(
+          """CASE WHEN size(split(text, ' ')) >= 2
+            |  THEN transform(sequence(1, size(split(text, ' ')) - 1),
+            |    i -> concat(element_at(split(text, ' '), i), ' ',
+            |                element_at(split(text, ' '), i + 1)))
+            |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top2"), sum(col("cnt")).as("tot2"))
+    documents(s, d)
+      .select(col("doc_id"),
+        expr("size(split(text, ' '))").cast("long").as("n_tokens"),
+        expr("size(array_distinct(split(text, ' ')))").cast("long").as("n_distinct"))
+      .join(grams, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("top2"), col("tot2"),
+        (col("top2") * 100 <= col("tot2") * 6 &&
+         (col("n_tokens") - col("n_distinct")) * 100 <= col("n_tokens") * 65)
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII redaction: scrub emails and phone-shaped tokens with
+    * `regexp_replace` before training. The corpus is synthetic word soup,
+    * so deterministic PII is planted first (email/phone derived from
+    * doc_id — every third doc gets each), then redacted; output carries the
+    * md5 of the redacted text plus match counts, so an engine that missed
+    * or over-matched a single occurrence fails the oracle. Patterns stay
+    * inside the RE2 ∩ java.util.regex common subset (no lookaround), so
+    * Spark and DuckDB agree byte-for-byte. Per-row codegen'd regex — scan
+    * speed, no shuffle. */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[a-z0-9._]+@[a-z0-9.-]+"
+    val phoneRe = "555-[0-9]{4}"
+    documents(s, d)
+      .withColumn("pii_text", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@mail.example")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 1,
+          concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      .select(col("doc_id"),
+        md5(regexp_replace(regexp_replace(col("pii_text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("redacted_md5"),
+        regexp_count(col("pii_text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("pii_text"), lit(phoneRe)).cast("long").as("n_phones"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition_filter" -> (repetitionFilter _),
+    "q_pii_redact" -> (piiRedact _),
     "q_training_select" -> (trainingSelect _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
@@ -121,6 +184,44 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_repetition_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(ts) >= 2
+        |      THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+        |      ELSE [] END) AS gram
+        |  FROM t),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        |a AS (SELECT doc_id, MAX(cnt) AS top2, SUM(cnt) AS tot2 FROM c GROUP BY 1),
+        |w AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct
+        |  FROM t)
+        |SELECT w.doc_id, n_tokens, n_distinct,
+        |  CAST(top2 AS BIGINT) AS top2, CAST(tot2 AS BIGINT) AS tot2,
+        |  (top2 * 100 <= tot2 * 6 AND
+        |   (n_tokens - n_distinct) * 100 <= n_tokens * 65) AS keep
+        |FROM w JOIN a ON w.doc_id = a.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example'
+        |       ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 1
+        |       THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END) AS pii_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(pii_text, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5,
+        |  CAST(len(regexp_extract_all(pii_text, '[a-z0-9._]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(pii_text, '555-[0-9]{4}')) AS BIGINT) AS n_phones
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "q_training_select" ->
       """WITH t AS (
         |  SELECT doc_id, text, md5(text) AS fp,

@@ -333,6 +333,37 @@ object Streaming {
       .orderBy(col("event_type"))
   }
 
+  /** STREAM-STREAM inner join with watermarks and an event-time range
+    * condition — the attribution topology (purchase within 10 minutes of a
+    * click by the same user), and the one join shape the state store has to
+    * mediate from BOTH sides. The watermarks + the time-range predicate are
+    * what let Spark evict join state: a click older than watermark−10min
+    * can never match a future purchase, so its state is dropped — without
+    * them, both sides' state grows with history and a 100 TB/day stream
+    * eventually OOMs. Two independent file-stream readers feed the join;
+    * state is hash-partitioned by user_id across executors. */
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("""user_id = p_user AND
+             |purchase_ts >= click_ts AND
+             |purchase_ts <= click_ts + INTERVAL 10 MINUTES""".stripMargin))
+    val res = runToMemory(s, joined, "graft_stream_stream_join", "append")
+    res.select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_millis(col("click_ts")).as("click_ms"),
+        unix_millis(col("purchase_ts")).as("purchase_ms"), col("value"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** foreachBatch sink: each micro-batch is handed to arbitrary batch
     * writer code (here: parquet appends into a landing dir — the idiom for
     * sinks Structured Streaming doesn't speak natively, the engine analog
@@ -370,6 +401,7 @@ object Streaming {
     "q_stream_session_timeout" -> (streamSessionTimeout _),
     "q_stream_late_drop" -> (streamLateDrop _),
     "q_stream_static_join" -> (streamStaticJoin _),
+    "q_stream_stream_join" -> (streamStreamJoin _),
     "q_stream_foreachbatch" -> (streamForeachBatch _)
   )
 
@@ -462,6 +494,19 @@ object Streaming {
         |    WHEN 'click' THEN 1 WHEN 'view' THEN 1 WHEN 'purchase' THEN 5
         |    WHEN 'signup' THEN 3 ELSE 0 END) AS weighted
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // batch twin of the stream-stream join: same users, same 10-minute
+    // attribution window — stream/batch equivalence is the test (inner
+    // join, complete input ⇒ watermark eviction must not lose a match)
+    "q_stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |  epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purchase_ms, p.value
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.user_id = c.user_id
+        |  AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+        |  AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 600000
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "q_stream_foreachbatch" ->
       """SELECT event_type, COUNT(*) AS n,

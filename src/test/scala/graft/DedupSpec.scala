@@ -5,6 +5,28 @@ import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkFunSuite {
 
+  test("clusters: every LSH pair lands in one cluster; canonicals are minima") {
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("is_canonical"))).toMap
+    val pairs = Dedup.dedupMinhash(spark, sf)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // connectivity: both endpoints of every edge share a cluster id
+    for ((a, b) <- pairs)
+      assert(clusters(a)._1 === clusters(b)._1, s"pair ($a,$b) split across clusters")
+    // the canonical member IS the cluster id and is unique per cluster
+    val canonicals = clusters.collect { case (doc, (cid, _, true)) => (doc, cid) }
+    assert(canonicals.forall { case (doc, cid) => doc === cid })
+    assert(canonicals.map(_._2).toSeq.distinct.size ===
+      clusters.values.map(_._1).toSeq.distinct.size)
+    // sizes agree with membership counts
+    val bySize = clusters.values.groupBy(_._1).map { case (cid, ms) => cid -> ms.size }
+    assert(clusters.values.forall { case (cid, sz, _) => bySize(cid).toLong === sz })
+  }
+
   test("prefix filter: candidate pairs stay within 10x of final pairs") {
     val (candidates, finalPairs) = Dedup.ngramCandidateStats(spark, sf)
     assert(finalPairs > 0)

@@ -65,9 +65,10 @@ class RelationalSpec extends SparkFunSuite {
 
   test("q_agg_approx: HLL++ estimates within 3-sigma of exact distinct counts") {
     import org.apache.spark.sql.functions.{col, countDistinct}
-    val approx = Relational.aggApprox(spark, sf).collect()
-      .map(r => r.getAs[String]("l_returnflag") ->
-        (r.getAs[Long]("approx_orders"), r.getAs[Long]("approx_parts"))).toMap
+    // the query itself carries the 3-sigma tolerance check as boolean
+    // columns (oracle pins them TRUE); re-derive the exact side here so a
+    // miswired exact path can't self-certify
+    val rows = Relational.aggApprox(spark, sf).collect()
     val exact = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("orders"),
@@ -75,14 +76,13 @@ class RelationalSpec extends SparkFunSuite {
       .collect()
       .map(r => r.getAs[String]("l_returnflag") ->
         (r.getAs[Long]("orders"), r.getAs[Long]("parts"))).toMap
-    assert(approx.keySet === exact.keySet)
-    // approx_count_distinct's default rsd is 5% (1 sigma — observed 5.5%
-    // on this corpus); 15% = 3 sigma separates sketch noise from a
-    // miswired surface
-    for ((flag, (eo, ep)) <- exact) {
-      val (ao, ap) = approx(flag)
-      assert(math.abs(ao - eo).toDouble / eo <= 0.15, s"$flag orders: $ao vs $eo")
-      assert(math.abs(ap - ep).toDouble / ep <= 0.15, s"$flag parts: $ap vs $ep")
+    assert(rows.map(_.getAs[String]("l_returnflag")).toSet === exact.keySet)
+    for (r <- rows) {
+      val flag = r.getAs[String]("l_returnflag")
+      assert(r.getAs[Long]("exact_orders") === exact(flag)._1, s"$flag orders")
+      assert(r.getAs[Long]("exact_parts") === exact(flag)._2, s"$flag parts")
+      assert(r.getAs[Boolean]("orders_within_3rsd"), s"$flag orders tolerance")
+      assert(r.getAs[Boolean]("parts_within_3rsd"), s"$flag parts tolerance")
     }
   }
 
