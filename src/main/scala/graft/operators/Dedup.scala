@@ -131,17 +131,42 @@ object Dedup {
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashPairs(s, d).select(col("d1"), col("d2")).persist()
     pairs.count()
-    val edges = pairs
-      .union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").persist()
-    edges.count()
-    var labels = edges.select(col("src").as("node")).distinct()
+    // Level 1 — every node takes min(self, direct neighbors), computed
+    // WITHOUT materializing the 2× symmetric edge list: pairs carry
+    // d1 < d2, so a node's min neighbor below itself can only arrive via
+    // its backward edges — one partial-agg pass over the directed pairs.
+    // Near-dup components are dense, so this collapses most of each
+    // component onto its minimum immediately.
+    val bwd = pairs.groupBy(col("d2")).agg(min(col("d1")).as("mn"))
+    val l1 = pairs.select(col("d1").as("node"))
+      .union(pairs.select(col("d2")))
+      .distinct()
+      .join(bwd.select(col("d2").as("node"), col("mn")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("mn"), col("node")).as("lbl"))
+      .localCheckpoint()
+    // Contract: project the directed pairs onto level-1 labels and dedup.
+    // Dense components collapse to a handful of inter-label edges, so the
+    // fixpoint loop below runs on a graph orders of magnitude smaller
+    // than the input — the big pair set is scanned ~twice total instead
+    // of once per round. (This is the contraction idea behind
+    // large-star/small-star, Kiveris et al. SoCC'14, in two-level form.)
+    val cEdges = pairs
+      .join(l1.select(col("node").as("d1"), col("lbl").as("ls")), "d1")
+      .join(l1.select(col("node").as("d2"), col("lbl").as("ld")), "d2")
+      .filter(col("ls") =!= col("ld"))
+      .select(least(col("ls"), col("ld")).as("src"),
+        greatest(col("ls"), col("ld")).as("dst"))
+      .distinct()
+    val cBoth = cEdges.union(cEdges.select(col("dst"), col("src")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = cBoth.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint()
-    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
-    var converged = false
+    var prevSum = Option(labels.agg(sum(col("lbl"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var converged = labels.isEmpty // fully contracted already
     var iter = 0
     while (!converged && iter < 25) {
-      val minNbr = edges.join(labels, edges("src") === labels("node"))
+      val minNbr = cBoth.join(labels, cBoth("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
       val next = labels.as("l")
         .join(minNbr, col("l.node") === minNbr("dst"), "left")
@@ -154,8 +179,14 @@ object Dedup {
       prevSum = newSum
       iter += 1
     }
-    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "lbl")
+    // Map level-1 labels through the contracted components; labels that
+    // never appeared in a contracted edge are already component minima.
+    val finalLabels = l1.as("a")
+      .join(labels.select(col("node").as("n2"), col("lbl").as("l2")),
+        col("a.lbl") === col("n2"), "left")
+      .select(col("a.node").as("node"), coalesce(col("l2"), col("a.lbl")).as("lbl"))
+    val sizes = finalLabels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    finalLabels.join(sizes, "lbl")
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
         col("cluster_size"), (col("node") === col("lbl")).as("is_canonical"))
       .orderBy(col("doc_id"))

@@ -357,7 +357,15 @@ object Streaming {
       expr("""user_id = p_user AND
              |purchase_ts >= click_ts AND
              |purchase_ts <= click_ts + INTERVAL 10 MINUTES""".stripMargin))
-    val res = runToMemory(s, joined, "graft_stream_stream_join", "append")
+    // State-partition count is fixed at query start; at this volume 32
+    // partitions means 64 state-store instances (both sides) per
+    // micro-batch doing fixed-cost work. Scope a smaller value to this
+    // query only — on a real cluster you'd size it to executor count.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val res =
+      try runToMemory(s, joined, "graft_stream_stream_join", "append")
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     res.select(col("click_id"), col("purchase_id"), col("user_id"),
         unix_millis(col("click_ts")).as("click_ms"),
         unix_millis(col("purchase_ts")).as("purchase_ms"), col("value"))
