@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.scalatest.funsuite.AnyFunSuite
@@ -38,6 +39,58 @@ class PlanHygieneSpec extends AnyFunSuite {
       case other => other.children
     }
     self ++ kids.flatMap(offenders)
+  }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    val s = spark
+    import s.implicits._
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      // force a sort-merge join and make the skew detector fire at test
+      // scale (the thresholds are the ONLY thing scaled down here — the
+      // mechanism under test is the production one)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot key carrying ~13MB of INCOMPRESSIBLE payload (shuffle
+      // sizes are post-compression — a constant pad would vanish) against
+      // a uniform tail
+      val pad = org.apache.spark.sql.functions.repeat(
+        org.apache.spark.sql.functions.md5(col("id").cast("string")), 8)
+      val left = s.range(50000).select(lit(0L).as("k"), pad.as("payload"))
+        .union(s.range(2000).select((col("id") % 100 + 1).as("k"), pad.as("payload")))
+      val right = s.range(101).select(col("id").as("k"), col("id").as("v"))
+      val joined = left.join(right, "k")
+      // drive THIS QueryExecution instance (count() would build its own)
+      // so AQE finalizes the inspected plan
+      joined.queryExecution.toRdd.count()
+      def findSkew(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+        val here = p match {
+          case smj: org.apache.spark.sql.execution.joins.SortMergeJoinExec => smj.isSkewJoin
+          case _ => false
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here || kids.exists(findSkew)
+      }
+      assert(findSkew(joined.queryExecution.executedPlan),
+        "expected AQE to mark the sort-merge join as a skew join:\n" +
+          joined.queryExecution.executedPlan.toString.take(4000))
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
   }
 
   test("no batch catalog query plans an unintended nested-loop or cartesian join") {
