@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, SortedLongIntersect}
+import graft.functions.{FloatVecDot, ShingleExplode, SortedLongIntersect}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect"),
       new ExpressionInfo(classOf[SortedLongIntersect].getName, "sorted_intersect"),
       exprs => SortedLongIntersect(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("shingle_explode"),
+      new ExpressionInfo(classOf[ShingleExplode].getName, "shingle_explode"),
+      exprs => ShingleExplode(exprs(0), exprs(1))))
     // the custom physical operator's planner strategy, so extension-
     // configured sessions plan TopKPerGroup without touching
     // spark.experimental (TopKPerGroupOp.topK still registers it

@@ -135,7 +135,28 @@ object Relational2 {
 
   // --------------------------------------------------------------- wiring
 
+  /** TPC-H Q13 shape THROUGH THE SQL FRONT DOOR: temp views + `spark.sql`
+    * end to end — the declarative surface a reference user would migrate
+    * their query text onto. Left join (customers without orders survive
+    * with count 0) feeding a second aggregation over the first's result —
+    * two exchanges, both partial-agg; the custkey join is the only
+    * fact-fact shuffle. */
+  def q13Custdist(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("graft_q13_customer")
+    orders(s, d).createOrReplaceTempView("graft_q13_orders")
+    s.sql(
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM graft_q13_customer c
+        |  LEFT JOIN graft_q13_orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_custdist" -> (q13Custdist _),
     "q_null_semantics" -> (nullSemantics _),
     "q_union_all" -> (unionAll _),
     "q_higher_order_fns" -> (higherOrderFns _),
@@ -149,6 +170,15 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_null_semantics" ->
       """SELECT n_nationkey,
         |  COUNT(*) AS n_rows,

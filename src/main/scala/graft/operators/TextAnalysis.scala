@@ -170,9 +170,25 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The custom Generator ([[graft.functions.ShingleExplode]], the UDTF
+    * surface) driving a per-document shingle profile: generate lazily,
+    * aggregate immediately — the fan-out never materializes as an array. */
+  def udtfShingles(s: SparkSession, d: String): DataFrame = {
+    graft.functions.ShingleExplode.register(s)
+    documents(s, d)
+      .select(col("doc_id"), expr("shingle_explode(text, 4)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("shingle")).as("n_distinct"),
+        min(col("shingle")).as("first_shingle"),
+        max(col("pos")).cast("long").as("last_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_udtf_shingles" -> (udtfShingles _),
     "q_repetition_filter" -> (repetitionFilter _),
     "q_pii_redact" -> (piiRedact _),
     "q_training_select" -> (trainingSelect _),
@@ -184,6 +200,19 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    // docs shorter than 4 chars produce no rows and drop out of the
+    // aggregation on both sides
+    "q_udtf_shingles" ->
+      """WITH g AS (
+        |  SELECT doc_id, i AS pos, substr(text, i, 4) AS shingle
+        |  FROM documents, LATERAL (SELECT unnest(range(1, len(text) - 2)) AS i)
+        |  WHERE len(text) >= 4)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  COUNT(DISTINCT shingle) AS n_distinct,
+        |  MIN(shingle) AS first_shingle,
+        |  CAST(MAX(pos) AS BIGINT) AS last_pos
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_repetition_filter" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |g AS (

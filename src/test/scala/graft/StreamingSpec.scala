@@ -55,6 +55,25 @@ class StreamingSpec extends SparkFunSuite {
     assert(out.map(_.getAs[Long]("event_id")).sorted.toSeq === Seq(10L, 11L))
   }
 
+  test("RocksDB state store backend produces identical streaming results") {
+    // Heap state stores cap state at executor memory; the RocksDB provider
+    // is how streaming state outgrows the heap at 100 TB/day. Same query,
+    // same answer, different backend — the swap is pure configuration.
+    val s = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val viaRocks = Streaming.streamDedup(s, sf).collect()
+      assert(viaRocks.length === graft.Tables.events(s, sf).count())
+      assert(viaRocks.map(_.getAs[Long]("event_id")).distinct.length === viaRocks.length)
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions across batches") {
     val s = spark
     import s.implicits._
