@@ -213,14 +213,21 @@ object Dedup {
     * shingles only — the intra-block candidate space is near-linear in
     * practice instead of O(block^2). Rare shingles drive the join, so hot
     * (common) shingles never fan out. */
-  private def ngramCandidates(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // The shingle transform (~2.5 s/scan at sf0.1) feeds four plan
-    // branches and the prefix table feeds both self-join sides — cache
-    // each, eagerly, so neither races its own second reference. Freed by
-    // the callers' per-query clearCache (Bench/Verify) / session teardown.
+  /** Shingle table, cached eagerly: the transform (~2.5 s/scan at sf0.1)
+    * feeds the candidate generation AND both verification joins — one
+    * cached copy serves every branch (a fresh derivation per branch was
+    * measured as ~2× the whole query's scan cost). Freed by the callers'
+    * per-query clearCache (Bench/Verify) / session teardown. */
+  private def cachedShingles(s: SparkSession, d: String): DataFrame = {
     val sh = shingleSets(s, d).persist()
     sh.count()
+    sh
+  }
+
+  private def ngramCandidates(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the prefix table feeds both self-join sides — cache it eagerly so
+    // neither branch races the other into recomputing it
     val exploded = sh.select(col("doc_id"), col("source"),
       size(col("shingles")).as("n"), explode(col("shingles")).as("sh"))
     val freq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -254,8 +261,8 @@ object Dedup {
     * per-shingle join blowup. */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val sh = shingleSets(s, d)
-    ngramCandidates(s, d)
+    val sh = cachedShingles(s, d)
+    ngramCandidates(sh)
       .join(sh.select(col("doc_id").as("d1"), col("shingles").as("sh1"),
         size(col("shingles")).as("n1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("shingles").as("sh2"),
@@ -273,7 +280,7 @@ object Dedup {
   /** Candidate-efficiency stats for the prefix filter (spec-checked:
     * candidates should stay within a small factor of the final pairs). */
   def ngramCandidateStats(s: SparkSession, d: String): (Long, Long) =
-    (ngramCandidates(s, d).count(), dedupNgram(s, d).count())
+    (ngramCandidates(cachedShingles(s, d)).count(), dedupNgram(s, d).count())
 
   /** 32-bit SimHash per document, computed entirely per-row (nested
     * higher-order aggregate over the token set — no explode, no shuffle):

@@ -93,6 +93,40 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime Bloom-filter join pruning injects on a selective fact-fact join") {
+    val s = spark
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      // thresholds scaled to test data; the mechanism (a bloom filter built
+      // from the selective side, pushed into the big side's scan) is the
+      // production one — at 100 TB it prunes shuffle input, not just rows
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val li = Tables.lineitem(s, SparkSpecBase.sf)
+      val o = Tables.orders(s, SparkSpecBase.sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderpriority")).agg(org.apache.spark.sql.functions.count(lit(1)))
+      val hasBloom = joined.queryExecution.optimizedPlan.toString
+        .contains("bloom_filter_agg") ||
+        joined.queryExecution.optimizedPlan.toString.contains("BloomFilterMightContain") ||
+        joined.queryExecution.optimizedPlan.toString.contains("might_contain")
+      assert(hasBloom,
+        "expected a runtime bloom filter in the optimized plan:\n" +
+          joined.queryExecution.optimizedPlan.toString.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("no batch catalog query plans an unintended nested-loop or cartesian join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) || intendedNestedLoop(name) }
