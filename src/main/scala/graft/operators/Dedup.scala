@@ -83,16 +83,7 @@ object Dedup {
     // onto millions of candidate pairs (that was ~10 s of the 17 s round-1
     // cost at sf0.1). matches is a function of (d1, d2), so the estimated-
     // Jaccard filter runs BEFORE the distinct and prunes its shuffle.
-    val bands = sigs.select(col("doc_id"), col("sig"),
-        posexplode(expr("""transform(sequence(0, 1), b ->
-          md5(concat(element_at(sig, 4*b+1), element_at(sig, 4*b+2),
-                     element_at(sig, 4*b+3), element_at(sig, 4*b+4))))""")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    // match count as 8 explicit element comparisons — stays inside
-    // whole-stage codegen (an interpreted zip_with fold here dominated the
-    // candidate-pair stage at larger SFs)
-    def slotEq(i: Int) =
-      expr(s"element_at(x.sig, ${i + 1}) = element_at(y.sig, ${i + 1})")
+    val bands = bandsOf(sigs)
     // A true near-dup usually collides in BOTH bands, so a distinct() here
     // would shuffle ~2x the final rows just to drop the double-emissions.
     // Instead each pair is emitted exactly once, from its minimal matching
@@ -106,6 +97,54 @@ object Dedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         (0 until 8).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _).as("matches"))
       .filter(col("matches") >= 6)
+  }
+
+  /** (band, bucket) keys per signature — 2 bands × 4 rows. */
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+        posexplode(expr("""transform(sequence(0, 1), b ->
+          md5(concat(element_at(sig, 4*b+1), element_at(sig, 4*b+2),
+                     element_at(sig, 4*b+3), element_at(sig, 4*b+4))))""")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /** Signature slot-agreement predicate between the join sides x/y —
+    * stays inside whole-stage codegen (an interpreted zip_with fold here
+    * dominated the candidate-pair stage at larger SFs). */
+  private def slotEq(i: Int) =
+    expr(s"element_at(x.sig, ${i + 1}) = element_at(y.sig, ${i + 1})")
+
+  /** INCREMENTAL near-dedup — the production ingest shape: a small new
+    * batch (delta) is deduplicated against the standing corpus (base)
+    * without ever re-running base×base. The delta's band keys are
+    * BROADCAST against the base's band index, so the exchange cost is
+    * O(delta), not O(corpus); at 100 TB the base bands/signatures are a
+    * precomputed store that only gets appended (here both are derived
+    * in-query so the oracle can replay them). Emits one row per delta
+    * doc: its canonical base match (min doc_id), how many base near-dups
+    * it has, and an is_new flag for docs the corpus has never seen. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(s, d).persist()
+    sigs.count()
+    val bands = bandsOf(sigs)
+    val base = bands.filter(col("doc_id") % 10 < 8)
+    val delta = bands.filter(col("doc_id") % 10 >= 8)
+    // same minimal-band exactly-once emission as minhashPairs, so the
+    // per-delta-doc match COUNT needs no distinct
+    val matched = base.as("x").join(broadcast(delta.as("y")),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .filter(col("x.band") === 0 || !(0 until 4).map(slotEq).reduce(_ && _))
+      .select(col("x.doc_id").as("base_doc"), col("y.doc_id").as("delta_doc"),
+        (0 until 8).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _).as("matches"))
+      .filter(col("matches") >= 6)
+      .groupBy(col("delta_doc"))
+      .agg(min(col("base_doc")).as("matched_base"),
+        count(lit(1)).as("n_base_dups"))
+    documents(s, d).filter(col("doc_id") % 10 >= 8).select(col("doc_id"))
+      .join(matched, col("doc_id") === col("delta_doc"), "left")
+      .select(col("doc_id"), col("matched_base"),
+        coalesce(col("n_base_dups"), lit(0L)).as("n_base_dups"),
+        col("matched_base").isNull.as("is_new"))
+      .orderBy(col("doc_id"))
   }
 
   /** Near-dup CLUSTERS from the LSH pair graph — the step that turns
@@ -334,6 +373,7 @@ object Dedup {
     "q_dedup_normalized" -> (dedupNormalized _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_simhash" -> (dedupSimhash _)
   )
@@ -380,6 +420,38 @@ object Dedup {
         |  FROM pairs JOIN sig x ON d1 = x.doc_id JOIN sig y ON d2 = y.doc_id)
         |SELECT d1, d2, CAST(m AS BIGINT) AS matches, m / 8.0 AS est_jaccard
         |FROM est WHERE m >= 6 ORDER BY d1, d2""".stripMargin,
+
+    // same sig/band pipeline; base = doc_id%10<8, delta = the rest; the
+    // oracle's DISTINCT equals the engine's minimal-band exactly-once trick
+    "q_dedup_incremental" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 8), h ->
+        |      list_min(list_transform(list_distinct(string_split(text, ' ')),
+        |        t -> md5(t || '#' || CAST(h AS VARCHAR))))) AS s
+        |  FROM documents),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    md5(s[4*b+1] || s[4*b+2] || s[4*b+3] || s[4*b+4]) AS bucket
+        |  FROM sig, range(0, 2) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS base_doc, y.doc_id AS delta_doc
+        |  FROM bands x JOIN bands y ON x.b = y.b AND x.bucket = y.bucket
+        |  WHERE x.doc_id % 10 < 8 AND y.doc_id % 10 >= 8),
+        |m AS (
+        |  SELECT base_doc, delta_doc,
+        |    list_sum(list_transform(range(0, 8),
+        |      i -> CASE WHEN x.s[i+1] = y.s[i+1] THEN 1 ELSE 0 END)) AS mm
+        |  FROM cand JOIN sig x ON base_doc = x.doc_id JOIN sig y ON delta_doc = y.doc_id),
+        |best AS (
+        |  SELECT delta_doc, MIN(base_doc) AS matched_base, COUNT(*) AS n_base_dups
+        |  FROM m WHERE mm >= 6 GROUP BY delta_doc)
+        |SELECT d.doc_id, best.matched_base,
+        |  COALESCE(best.n_base_dups, 0) AS n_base_dups,
+        |  best.matched_base IS NULL AS is_new
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+        |LEFT JOIN best ON d.doc_id = best.delta_doc
+        |ORDER BY d.doc_id""".stripMargin,
 
     // same sig/band/estimate pipeline as q_dedup_minhash, then connected
     // components as a recursive reachability CTE (min reachable id = the

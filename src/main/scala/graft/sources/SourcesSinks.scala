@@ -64,6 +64,23 @@ object SourcesSinks {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** ORC sink → ORC source: the second columnar format (built into
+    * Spark), same predicate-pushdown/column-pruning story as parquet —
+    * the round trip proves schema + values survive the other columnar
+    * container. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = stage(s"orc_${math.abs(d.hashCode)}")
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .filter(col("l_quantity") > 25) // pushed into the ORC scan
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"), 12, 2)).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Line-text sink → line-text source: the reference's native format
     * (result file, one row per line — Manager.java:287-312). Writes the
     * parity result rows as text, reads them back, re-tokenizes, and
@@ -104,12 +121,19 @@ object SourcesSinks {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sink_csv_roundtrip" -> (csvRoundtrip _),
+    "q_sink_orc_roundtrip" -> (orcRoundtrip _),
     "q_sink_json_roundtrip" -> (jsonRoundtrip _),
     "q_sink_text_roundtrip" -> (textRoundtrip _),
     "q_source_binary" -> (binarySource _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sink_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_quantity > 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_sink_csv_roundtrip" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
         |  COUNT(*) AS n_nations, MIN(n_name) AS first_name

@@ -27,6 +27,31 @@ class DedupSpec extends SparkFunSuite {
     assert(clusters.values.forall { case (cid, sz, _) => bySize(cid).toLong === sz })
   }
 
+  test("incremental dedup agrees with the full pair set on the delta slice") {
+    val full = Dedup.dedupMinhash(spark, sf)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = Dedup.dedupIncremental(spark, sf).collect()
+    assert(inc.nonEmpty)
+    for (r <- inc) {
+      val doc = r.getAs[Long]("doc_id")
+      assert(doc % 10 >= 8) // delta slice only
+      if (!r.getAs[Boolean]("is_new")) {
+        val base = r.getAs[Long]("matched_base")
+        // every claimed base match must exist as a full-dedup pair
+        // (pairs are ordered d1 < d2; base can be on either side)
+        assert(full.contains((math.min(base, doc), math.max(base, doc))),
+          s"incremental claims ($base, $doc) but the full pair set lacks it")
+      } else {
+        assert(r.getAs[Long]("n_base_dups") === 0L)
+        // a new doc must have NO base-side pair in the full set
+        assert(!full.exists { case (a, b) =>
+          (a == doc && b % 10 < 8) || (b == doc && a % 10 < 8) },
+          s"doc $doc marked new but has a base pair in the full set")
+      }
+    }
+  }
+
   test("prefix filter: candidate pairs stay within 10x of final pairs") {
     val (candidates, finalPairs) = Dedup.ngramCandidateStats(spark, sf)
     assert(finalPairs > 0)
