@@ -260,9 +260,41 @@ object Relational3 {
         min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
       .orderBy(col("bucket"))
 
+  /** MERGE INTO (upsert / CDC-apply) emulated on the open surface: a
+    * change feed (updates to existing keys + brand-new keys) applied to a
+    * base table via ONE full-outer join on the merge key — matched rows
+    * take the update, unmatched-by-source rows keep the base, unmatched-
+    * by-target rows insert. This is the SCD/ingest primitive lakehouse
+    * formats wrap; on plain parquet the engine expresses it as a
+    * declarative join + coalesce and rewrites the partition. One key
+    * shuffle; at 100 TB bucketing/partitioning on the merge key turns it
+    * into a co-located join plus partition-scoped rewrite. Money stays in
+    * decimals until the final cast. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).filter(col("o_orderkey") % 10 < 8)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val changes = orders(s, d).filter(col("o_orderkey") % 10 < 4)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (dec(col("o_totalprice"), 12, 2) + dec(lit(10.00), 4, 2))
+          .cast("double").as("o_totalprice"))
+      .union(orders(s, d).filter(col("o_orderkey") % 10 >= 8)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+    base.as("b")
+      .join(changes.as("u"), col("b.o_orderkey") === col("u.o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("u.o_orderstatus"), col("b.o_orderstatus")).as("st"),
+        coalesce(col("u.o_totalprice"), col("b.o_totalprice")).as("p"))
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("p"), 14, 2)).cast("double").as("total"))
+      .orderBy(col("st"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> (mergeUpsert _),
     "q_unpivot" -> (unpivotMetrics _),
     "q_histogram" -> (histogram _),
     "q_band_join" -> (bandJoin _),
@@ -279,6 +311,25 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 < 8),
+        |changes AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10.00 AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 < 4
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', 1.0
+        |  FROM orders WHERE o_orderkey % 10 >= 8),
+        |merged AS (
+        |  SELECT COALESCE(u.o_orderstatus, b.o_orderstatus) AS st,
+        |    COALESCE(u.o_totalprice, b.o_totalprice) AS p
+        |  FROM base b FULL OUTER JOIN changes u ON b.o_orderkey = u.o_orderkey)
+        |SELECT st, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM merged GROUP BY st ORDER BY st""".stripMargin,
+
     "q_unpivot" ->
       """WITH a AS (
         |  SELECT l_returnflag,
