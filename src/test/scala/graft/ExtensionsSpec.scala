@@ -4,6 +4,37 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 class ExtensionsSpec extends SparkFunSuite {
 
+  test("extensions-configured session resolves engine functions in pure SQL") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // make sure the shared session/context exist first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // same JVM/SparkContext, fresh session WITH the extensions — the
+      // path a spark.sql.extensions=graft.GraftExtensions user gets
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-ext")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val dot = s2.sql(
+        """SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+        .head().getDouble(0)
+      assert(dot === 11.0)
+      val inter = s2.sql(
+        "SELECT sorted_intersect(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS n")
+        .head().getLong(0)
+      assert(inter === 2L)
+      val shingles = s2.sql("SELECT shingle_explode('abcd', 3)").collect()
+      assert(shingles.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+        Seq((1, "abc"), (2, "bcd")))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("text stats: counts are consistent and positive") {
     val rows = TextAnalysis.textStats(spark, sf).collect()
     assert(rows.nonEmpty)
