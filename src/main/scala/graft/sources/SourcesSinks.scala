@@ -81,6 +81,41 @@ object SourcesSinks {
       .orderBy(col("l_returnflag"))
   }
 
+  /** PERMISSIVE-mode JSON with a corrupt-record column: the source-layer
+    * twin of the engine's error-as-value rows (reference O16 — a worker
+    * never drops a failing task, it emits an Error row; Workers.java:187,
+    * 216-219). Malformed lines land in `_corrupt_record` instead of
+    * killing the scan or silently vanishing — at 100 TB a bad shard is
+    * data to quarantine, not a job failure. The staged file corrupts
+    * every 5th nation row deterministically (garbage prefix → invalid
+    * JSON; note the lenient CSV reader only NULLs unparseable values, so
+    * JSON is the format whose corruption semantics are unambiguous). The
+    * good rows' min name proves parsed values survive alongside the
+    * quarantined ones. */
+  def corruptSource(s: SparkSession, d: String): DataFrame = {
+    val out = stage(s"corrupt_${math.abs(d.hashCode)}")
+    nation(s, d)
+      .select(concat(
+        when(col("n_nationkey") % 5 === 0, lit("###")).otherwise(lit("")),
+        to_json(struct(col("n_nationkey"), col("n_name"), col("n_regionkey"))))
+        .as("value"))
+      .repartition(1).sortWithinPartitions(col("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .select(col("n_name"), col("_corrupt_record").isNotNull.as("is_corrupt"))
+      .groupBy(col("is_corrupt"))
+      .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+      .orderBy(col("is_corrupt"))
+  }
+
   /** Line-text sink → line-text source: the reference's native format
     * (result file, one row per line — Manager.java:287-312). Writes the
     * parity result rows as text, reads them back, re-tokenizes, and
@@ -122,12 +157,22 @@ object SourcesSinks {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sink_csv_roundtrip" -> (csvRoundtrip _),
     "q_sink_orc_roundtrip" -> (orcRoundtrip _),
+    "q_source_corrupt" -> (corruptSource _),
     "q_sink_json_roundtrip" -> (jsonRoundtrip _),
     "q_sink_text_roundtrip" -> (textRoundtrip _),
     "q_source_binary" -> (binarySource _)
   )
 
   val oracle: Map[String, String] = Map(
+    // every 5th nation row is malformed by construction; PERMISSIVE mode
+    // must quarantine exactly those (their columns stay null, so the
+    // corrupt group's min name is NULL on both sides)
+    "q_source_corrupt" ->
+      """SELECT n_nationkey % 5 = 0 AS is_corrupt, COUNT(*) AS n,
+        |  MIN(CASE WHEN n_nationkey % 5 = 0 THEN CAST(NULL AS VARCHAR)
+        |           ELSE n_name END) AS first_name
+        |FROM nation GROUP BY 1 ORDER BY is_corrupt""".stripMargin,
+
     "q_sink_orc_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
