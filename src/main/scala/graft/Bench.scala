@@ -45,10 +45,15 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the ONE json line as short as possible:
+    // the driver captures a bounded output tail, and full-precision
+    // doubles once pushed the line start past the buffer (round 2's
+    // BENCH json arrived truncated → unparseable)
+    def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
