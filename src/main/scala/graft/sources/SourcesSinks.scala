@@ -106,10 +106,17 @@ object SourcesSinks {
       StructField("n_name", StringType),
       StructField("n_regionkey", IntegerType),
       StructField("_corrupt_record", StringType)))
+    // cache() is REQUIRED, not an optimization: a pruned consumer (e.g.
+    // count()) can reduce the referenced columns to _corrupt_record
+    // alone, which Spark disallows straight off a raw JSON scan
+    // (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+    // documented remedy is caching the parsed result. Freed by the
+    // callers' per-query clearCache.
     s.read.schema(schema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(out)
+      .cache()
       .select(col("n_name"), col("_corrupt_record").isNotNull.as("is_corrupt"))
       .groupBy(col("is_corrupt"))
       .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
