@@ -185,9 +185,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF-style salient terms over the corpus: one explode + one
+    * partial-agg shuffle keyed by token, then TakeOrderedAndProject for
+    * the top 20. IDF is the RATIO N/df rather than log(N/df) — log is not
+    * a correctly-rounded IEEE op, so engines' libm disagreement could flip
+    * a rounded digit; ratio arithmetic over exact integer counts is
+    * bit-identical everywhere and preserves the same ranking (log is
+    * monotone). N is a driver-side scalar aggregate (one count action,
+    * the same pattern as the clustering fixpoint test — an aggregate, not
+    * a row collect). */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val nDocs = documents(s, d).count()
+    documents(s, d)
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("total_cnt"),
+        countDistinct(col("doc_id")).as("df"))
+      .withColumn("tfidf",
+        col("total_cnt").cast("double") * lit(nDocs.toDouble) / col("df"))
+      .orderBy(col("tfidf").desc, col("token"))
+      .limit(20)
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_udtf_shingles" -> (udtfShingles _),
     "q_repetition_filter" -> (repetitionFilter _),
     "q_pii_redact" -> (piiRedact _),
@@ -200,6 +223,18 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_tfidf_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (
+        |  SELECT token, COUNT(*) AS total_cnt, COUNT(DISTINCT doc_id) AS df
+        |  FROM tok GROUP BY token),
+        |n AS (SELECT COUNT(*) AS nd FROM documents)
+        |SELECT token, total_cnt, df,
+        |  CAST(total_cnt AS DOUBLE) * nd / df AS tfidf
+        |FROM cnt, n
+        |ORDER BY tfidf DESC, token LIMIT 20""".stripMargin,
+
     // docs shorter than 4 chars produce no rows and drop out of the
     // aggregation on both sides
     "q_udtf_shingles" ->
