@@ -155,7 +155,27 @@ object Relational2 {
         |ORDER BY custdist DESC, c_count DESC""".stripMargin)
   }
 
+  /** Distribution window functions: percent_rank drives per-group
+    * quartiles (q1/median/q3 as the max value at or below each rank
+    * fraction). percent_rank = (rank-1)/(N-1) is exact integer-ratio
+    * arithmetic, so both engines agree bit-for-bit even with heavy ties.
+    * One window sort per group + one partial agg. */
+  def windowQuartiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    lineitem(s, d)
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("pr") <= 0.25, col("l_quantity"))).as("q1"),
+        max(when(col("pr") <= 0.5, col("l_quantity"))).as("median"),
+        max(when(col("pr") <= 0.75, col("l_quantity"))).as("q3"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_quartiles" -> (windowQuartiles _),
     "q13_custdist" -> (q13Custdist _),
     "q_null_semantics" -> (nullSemantics _),
     "q_union_all" -> (unionAll _),
@@ -170,6 +190,19 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_quartiles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    PERCENT_RANK() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity) AS pr
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  MAX(CASE WHEN pr <= 0.25 THEN l_quantity END) AS q1,
+        |  MAX(CASE WHEN pr <= 0.5 THEN l_quantity END) AS median,
+        |  MAX(CASE WHEN pr <= 0.75 THEN l_quantity END) AS q3,
+        |  COUNT(*) AS n
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q13_custdist" ->
       """SELECT c_count, COUNT(*) AS custdist
         |FROM (

@@ -45,14 +45,44 @@ object Sampling {
         col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderpriority"), col("rk"))
 
+  /** Deterministic train/val/test split (13/2/1 sixteenths by the first
+    * hex digit of md5(doc_id)): the assignment is a pure function of the
+    * key, so a document keeps its split across runs, engines, and
+    * incremental re-ingests — the property that prevents eval-set
+    * contamination when the corpus grows. Per-row predicate, no shuffle
+    * except the final summary agg; checksums pin exact membership. */
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("h") <= "c", "train").when(col("h") <= "e", "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("split"))
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_assign" -> (splitAssign _),
     "q_sample_bernoulli" -> (sampleBernoulli _),
     "q_sample_stratified" -> (sampleStratified _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_split_assign" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM a GROUP BY split ORDER BY split""".stripMargin,
+
     "q_sample_bernoulli" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
         |FROM orders

@@ -35,6 +35,27 @@ class ExtensionsSpec extends SparkFunSuite {
     }
   }
 
+  test("typed Aggregator registers as a plain SQL UDAF (spark.udf.register)") {
+    val s = spark
+    import s.implicits._
+    // the everyday registration surface: the same typed Aggregator the
+    // Dataset path uses, exposed to SQL users as a named aggregate
+    s.udf.register("minhash_sig",
+      org.apache.spark.sql.functions.udaf(graft.functions.MinHashAggregator))
+    Tables.documents(s, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr("array_distinct(split(text, ' '))")).as("t"))
+      .createOrReplaceTempView("t_udaf_tokens")
+    val viaSql = s.sql(
+      """SELECT doc_id, minhash_sig(doc_id, t) AS sig_csv
+        |FROM t_udaf_tokens GROUP BY doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaTyped = graft.operators.Dedup.minhashUdaf(s, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaSql === viaTyped)
+  }
+
   test("text stats: counts are consistent and positive") {
     val rows = TextAnalysis.textStats(spark, sf).collect()
     assert(rows.nonEmpty)
