@@ -372,6 +372,42 @@ object Streaming {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** Stream-stream LEFT OUTER join: unlike the inner form, an unmatched
+    * left row can only emit once the WATERMARK proves no future match can
+    * arrive (its join window has expired) — the null-extended output is
+    * produced by state eviction, not by matching. Spark runs a no-data
+    * micro-batch after the last data batch so the final watermark advance
+    * flushes expired state; clicks whose 10-minute window is still inside
+    * the final watermark horizon remain open and never emit — the oracle
+    * replays exactly that cutoff (global watermark = min of the two
+    * sides' max event times, 0s delay). */
+  def streamStreamLeftJoin(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "0 seconds")
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "0 seconds")
+    val joined = clicks.join(purchases,
+      expr("""user_id = p_user AND
+             |purchase_ts >= click_ts AND
+             |purchase_ts <= click_ts + INTERVAL 10 MINUTES""".stripMargin),
+      "left_outer")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val res =
+      try runToMemory(s, joined, "graft_stream_stream_left", "append")
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    res.select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_millis(col("click_ts")).as("click_ms"),
+        unix_millis(col("purchase_ts")).as("purchase_ms"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** foreachBatch sink: each micro-batch is handed to arbitrary batch
     * writer code (here: parquet appends into a landing dir — the idiom for
     * sinks Structured Streaming doesn't speak natively, the engine analog
@@ -410,6 +446,7 @@ object Streaming {
     "q_stream_late_drop" -> (streamLateDrop _),
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_stream_stream_join" -> (streamStreamJoin _),
+    "q_stream_stream_left" -> (streamStreamLeftJoin _),
     "q_stream_foreachbatch" -> (streamForeachBatch _)
   )
 
@@ -515,6 +552,32 @@ object Streaming {
         |  AND epoch_ms(p.ts) >= epoch_ms(c.ts)
         |  AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 600000
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // inner matches UNION ALL watermark-expired unmatched clicks; a click
+    // whose window is still inside the final watermark horizon stays open
+    // (NULLS FIRST pins DuckDB's sort to Spark's asc-nulls-first default)
+    "q_stream_stream_left" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_ms(ts) AS click_ms
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id AS p_user, epoch_ms(ts) AS purchase_ms
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT c.click_id, p.purchase_id, c.user_id, c.click_ms, p.purchase_ms
+        |  FROM c JOIN p ON p.p_user = c.user_id
+        |    AND p.purchase_ms >= c.click_ms
+        |    AND p.purchase_ms <= c.click_ms + 600000),
+        |wm AS (SELECT LEAST((SELECT MAX(click_ms) FROM c),
+        |                    (SELECT MAX(purchase_ms) FROM p)) AS w),
+        |um AS (
+        |  SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id,
+        |    c.click_ms, CAST(NULL AS BIGINT) AS purchase_ms
+        |  FROM c, wm
+        |  WHERE c.click_id NOT IN (SELECT click_id FROM m)
+        |    AND c.click_ms + 600000 < wm.w)
+        |SELECT * FROM m UNION ALL SELECT * FROM um
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
 
     "q_stream_foreachbatch" ->
       """SELECT event_type, COUNT(*) AS n,
