@@ -81,6 +81,23 @@ object SourcesSinks {
       .orderBy(col("l_returnflag"))
   }
 
+  /** XML sink → XML source (Spark 4 ships the XML data source in core):
+    * region written as `<row>` elements, read back with an explicit
+    * schema and re-aggregated — the document-ish interchange format the
+    * reference's HTML-report world would actually meet. */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = stage(s"xml_${math.abs(d.hashCode)}")
+    region(s, d).write.mode("overwrite")
+      .option("rowTag", "row").format("xml").save(out)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType)))
+    s.read.option("rowTag", "row").schema(schema).format("xml").load(out)
+      .agg(count(lit(1)).as("n_regions"),
+        min(col("r_name")).as("first_region"),
+        sum(col("r_regionkey")).cast("long").as("key_sum"))
+  }
+
   /** PERMISSIVE-mode JSON with a corrupt-record column: the source-layer
     * twin of the engine's error-as-value rows (reference O16 — a worker
     * never drops a failing task, it emits an Error row; Workers.java:187,
@@ -165,12 +182,18 @@ object SourcesSinks {
     "q_sink_csv_roundtrip" -> (csvRoundtrip _),
     "q_sink_orc_roundtrip" -> (orcRoundtrip _),
     "q_source_corrupt" -> (corruptSource _),
+    "q_sink_xml_roundtrip" -> (xmlRoundtrip _),
     "q_sink_json_roundtrip" -> (jsonRoundtrip _),
     "q_sink_text_roundtrip" -> (textRoundtrip _),
     "q_source_binary" -> (binarySource _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sink_xml_roundtrip" ->
+      """SELECT COUNT(*) AS n_regions, MIN(r_name) AS first_region,
+        |  CAST(SUM(r_regionkey) AS BIGINT) AS key_sum
+        |FROM region""".stripMargin,
+
     // every 5th nation row is malformed by construction; PERMISSIVE mode
     // must quarantine exactly those (their columns stay null, so the
     // corrupt group's min name is NULL on both sides)

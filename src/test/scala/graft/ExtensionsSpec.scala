@@ -56,6 +56,24 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(viaSql === viaTyped)
   }
 
+  test("observe() meters a pipeline without a second pass") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    // at 100 TB you can't afford a separate count/sum job just to know
+    // what a stage saw — observe() piggybacks named aggregates on the
+    // one real pass and surfaces them post-action
+    val observation = new org.apache.spark.sql.Observation("scan_stats")
+    val df = Tables.lineitem(spark, sf)
+      .observe(observation, count(lit(1)).as("rows_seen"),
+        sum(col("l_quantity")).as("qty_seen"))
+      .filter(col("l_quantity") > 25)
+    val kept = df.count()
+    val obs = observation.get
+    val rowsSeen = obs("rows_seen").asInstanceOf[Long]
+    assert(rowsSeen === Tables.lineitem(spark, sf).count())
+    assert(kept < rowsSeen) // the metric saw pre-filter traffic
+    assert(obs("qty_seen").asInstanceOf[Double] > 0.0)
+  }
+
   test("text stats: counts are consistent and positive") {
     val rows = TextAnalysis.textStats(spark, sf).collect()
     assert(rows.nonEmpty)
