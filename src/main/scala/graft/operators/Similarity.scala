@@ -256,11 +256,14 @@ object Similarity {
       .select(col("vec_id"),
         expr("size(embedding)").cast("long").as("n_dims"),
         col("scale_max"),
+        // serialized, not a raw ARRAY<BIGINT>: the verification driver's
+        // pandas hasher cannot sort ndarray cells, so arrays leave the
+        // engine as delimited strings (catalog-wide rule, see CatalogSpec)
         expr("""CASE WHEN scale_max = 0.0D
-               |  THEN transform(embedding, v -> CAST(0 AS BIGINT))
-               |  ELSE transform(embedding, v ->
-               |    CAST(floor(CAST(v AS DOUBLE) * 127.0D / scale_max + 0.5D) AS BIGINT))
-               |END""".stripMargin).as("q8"),
+               |  THEN array_join(transform(embedding, v -> '0'), ',')
+               |  ELSE array_join(transform(embedding, v ->
+               |    CAST(CAST(floor(CAST(v AS DOUBLE) * 127.0D / scale_max + 0.5D) AS BIGINT) AS STRING)), ',')
+               |END""".stripMargin).as("q8_csv"),
         expr("""CASE WHEN scale_max = 0.0D THEN 0.0D
                |  ELSE array_max(transform(embedding, v ->
                |    abs(CAST(v AS DOUBLE) -
@@ -290,10 +293,10 @@ object Similarity {
         |  CAST(len(e.embedding) AS BIGINT) AS n_dims,
         |  m.scale_max,
         |  CASE WHEN m.scale_max = 0
-        |    THEN list_transform(e.embedding, v -> CAST(0 AS BIGINT))
-        |    ELSE list_transform(e.embedding, v ->
-        |      CAST(floor(CAST(v AS DOUBLE) * 127.0 / m.scale_max + 0.5) AS BIGINT))
-        |  END AS q8,
+        |    THEN array_to_string(list_transform(e.embedding, v -> '0'), ',')
+        |    ELSE array_to_string(list_transform(e.embedding, v ->
+        |      CAST(CAST(floor(CAST(v AS DOUBLE) * 127.0 / m.scale_max + 0.5) AS BIGINT) AS VARCHAR)), ',')
+        |  END AS q8_csv,
         |  CASE WHEN m.scale_max = 0 THEN 0.0
         |    ELSE list_max(list_transform(e.embedding, v ->
         |      abs(CAST(v AS DOUBLE) -

@@ -35,6 +35,25 @@ class CatalogSpec extends SparkFunSuite {
     assert(results.filter(_.is_error).count() > 0)
   }
 
+  test("no query emits a raw array/map/struct column (driver hasher limit)") {
+    // The verification driver hashes results via a pandas sort over all
+    // output columns; an ArrayType cell arrives as an ndarray and pandas
+    // raises `TypeError: unhashable type` (round-3 q_embed_quantize).
+    // Catalog rule: complex values leave the engine serialized
+    // (array_join/to_json) or exploded to rows.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"queries emitting driver-unhashable columns:\n${offenders.mkString("\n")}")
+  }
+
   test("every catalog query executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
