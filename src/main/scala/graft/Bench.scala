@@ -16,12 +16,25 @@ import org.apache.spark.sql.SparkSession
   * the streaming queries' state-store churn); each timing should charge
   * the query, not its predecessor's garbage.
   *
+  * Each query runs SPARK_GRAFT_REPS times (default 3) and reports the
+  * MEDIAN — this box has documented steal time (isolated reruns of the
+  * same plan span ±2×), and a single-shot number can't distinguish a
+  * real regression from noise. The median also absorbs first-run
+  * codegen-compile cost.
+  *
+  * Output: the full one-line JSON (with the per-query map) first, then a
+  * SHORT summary line `{"metric","value","unit","sf"}` LAST — the driver
+  * captures a bounded stdout tail and the 119-query map outgrew it
+  * (round 3's line arrived head-truncated → unparseable); tail capture
+  * keeps line ends, so the short final line always survives intact.
+  *
   * Optional args: query names to bench (default: the whole catalog).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,24 +49,25 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        spark.catalog.clearCache()
-        System.gc()
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to reps).map { _ =>
+          spark.catalog.clearCache()
+          System.gc()
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> times(times.length / 2)
       }
-    // millisecond precision keeps the ONE json line as short as possible:
-    // the driver captures a bounded output tail, and full-precision
-    // doubles once pushed the line start past the buffer (round 2's
-    // BENCH json arrived truncated → unparseable)
     def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    // short summary LAST: the bounded tail always keeps this line whole
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size}}""")
     spark.stop()
   }
 }
