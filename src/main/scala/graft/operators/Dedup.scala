@@ -166,7 +166,30 @@ object Dedup {
     * logical tree doubles per round and Catalyst analysis time goes
     * exponential long before execution (which would have hit the cache)
     * even starts. On a cluster the same call (or `checkpoint()` for
-    * fault tolerance) does the truncation. */
+    * fault tolerance) does the truncation.
+    *
+    * Durability: `localCheckpoint` pins blocks to executor storage — fast,
+    * but a lost executor aborts the whole run, which is unacceptable for a
+    * multi-hour 100 TB job. Set `spark.graft.dedup.reliableCheckpoint=true`
+    * to route every truncation through `checkpoint()` against a reliable
+    * directory (`spark.graft.checkpointDir`, or SparkContext's configured
+    * dir, or a temp dir in local mode): recomputation after executor loss
+    * then restarts from the last round's HDFS/object-store files instead
+    * of from the raw corpus. */
+  private def truncateLineage(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val reliable =
+      s.conf.getOption("spark.graft.dedup.reliableCheckpoint").exists(_.toBoolean)
+    if (reliable) {
+      if (s.sparkContext.getCheckpointDir.isEmpty) {
+        val dir = s.conf.getOption("spark.graft.checkpointDir").getOrElse(
+          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        s.sparkContext.setCheckpointDir(dir)
+      }
+      df.checkpoint() // eager + reliable: survives executor loss
+    } else df.localCheckpoint()
+  }
+
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashPairs(s, d).select(col("d1"), col("d2")).persist()
     pairs.count()
@@ -182,7 +205,7 @@ object Dedup {
       .distinct()
       .join(bwd.select(col("d2").as("node"), col("mn")), Seq("node"), "left")
       .select(col("node"), coalesce(col("mn"), col("node")).as("lbl"))
-      .localCheckpoint()
+      .transform(truncateLineage)
     // Contract: project the directed pairs onto level-1 labels and dedup.
     // Dense components collapse to a handful of inter-label edges, so the
     // fixpoint loop below runs on a graph orders of magnitude smaller
@@ -197,9 +220,9 @@ object Dedup {
         greatest(col("ls"), col("ld")).as("dst"))
       .distinct()
     val cBoth = cEdges.union(cEdges.select(col("dst"), col("src")))
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst").transform(truncateLineage)
     var labels = cBoth.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint()
+      .withColumn("lbl", col("node")).transform(truncateLineage)
     var prevSum = Option(labels.agg(sum(col("lbl"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     var converged = labels.isEmpty // fully contracted already
@@ -211,13 +234,18 @@ object Dedup {
         .join(minNbr, col("l.node") === minNbr("dst"), "left")
         .select(col("l.node").as("node"),
           least(col("l.lbl"), coalesce(col("nlbl"), col("l.lbl"))).as("lbl"))
-        .localCheckpoint() // eager: materializes AND truncates lineage
+        .transform(truncateLineage) // eager: materializes AND truncates lineage
       val newSum = next.agg(sum(col("lbl"))).head().getLong(0)
       labels = next
       converged = newSum == prevSum
       prevSum = newSum
       iter += 1
     }
+    // Loudly fail rather than emit partial labels: the dense-corpus
+    // assumption (diameter ≤ a handful) holds here, but an adversarial
+    // chain graph could exhaust the round cap with labels still moving —
+    // silently-wrong cluster ids are worse than an aborted job.
+    require(converged, s"label propagation did not converge in $iter rounds")
     // Map level-1 labels through the contracted components; labels that
     // never appeared in a contracted edge are already component minima.
     val finalLabels = l1.as("a")

@@ -27,6 +27,26 @@ class DedupSpec extends SparkFunSuite {
     assert(clusters.values.forall { case (cid, sz, _) => bySize(cid).toLong === sz })
   }
 
+  test("clusters: reliable-checkpoint mode writes durable files and matches the default path") {
+    val expected = Dedup.dedupClusters(spark, sf).collect().toSeq
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt-spec").toString
+    spark.conf.set("spark.graft.dedup.reliableCheckpoint", "true")
+    spark.conf.set("spark.graft.checkpointDir", ckptDir)
+    try {
+      val durable = Dedup.dedupClusters(spark, sf).collect().toSeq
+      assert(durable === expected)
+      // the loop's label tables really went through checkpoint(): reliable
+      // RDD files exist under the configured dir, which is what a resumed
+      // recomputation after executor loss would read instead of the corpus
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"no reliable checkpoint files written under $ckptDir")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.reliableCheckpoint")
+      spark.conf.unset("spark.graft.checkpointDir")
+    }
+  }
+
   test("incremental dedup agrees with the full pair set on the delta slice") {
     val full = Dedup.dedupMinhash(spark, sf)
       .select(col("d1"), col("d2")).collect()
