@@ -42,6 +42,11 @@ case class ShingleExplode(child: Expression, width: Expression)
     else if (width.dataType != IntegerType || !width.foldable)
       TypeCheckResult.TypeCheckFailure(
         "shingle_explode expects a constant INT width")
+    else if (width.eval() == null)
+      // a foldable NULL would unbox to 0 and silently yield empty output;
+      // reject it at analysis time instead
+      TypeCheckResult.TypeCheckFailure(
+        "shingle_explode width must not be NULL")
     else TypeCheckResult.TypeCheckSuccess
   }
 
@@ -51,10 +56,13 @@ case class ShingleExplode(child: Expression, width: Expression)
     val v = child.eval(input)
     if (v == null) Iterator.empty
     else {
-      val s = v.asInstanceOf[UTF8String].toString
-      if (n <= 0 || s.length < n) Iterator.empty
-      else (0 to s.length - n).iterator.map { i =>
-        InternalRow(i + 1, UTF8String.fromString(s.substring(i, i + n)))
+      // Code-point-aware: positions count characters (not UTF-16 code
+      // units) and a shingle can never split a surrogate pair — matching
+      // how the SQL oracle counts characters for non-BMP text.
+      val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
+      if (n <= 0 || cps.length < n) Iterator.empty
+      else (0 to cps.length - n).iterator.map { i =>
+        InternalRow(i + 1, UTF8String.fromString(new String(cps, i, n)))
       }
     }
   }

@@ -277,8 +277,11 @@ object Relational3 {
       .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
         (dec(col("o_totalprice"), 12, 2) + dec(lit(10.00), 4, 2))
           .cast("double").as("o_totalprice"))
+      // insert keys offset by 1<<40 — far beyond any real orderkey at any
+      // SF (TPC-H max orderkey = 6M×SF), so synthesized inserts can never
+      // collide with base keys and silently become duplicate-key updates
       .union(orders(s, d).filter(col("o_orderkey") % 10 >= 8)
-        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        .select((col("o_orderkey") + (1L << 40)).as("o_orderkey"),
           lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
     base.as("b")
       .join(changes.as("u"), col("b.o_orderkey") === col("u.o_orderkey"), "full_outer")
@@ -320,7 +323,7 @@ object Relational3 {
         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10.00 AS DOUBLE) AS o_totalprice
         |  FROM orders WHERE o_orderkey % 10 < 4
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 'N', 1.0
+        |  SELECT o_orderkey + 1099511627776, 'N', 1.0
         |  FROM orders WHERE o_orderkey % 10 >= 8),
         |merged AS (
         |  SELECT COALESCE(u.o_orderstatus, b.o_orderstatus) AS st,

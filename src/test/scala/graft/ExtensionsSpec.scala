@@ -35,6 +35,19 @@ class ExtensionsSpec extends SparkFunSuite {
     }
   }
 
+  test("shingle_explode counts code points and rejects a NULL width") {
+    graft.functions.ShingleExplode.register(spark)
+    // "a😀b" is 3 characters but 4 UTF-16 units: code-point iteration must
+    // yield 2 bigram shingles and never split the surrogate pair
+    val rows = spark.sql("SELECT shingle_explode('a😀b', 2)").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "a😀"), (2, "😀b")))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT shingle_explode('abc', CAST(NULL AS INT))").collect()
+    }
+    assert(err.getMessage.contains("width must not be NULL"))
+  }
+
   test("typed Aggregator registers as a plain SQL UDAF (spark.udf.register)") {
     val s = spark
     import s.implicits._
