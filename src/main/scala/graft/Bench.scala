@@ -50,6 +50,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
+          CacheScope.releaseAll()
           spark.catalog.clearCache()
           System.gc()
           val t0 = System.nanoTime()

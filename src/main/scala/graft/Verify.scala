@@ -28,6 +28,7 @@ object Verify {
       }
       // operators may cache intermediates (e.g. dedupMinhash signatures);
       // don't let one query's blocks ride along into the next 90
+      CacheScope.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -75,8 +75,8 @@ object Dedup {
     // first, both branches race the cache and compute the aggregation
     // twice. (localCheckpoint was tried and measured 2x WORSE here: it
     // strips the stats AQE needs and the band join skews.) The cache is
-    // freed by the callers' per-query clearCache (Bench) / session teardown.
-    val sigs = signatures(s, d).persist()
+    // registered with CacheScope; the consumer releases it after its action.
+    val sigs = graft.CacheScope.track(signatures(s, d).persist())
     sigs.count()
     // Signatures ride along with the band keys, so candidate match-counting
     // happens INSIDE the band self-join — no join-back of two sig copies
@@ -123,7 +123,7 @@ object Dedup {
     * doc: its canonical base match (min doc_id), how many base near-dups
     * it has, and an is_new flag for docs the corpus has never seen. */
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
-    val sigs = signatures(s, d).persist()
+    val sigs = graft.CacheScope.track(signatures(s, d).persist())
     sigs.count()
     val bands = bandsOf(sigs)
     val base = bands.filter(col("doc_id") % 10 < 8)
@@ -191,7 +191,8 @@ object Dedup {
   }
 
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashPairs(s, d).select(col("d1"), col("d2")).persist()
+    val pairs = graft.CacheScope.track(
+      minhashPairs(s, d).select(col("d1"), col("d2")).persist())
     pairs.count()
     // Level 1 — every node takes min(self, direct neighbors), computed
     // WITHOUT materializing the 2× symmetric edge list: pairs carry
@@ -283,10 +284,10 @@ object Dedup {
   /** Shingle table, cached eagerly: the transform (~2.5 s/scan at sf0.1)
     * feeds the candidate generation AND both verification joins — one
     * cached copy serves every branch (a fresh derivation per branch was
-    * measured as ~2× the whole query's scan cost). Freed by the callers'
-    * per-query clearCache (Bench/Verify) / session teardown. */
+    * measured as ~2× the whole query's scan cost). Registered with
+    * CacheScope; the consumer releases it after its action. */
   private def cachedShingles(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleSets(s, d).persist()
+    val sh = graft.CacheScope.track(shingleSets(s, d).persist())
     sh.count()
     sh
   }
@@ -307,6 +308,7 @@ object Dedup {
       .filter(col("rk") <= expr("n - (3*n + 4) DIV 5 + 1"))
       .select(col("sh"), col("source"), col("doc_id"), col("n"))
       .persist()
+    graft.CacheScope.track(prefixes)
     prefixes.count()
     // the size filter runs inside the candidate join too: a qualifying
     // pair has jaccard <= min(n)/max(n), so mismatched sizes never even

@@ -111,6 +111,7 @@ object Similarity {
       .filter(col("crk") <= 2)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"), col("crk"))
       .persist()
+    graft.CacheScope.track(top2)
     top2.count()
     val assigned = top2.filter(col("crk") === 1)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"),

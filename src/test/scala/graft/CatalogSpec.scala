@@ -64,6 +64,22 @@ class CatalogSpec extends SparkFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("persisting queries leave no cache behind after CacheScope release") {
+    // every operator that persists an intermediate must route it through
+    // CacheScope.track, so a long-lived multi-tenant session can release
+    // exactly the engine's blocks after each action (clearCache would
+    // evict other tenants' caches too)
+    val persisting = Seq("q_dedup_minhash", "q_dedup_incremental",
+      "q_dedup_clusters", "q_dedup_ngram", "q_knn_ivf")
+    spark.catalog.clearCache()
+    for (name <- persisting) {
+      SparkEntry.queries(name)(spark, sf).count()
+      CacheScope.releaseAll()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left cached plans behind after CacheScope.releaseAll()")
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
