@@ -91,6 +91,42 @@ case class SortedLongIntersect(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[FloatVecDot]] over array<double> inputs — the learned-centroid path
+  * (Lloyd means are doubles). Same sequential double fold, so a widened
+  * float vector dotted with itself gives bit-identical results to the
+  * float expression. */
+case class DoubleVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int vdN = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double vdS = 0.0;
+         |for (int vdI = 0; vdI < vdN; vdI++) {
+         |  vdS += $a.getDouble(vdI) * $b.getDouble(vdI);
+         |}
+         |${ev.value} = vdS;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** Register `vec_dot` in the session's function registry (idempotent —
@@ -98,6 +134,8 @@ object VectorFunctions {
   def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot_d", exprs => DoubleVecDot(exprs(0), exprs(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect", exprs => SortedLongIntersect(exprs(0), exprs(1)), "built-in")
   }

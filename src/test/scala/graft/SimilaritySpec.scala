@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions.{avg, col}
+
+class SimilaritySpec extends SparkFunSuite {
+
+  test("Lloyd step improves the IVF quantizer objective (mean assigned-centroid cosine)") {
+    // Spherical k-means (cosine assignment + per-cell mean) monotonically
+    // improves THIS quantity — it is what IVF cell residency optimizes.
+    // Recall@k is not monotone on this near-isotropic synthetic corpus
+    // (measured 0.88→0.80 over iters 0–4 at sf0.001 AND sf0.01), so it is
+    // reported for information, not asserted. See knnIvf's scaladoc.
+    def objective(iters: Int): Double =
+      Similarity.ivfTop2(spark, sf, iters).filter(col("crk") === 1)
+        .agg(avg(col("cs"))).head().getDouble(0)
+    def recall(iters: Int): Double = {
+      val brute3 = Similarity.knnBrute(spark, sf).filter(col("rn") <= 3).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      val got = Similarity.knnIvfImpl(spark, sf, iters).filter(col("qid") < 20)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      brute3.intersect(got).size.toDouble / brute3.size
+    }
+    try {
+      val seedObj = objective(0)
+      val lloydObj = objective(1)
+      info(f"IVF quantizer objective: seed=$seedObj%.4f lloyd=$lloydObj%.4f")
+      info(f"IVF recall@3 (informational): seed=${recall(0)}%.3f lloyd=${recall(1)}%.3f")
+      assert(lloydObj >= seedObj,
+        f"Lloyd step worsened the quantizer objective: $lloydObj%.4f < $seedObj%.4f")
+    } finally CacheScope.releaseAll()
+  }
+}
