@@ -408,6 +408,83 @@ object Streaming {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** Stream-stream FULL OUTER join: null-extension on BOTH sides, each
+    * produced by its own state-eviction rule. The two sides expire at
+    * different horizons because the time-interval condition is asymmetric:
+    * a click can match purchases in [click_ts, click_ts+10min], so an
+    * unmatched click emits only once the watermark passes click_ts+10min;
+    * a purchase can match clicks in [purchase_ts−10min, purchase_ts], and
+    * any future click below the watermark is dropped as late, so an
+    * unmatched purchase emits once the watermark passes purchase_ts
+    * itself. The oracle replays both cutoffs against the final global
+    * watermark (min of the two sides' max event times, 0s delay) — rows
+    * still inside their horizon stay open in the store and never emit. */
+  def streamStreamFullJoin(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "0 seconds")
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "0 seconds")
+    val joined = clicks.join(purchases,
+      expr("""user_id = p_user AND
+             |purchase_ts >= click_ts AND
+             |purchase_ts <= click_ts + INTERVAL 10 MINUTES""".stripMargin),
+      "full_outer")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val res =
+      try runToMemory(s, joined, "graft_stream_stream_full", "append")
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // user_id comes from the CLICK side — null for unmatched purchases;
+    // p_user carries the purchase's user so no output row loses its key
+    res.select(col("click_id"), col("purchase_id"),
+        col("user_id"), col("p_user"),
+        unix_millis(col("click_ts")).as("click_ms"),
+        unix_millis(col("purchase_ts")).as("purchase_ms"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  /** Time-interval LEFT join with NON-ZERO watermark delays (clicks 30 s,
+    * purchases 2 min — per-side delays, the realistic configuration where
+    * the two feeds have different lateness SLAs). The global watermark is
+    * min(max click_ts − 30 s, max purchase_ts − 2 min): delays shift the
+    * eviction horizon, so strictly MORE clicks stay open than in the 0 s
+    * variant ([[streamStreamLeftJoin]]) — the oracle replays the shifted
+    * cutoff, which is exactly what a wrong delay handling would break.
+    * Matches are unaffected (single data micro-batch, then the no-data
+    * batch advances the watermark and flushes expired state). */
+  def streamStreamLeftDelayed(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "30 seconds")
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 minutes")
+    val joined = clicks.join(purchases,
+      expr("""user_id = p_user AND
+             |purchase_ts >= click_ts AND
+             |purchase_ts <= click_ts + INTERVAL 10 MINUTES""".stripMargin),
+      "left_outer")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val res =
+      try runToMemory(s, joined, "graft_stream_stream_left_delay", "append")
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    res.select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_millis(col("click_ts")).as("click_ms"),
+        unix_millis(col("purchase_ts")).as("purchase_ms"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** foreachBatch sink: each micro-batch is handed to arbitrary batch
     * writer code (here: parquet appends into a landing dir — the idiom for
     * sinks Structured Streaming doesn't speak natively, the engine analog
@@ -447,6 +524,8 @@ object Streaming {
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_stream_stream_join" -> (streamStreamJoin _),
     "q_stream_stream_left" -> (streamStreamLeftJoin _),
+    "q_stream_stream_full" -> (streamStreamFullJoin _),
+    "q_stream_stream_left_delay" -> (streamStreamLeftDelayed _),
     "q_stream_foreachbatch" -> (streamForeachBatch _)
   )
 
@@ -570,6 +649,67 @@ object Streaming {
         |    AND p.purchase_ms <= c.click_ms + 600000),
         |wm AS (SELECT LEAST((SELECT MAX(click_ms) FROM c),
         |                    (SELECT MAX(purchase_ms) FROM p)) AS w),
+        |um AS (
+        |  SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id,
+        |    c.click_ms, CAST(NULL AS BIGINT) AS purchase_ms
+        |  FROM c, wm
+        |  WHERE c.click_id NOT IN (SELECT click_id FROM m)
+        |    AND c.click_ms + 600000 < wm.w)
+        |SELECT * FROM m UNION ALL SELECT * FROM um
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+
+    // inner matches UNION ALL expired unmatched CLICKS (horizon
+    // click_ms+10min < wm) UNION ALL expired unmatched PURCHASES (horizon
+    // purchase_ms < wm — the asymmetric bound the time-interval condition
+    // implies); wm = min(max click_ms, max purchase_ms), 0s delay
+    "q_stream_stream_full" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_ms(ts) AS click_ms
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id AS p_user, epoch_ms(ts) AS purchase_ms
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT c.click_id, p.purchase_id, c.user_id, p.p_user,
+        |    c.click_ms, p.purchase_ms
+        |  FROM c JOIN p ON p.p_user = c.user_id
+        |    AND p.purchase_ms >= c.click_ms
+        |    AND p.purchase_ms <= c.click_ms + 600000),
+        |wm AS (SELECT LEAST((SELECT MAX(click_ms) FROM c),
+        |                    (SELECT MAX(purchase_ms) FROM p)) AS w),
+        |uc AS (
+        |  SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id,
+        |    CAST(NULL AS BIGINT) AS p_user, c.click_ms,
+        |    CAST(NULL AS BIGINT) AS purchase_ms
+        |  FROM c, wm
+        |  WHERE c.click_id NOT IN (SELECT click_id FROM m)
+        |    AND c.click_ms + 600000 < wm.w),
+        |up AS (
+        |  SELECT CAST(NULL AS BIGINT) AS click_id, p.purchase_id,
+        |    CAST(NULL AS BIGINT) AS user_id, p.p_user,
+        |    CAST(NULL AS BIGINT) AS click_ms, p.purchase_ms
+        |  FROM p, wm
+        |  WHERE p.purchase_id NOT IN (SELECT purchase_id FROM m)
+        |    AND p.purchase_ms < wm.w)
+        |SELECT * FROM m UNION ALL SELECT * FROM uc UNION ALL SELECT * FROM up
+        |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
+
+    // the 0s-variant oracle with the watermark SHIFTED by the per-side
+    // delays: wm = min(max click_ms − 30000, max purchase_ms − 120000)
+    "q_stream_stream_left_delay" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_ms(ts) AS click_ms
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id AS p_user, epoch_ms(ts) AS purchase_ms
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT c.click_id, p.purchase_id, c.user_id, c.click_ms, p.purchase_ms
+        |  FROM c JOIN p ON p.p_user = c.user_id
+        |    AND p.purchase_ms >= c.click_ms
+        |    AND p.purchase_ms <= c.click_ms + 600000),
+        |wm AS (SELECT LEAST((SELECT MAX(click_ms) - 30000 FROM c),
+        |                    (SELECT MAX(purchase_ms) - 120000 FROM p)) AS w),
         |um AS (
         |  SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id,
         |    c.click_ms, CAST(NULL AS BIGINT) AS purchase_ms

@@ -152,4 +152,28 @@ class StreamingSpec extends SparkFunSuite {
     assert(got.getLong(1) === 4L, "row count: a replayed batch duplicated rows")
     assert(got.getDouble(2) === 100.0)
   }
+
+  test("stream-stream FULL outer null-extends BOTH sides on watermark expiry") {
+    val rows = Streaming.streamStreamFullJoin(spark, sf).collect()
+    val nullPurchase = rows.count(_.isNullAt(1)) // unmatched click, expired
+    val nullClick = rows.count(_.isNullAt(0))    // unmatched purchase, expired
+    val matched = rows.count(r => !r.isNullAt(0) && !r.isNullAt(1))
+    info(s"full outer: $matched matched, $nullPurchase click-only, $nullClick purchase-only")
+    assert(nullPurchase > 0, "no click-side null extension emitted")
+    assert(nullClick > 0, "no purchase-side null extension emitted")
+    // every row keeps a key: user_id (click side) or p_user (purchase side)
+    assert(rows.forall(r => !r.isNullAt(2) || !r.isNullAt(3)))
+  }
+
+  test("non-zero watermark delays keep strictly more clicks open than the 0s variant") {
+    val zeroOpen = Streaming.streamStreamLeftJoin(spark, sf).collect()
+      .count(_.isNullAt(1))
+    val delayedOpen = Streaming.streamStreamLeftDelayed(spark, sf).collect()
+      .count(_.isNullAt(1))
+    info(s"unmatched clicks emitted: 0s-delay=$zeroOpen delayed=$delayedOpen")
+    // the delayed watermark sits EARLIER, so fewer unmatched clicks have
+    // provably expired — fewer null-extended rows may emit, never more
+    assert(delayedOpen <= zeroOpen)
+    assert(delayedOpen > 0, "delayed variant emitted no null-extended rows at all")
+  }
 }
