@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: Bernoulli sampling is a pure per-row predicate — pushed to
   * the scan, no shuffle, no driver coordination. Stratified top-n needs one
-  * hash exchange on the stratum key; per-stratum heaps bound memory (this
-  * uses rank-within-window, whose sort AQE sizes per stratum — for huge
-  * strata swap in [[graft.plans.TopKPerGroupOp]], same contract).
+  * hash exchange on the stratum key; per-stratum O(k) heaps bound memory
+  * ([[graft.plans.TopKPerGroupOp]] — no per-stratum sort anywhere in the
+  * plan).
   */
 object Sampling {
 
@@ -33,17 +33,34 @@ object Sampling {
 
   /** Stratified sample: exactly 20 orders per priority stratum, chosen by
     * hash order (md5 of the key) — deterministic proportional-ish
-    * allocation without a global sort; ties broken by the key itself. */
-  def sampleStratified(s: SparkSession, d: String): DataFrame =
-    orders(s, d)
-      .withColumn("hk", md5(col("o_orderkey").cast("string")))
+    * allocation; ties broken by the key itself.
+    *
+    * Selection runs through the custom bounded-memory operator
+    * ([[graft.plans.TopKPerGroupOp]]: one hash exchange, O(k) heap per
+    * stratum, spill-guarded) instead of a per-stratum window SORT — at
+    * 100 TB a stratum is millions of rows and a full sort per stratum is
+    * the scale bug. The op's contract is (score DOUBLE desc, tie LONG
+    * asc), so the ranking hash is the NUMERIC value of the md5's first 13
+    * hex chars (52 bits — double-exact), negated; the oracle orders by the
+    * same 13-char prefix lexicographically, which for fixed-width hex is
+    * the identical order, with the key as tie-breaker on both sides —
+    * no cross-engine divergence at any scale. The post-selection
+    * row_number ranks only the k·strata survivors (≤100 rows), not the
+    * input. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+      .withColumn("nscore",
+        -expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 13), 16, 10) AS DOUBLE)"))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("nscore"))
+    graft.plans.TopKPerGroupOp.topK(base, "o_orderpriority", "nscore", "o_orderkey", 20)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("hk"), col("o_orderkey"))))
-      .filter(col("rk") <= 20)
+          .orderBy(col("nscore").desc, col("o_orderkey"))))
       .select(col("o_orderpriority"), col("rk").cast("long").as("rk"),
         col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderpriority"), col("rk"))
+  }
 
   /** Deterministic train/val/test split (13/2/1 sixteenths by the first
     * hex digit of md5(doc_id)): the assignment is a pure function of the
@@ -93,7 +110,7 @@ object Sampling {
       """WITH ranked AS (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rk
+        |      ORDER BY substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13), o_orderkey) AS rk
         |  FROM orders)
         |SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
         |FROM ranked WHERE rk <= 20

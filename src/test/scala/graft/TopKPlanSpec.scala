@@ -123,4 +123,29 @@ class TopKPlanSpec extends SparkFunSuite {
     assert(better(false, 2.0, 5, false, 1.0, 1))  // score desc
     assert(better(false, 2.0, 1, false, 2.0, 5))  // tie asc
   }
+
+  test("stratified sample selects via the custom op with no sort below it") {
+    val df = operators.Sampling.sampleStratified(spark, sf)
+    df.queryExecution.toRdd.count() // finalize THIS instance's AQE plan
+    val plan = df.queryExecution.executedPlan
+    val execs = findExecs(plan)
+    assert(execs.nonEmpty, "stratified sampling no longer uses TopKPerGroupExec")
+    // the input side must reach the op heap-selected, never sorted — the
+    // only Sorts allowed are ABOVE the op (ranking the <=100 survivors)
+    def sortsBelow(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val self = p match {
+        case _: org.apache.spark.sql.execution.SortExec => Seq(p.nodeName)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(sortsBelow)
+    }
+    val below = execs.flatMap(e => sortsBelow(e.child))
+    assert(below.isEmpty, s"full input sort below the top-k op: $below")
+  }
 }
