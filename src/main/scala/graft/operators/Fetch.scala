@@ -45,6 +45,51 @@ object Fetch {
     }
   }
 
+  /** Production transport: `java.net.http.HttpClient` (the JDK client —
+    * connection pooling, HTTP/2, redirect following). The status mapping
+    * follows the operator's taxonomy: 404/410 and other non-retryable 4xx
+    * are record-level [[NotFound]] (retrying cannot help — the in-band
+    * error row); 408/429/5xx and connect/IO failures are [[TransientError]]
+    * (bounded in-operator retry, then task reschedule). The client itself
+    * is `@transient lazy` — each executor builds its own on first fetch and
+    * reuses it for the partition; only the timeout config serializes with
+    * the UDF closure. The sandbox has no egress, so the catalog default
+    * stays [[SyntheticStore]]; FetchSpec drives this class against an
+    * in-process HTTP server. */
+  final class HttpTransport(connectTimeoutMs: Long = 5000L,
+      requestTimeoutMs: Long = 30000L) extends Transport {
+    @transient private lazy val client: java.net.http.HttpClient =
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+        .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+        .build()
+    override def fetch(ref: String): Array[Byte] = {
+      val req =
+        try java.net.http.HttpRequest.newBuilder(java.net.URI.create(ref))
+          .timeout(java.time.Duration.ofMillis(requestTimeoutMs)).GET().build()
+        catch { // unparseable ref = bad record, not infra
+          case e: IllegalArgumentException =>
+            throw new NotFound(s"bad ref $ref: ${e.getMessage}")
+        }
+      val resp =
+        try client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        catch {
+          case e: java.io.IOException =>
+            throw new TransientError(s"$ref: ${e.getMessage}")
+          case _: InterruptedException =>
+            Thread.currentThread().interrupt()
+            throw new TransientError(s"$ref: interrupted")
+        }
+      resp.statusCode() match {
+        case 200 | 206 => resp.body()
+        case 404 | 410 => throw new NotFound(s"$ref -> ${resp.statusCode()}")
+        case 408 | 429 => throw new TransientError(s"$ref -> ${resp.statusCode()}")
+        case s if s >= 500 => throw new TransientError(s"$ref -> $s")
+        case s => throw new NotFound(s"$ref -> $s")
+      }
+    }
+  }
+
   @volatile private var transport: Transport = SyntheticStore
   def use(t: Transport): Unit = { transport = t }
   def current: Transport = transport

@@ -60,4 +60,50 @@ class FetchSpec extends SparkFunSuite {
     assert(errs.forall(_.getAs[String]("input_ref").startsWith("doc://src19/")))
     assert(oks.forall(_.getAs[String]("output").startsWith("fetched:")))
   }
+
+  test("HttpTransport against an in-process server: payload, 404, retry-then-ok, 5xx exhaustion") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val flakyHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    def handle(path: String)(f: HttpExchange => Unit): Unit =
+      server.createContext(path, (x: HttpExchange) => try f(x) finally x.close())
+    def respond(x: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+      x.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) x.getResponseBody.write(body)
+    }
+    handle("/ok") { x => respond(x, 200, "payload-bytes".getBytes("UTF-8")) }
+    handle("/missing") { x => respond(x, 404, Array.emptyByteArray) }
+    handle("/flaky") { x => // 503 twice, then serve — inside the retry budget
+      if (flakyHits.incrementAndGet() <= 2) respond(x, 503, Array.emptyByteArray)
+      else respond(x, 200, "eventually".getBytes("UTF-8"))
+    }
+    handle("/down") { x => respond(x, 500, Array.emptyByteArray) }
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    val http = new Fetch.HttpTransport()
+    try {
+      assert(new String(http.fetch(s"$base/ok"), "UTF-8") === "payload-bytes")
+
+      val (p404, err) = Fetch.fetchWithRetry(http, s"$base/missing")
+      assert(p404 === null)
+      assert(err === "Error: PDF file not found - graft.operators.Fetch$NotFound")
+
+      val (pFlaky, errFlaky) = Fetch.fetchWithRetry(http, s"$base/flaky")
+      assert(errFlaky === null)
+      assert(new String(pFlaky, "UTF-8") === "eventually")
+      assert(flakyHits.get() === 3, "expected 2 transient failures then success")
+
+      intercept[Fetch.TransientError] { Fetch.fetchWithRetry(http, s"$base/down") }
+
+      // connection-refused (nothing listens on the ephemeral port after
+      // shutdown of a throwaway socket) is infra, not a record error
+      val free = { val ss = new java.net.ServerSocket(0)
+        try ss.getLocalPort finally ss.close() }
+      intercept[Fetch.TransientError] { http.fetch(s"http://127.0.0.1:$free/x") }
+
+      // an unparseable ref is a bad RECORD -> in-band error, no retry storm
+      val (pBad, errBad) = Fetch.fetchWithRetry(http, "http://[not a uri")
+      assert(pBad === null && errBad != null)
+    } finally server.stop(0)
+  }
 }
