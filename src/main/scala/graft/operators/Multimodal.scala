@@ -51,28 +51,85 @@ object Multimodal {
       .as[MediaIn]
   }
 
-  /** STUB decode: deterministic synthesis of what a real decoder would
-    * return (dimensions, duration, content checksum). A production build
-    * swaps the body for the codec call; the iterator shape, schema and
-    * partitioning stay identical. */
-  private def decodeOne(m: MediaIn): MediaMeta = {
-    val n = m.content.length.toLong
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val checksum = md.digest(m.content).map("%02x".format(_)).mkString
-    MediaMeta(m.doc_id, m.modality, n,
-      width = 64L + n % 640L,
-      height = 64L + (n * 7L) % 480L,
-      duration_ms = if (m.modality == "image") 0L else (n * 13L) % 90000L,
-      checksum = checksum)
+  /** What a codec reports for one payload. */
+  final case class MediaDims(width: Long, height: Long, durationMs: Long)
+
+  /** Pluggable per-modality codec (the media twin of [[Fetch.Transport]]):
+    * `probe` inspects the payload bytes and reports dimensions/duration.
+    * Record-level decode failures throw — at the operator layer they'd
+    * surface in-band exactly like Fetch's error taxonomy. Implementations
+    * must serialize (registered codecs ride the mapPartitions closure);
+    * keep any native handle `@transient lazy` like
+    * [[Fetch.HttpTransport]]'s client. */
+  trait MediaCodec extends Serializable {
+    def probe(content: Array[Byte]): MediaDims
   }
 
-  /** Partition-batched decode: one iterator per partition (codec init
-    * would live at the top of the lambda, amortized across the batch). */
+  /** Default codec: deterministic synthesis of what a real decoder would
+    * return, as analytic functions of the payload length — the
+    * oracle-able fake. `still` = no time axis (images). */
+  final class SyntheticCodec(still: Boolean) extends MediaCodec {
+    override def probe(content: Array[Byte]): MediaDims = {
+      val n = content.length.toLong
+      MediaDims(64L + n % 640L, 64L + (n * 7L) % 480L,
+        if (still) 0L else (n * 13L) % 90000L)
+    }
+  }
+
+  /** REAL image codec over the seam (javax.imageio): the registration a
+    * production image corpus uses — the full decode→resize→featurize path
+    * it enables is exercised by [[imagePipeline]]. */
+  object JdkImageCodec extends MediaCodec {
+    override def probe(content: Array[Byte]): MediaDims = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) throw new java.io.IOException("undecodable image payload")
+      MediaDims(img.getWidth.toLong, img.getHeight.toLong, 0L)
+    }
+  }
+
+  /** REAL audio codec over the seam (javax.sound.sampled WAV/AIFF). */
+  object JdkAudioCodec extends MediaCodec {
+    override def probe(content: Array[Byte]): MediaDims = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try MediaDims(0L, 0L,
+        ais.getFrameLength * 1000L / ais.getFormat.getSampleRate.toLong)
+      finally ais.close()
+    }
+  }
+
+  /** The registry: modality tag → codec. Video's default is the synthetic
+    * codec because no video codec ships in this container — but it is now
+    * a REGISTRATION, not a hardcoded branch: a production build calls
+    * `Multimodal.use("video", FfmpegCodec)` and the decode operator below
+    * is untouched. */
+  @volatile private var codecs: Map[String, MediaCodec] = defaultCodecs
+  private def defaultCodecs: Map[String, MediaCodec] = Map(
+    "image" -> new SyntheticCodec(still = true),
+    "audio" -> new SyntheticCodec(still = false),
+    "video" -> new SyntheticCodec(still = false))
+  def use(modality: String, codec: MediaCodec): Unit =
+    codecs = codecs + (modality -> codec)
+  def resetCodecs(): Unit = codecs = defaultCodecs
+
+  /** Partition-batched decode through the codec registry: one iterator per
+    * partition (a stateful codec amortizes its init across the batch via
+    * its own `@transient lazy` state). The registry snapshot is captured at
+    * PLAN time — a mid-job `use(...)` cannot split a run between codecs. */
   def decode(media: Dataset[MediaIn]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
+    val reg = codecs
     media.mapPartitions { it =>
-      // (real build: val codec = Codec.open() here, closed at end)
-      it.map(decodeOne)
+      it.map { m =>
+        val codec = reg.getOrElse(m.modality,
+          throw new IllegalArgumentException(s"no codec registered for '${m.modality}'"))
+        val dims = codec.probe(m.content)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        MediaMeta(m.doc_id, m.modality, m.content.length.toLong,
+          dims.width, dims.height, dims.durationMs,
+          md.digest(m.content).map("%02x".format(_)).mkString)
+      }
     }
   }
 
