@@ -26,6 +26,7 @@ object SparkEntry {
     operators.Fetch.queries ++
     operators.TextAnalysis.queries ++
     operators.Sampling.queries ++
+    operators.Corpus.queries ++
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.EventsOps.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
     operators.Fetch.oracle ++
     operators.TextAnalysis.oracle ++
     operators.Sampling.oracle ++
+    operators.Corpus.oracle ++
     operators.Dedup.oracle ++
     operators.Similarity.oracle ++
     operators.EventsOps.oracle ++

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators — the step between curation (dedup/quality/
+  * sampling, elsewhere in this package) and the trainer: chunking long
+  * documents into model-window pieces, packing documents into fixed
+  * token-budget training sequences, and building a token inverted index
+  * for corpus inspection. All three are shaped for 100 TB first:
+  * chunking is a pure per-row generator (scan speed, no shuffle),
+  * packing is shard-parallel (a window over `doc_id % SHARDS`, never a
+  * global order), and the index bounds its posting lists through the
+  * custom top-k operator instead of an unbounded `collect_set`.
+  */
+object Corpus {
+
+  /** Sliding-window chunker: WINDOW=64 tokens, STRIDE=48 (16-token
+    * overlap) — the RAG/pretraining chunk shape. Chunk i of a doc covers
+    * tokens [i·48+1, min(i·48+64, n)]; starts run while i·48 < n, so every
+    * token lands in ≥1 chunk and a doc shorter than one window yields
+    * exactly one chunk. Pure per-row arithmetic + explode: at 100 TB this
+    * is scan → generate → write, no exchange anywhere. */
+  def textChunks(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("chunk_id",
+        explode(expr("sequence(0, CAST(ceil(n / 48.0) AS INT) - 1)")))
+      .select(
+        col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * 48 + 1).cast("long").as("tok_start"),
+        least(col("chunk_id") * 48 + 64, col("n")).cast("long").as("tok_end"),
+        expr("array_join(slice(toks, chunk_id * 48 + 1, 64), ' ')").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Sequence packing: assign whole documents to fixed token-budget
+    * training sequences (BUDGET=512) by greedy sequential fill inside a
+    * shard. `bin = (running_token_count − n_tokens) DIV budget` — a doc
+    * goes to the bin where its start offset lands, so a bin overflows by
+    * at most its last doc (the standard don't-split-documents packer
+    * trade; the fill stats expose it). Sharding (`doc_id % 8`) is what
+    * makes this scale: the window runs per shard in parallel — there is
+    * NO global-order cumsum, which at 100 TB would serialize on one
+    * partition. More shards = more parallelism, same semantics. */
+  def seqPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        expr("size(split(text, ' '))").cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", ((col("cum") - col("n_tokens")) / 512).cast("long"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .select(col("shard"), col("bin"), col("n_docs"),
+        col("seq_tokens").cast("long").as("seq_tokens"),
+        col("first_doc"), col("last_doc"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  /** Token inverted index with BOUNDED posting lists: term/document
+    * frequencies by hash aggregation (map-side partials), plus the 10
+    * lowest doc_ids per token as a posting sample — selected by
+    * [[graft.plans.TopKPerGroupOp]] (O(k) heap per token), NOT by
+    * `collect_set` + sort, whose per-token state for a stopword at 100 TB
+    * is the whole corpus. A production index writes full postings
+    * bucketed-by-token; the stats + bounded-sample shape here is the
+    * inspection/debug surface of that build. */
+  def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val stats = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+    val perDoc = toks.distinct()
+      .withColumn("nscore", -col("doc_id").cast("double"))
+    val sample = graft.plans.TopKPerGroupOp
+      .topK(perDoc, "token", "nscore", "doc_id", 10)
+      .groupBy(col("token"))
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings_sample"))
+    stats.join(sample, "token")
+      .select(col("token"), col("tf"), col("df"), col("postings_sample"))
+      .orderBy(col("token"))
+  }
+
+  // --------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_chunks" -> (textChunks _),
+    "q_seq_pack" -> (seqPack _),
+    "q_inverted_index" -> (invertedIndex _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, toks, unnest(range(CAST(ceil(n / 48.0) AS BIGINT))) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, chunk_id,
+        |  chunk_id * 48 + 1 AS tok_start,
+        |  least(chunk_id * 48 + 64, n) AS tok_end,
+        |  array_to_string(list_slice(toks, chunk_id * 48 + 1,
+        |    least(chunk_id * 48 + 64, n)), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT shard, (cum - n_tokens) // 512 AS bin,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY shard, (cum - n_tokens) // 512
+        |ORDER BY shard, bin""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |s AS (
+        |  SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |  FROM t GROUP BY token),
+        |d AS (SELECT DISTINCT token, doc_id FROM t),
+        |r AS (
+        |  SELECT token, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |  FROM d),
+        |p AS (
+        |  SELECT token, array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings_sample
+        |  FROM r WHERE rn <= 10 GROUP BY token)
+        |SELECT s.token, CAST(s.tf AS BIGINT) AS tf, CAST(s.df AS BIGINT) AS df,
+        |  p.postings_sample
+        |FROM s JOIN p ON s.token = p.token
+        |ORDER BY s.token""".stripMargin
+  )
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly invariants the oracle's value-compare can't state
+  * directly: chunk coverage/overlap and packing conservation. */
+class CorpusSpec extends SparkFunSuite {
+
+  test("chunker covers every token, strides at 48, chunk length matches span") {
+    val chunks = Corpus.textChunks(spark, sf)
+      .withColumn("n_chunk_toks", size(split(col("chunk_text"), " ")).cast("long"))
+      .collect()
+    assert(chunks.nonEmpty)
+    chunks.foreach { r =>
+      assert(r.getAs[Long]("tok_start") === r.getAs[Long]("chunk_id") * 48 + 1)
+      assert(r.getAs[Long]("n_chunk_toks") ===
+        r.getAs[Long]("tok_end") - r.getAs[Long]("tok_start") + 1)
+    }
+    // last chunk of every doc ends exactly at the doc's token count
+    val docTokens = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("size(split(text, ' '))").cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, cs) =>
+      assert(cs.map(_.getAs[Long]("tok_end")).max === docTokens(id),
+        s"doc $id: tail tokens uncovered")
+    }
+  }
+
+  test("packer conserves tokens and keeps bins dense per shard") {
+    val packed = Corpus.seqPack(spark, sf).collect()
+    val total = graft.Tables.documents(spark, sf)
+      .agg(sum(expr("size(split(text, ' '))"))).head().getLong(0)
+    assert(packed.map(_.getAs[Long]("seq_tokens")).sum === total,
+      "packing lost or duplicated tokens")
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (shard, bins) =>
+      val ids = bins.map(_.getAs[Long]("bin")).sorted
+      assert(ids === (0L until ids.length).toArray.toSeq.toArray,
+        s"shard $shard: bin ids not dense: ${ids.mkString(",")}")
+    }
+  }
+}
