@@ -88,12 +88,45 @@ object Corpus {
       .orderBy(col("token"))
   }
 
+  /** Eval-set contamination check: flag training documents that share any
+    * word 3-gram with a held-out eval set — the benchmark-leak gate every
+    * serious pretraining pipeline runs before training. Eval membership is
+    * `doc_id % 97 = 0` here (a stand-in for the real benchmark corpus).
+    *
+    * Scale shape: the eval side is small by construction (benchmarks are
+    * thousands of docs, the corpus is billions), so its gram set is
+    * BROADCAST — the 100 TB training side streams through a broadcast hash
+    * join with no shuffle; only the per-pair overlap agg exchanges, and
+    * its input is already contamination-sized, not corpus-sized. Grams are
+    * md5-hashed before the join so join keys are fixed-width, not text.
+    * Docs shorter than the gram width contribute no grams (guarding
+    * Spark's descending `sequence(1, n<1)` footgun). Width is 3 here
+    * because the synthetic corpus draws from a ~40-word vocabulary —
+    * real pipelines use 8-13-gram windows, same plan. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    def grams(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idAs), explode(
+        expr("transform(sequence(1, size(toks) - 2), i -> md5(array_join(slice(toks, i, 3), ' ')))"))
+        .as("g"))
+      .distinct()
+    val docs = documents(s, d)
+    val eval = grams(docs.filter(col("doc_id") % 97 === 0), "eval_doc")
+    val train = grams(docs.filter(col("doc_id") % 97 =!= 0), "train_doc")
+    train.join(broadcast(eval), "g")
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_chunks" -> (textChunks _),
     "q_seq_pack" -> (seqPack _),
-    "q_inverted_index" -> (invertedIndex _)
+    "q_inverted_index" -> (invertedIndex _),
+    "q_contamination" -> (contamination _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -128,6 +161,25 @@ object Corpus {
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY shard, (cum - n_tokens) // 512
         |ORDER BY shard, bin""".stripMargin,
+
+    "q_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |ix AS (
+        |  SELECT doc_id, toks, unnest(range(1, n - 1)) AS i
+        |  FROM t WHERE n >= 3),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list_slice(toks, i, i + 2), ' ')) AS g
+        |  FROM ix),
+        |e AS (SELECT doc_id AS eval_doc, g FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id AS train_doc, g FROM g WHERE doc_id % 97 <> 0)
+        |SELECT tr.train_doc, e.eval_doc, COUNT(*) AS n_shared_grams
+        |FROM tr JOIN e ON tr.g = e.g
+        |GROUP BY tr.train_doc, e.eval_doc
+        |ORDER BY tr.train_doc, e.eval_doc""".stripMargin,
 
     "q_inverted_index" ->
       """WITH t AS (
