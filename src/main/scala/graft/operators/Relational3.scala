@@ -102,7 +102,12 @@ object Relational3 {
     // merge hint: at this test SF Catalyst would broadcast the small side,
     // hiding the point — at 100 TB neither side broadcasts, and the
     // bucket-aligned sort-merge join below runs with NO exchange and NO
-    // sort (both pre-bucketed and pre-sorted on the key).
+    // sort (both pre-bucketed and pre-sorted on the key). Exchange
+    // elision comes from bucketing alone; SORT elision additionally needs
+    // the scan to expose its per-bucket order, which Spark only does with
+    // this flag set AND exactly one file per bucket (the repartition
+    // above) — PlanHygieneSpec pins both elisions.
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     s.table("graft_li_bkt").hint("merge")
       .join(s.table("graft_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))

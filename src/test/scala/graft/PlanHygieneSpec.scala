@@ -128,6 +128,31 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted single-file bucketed layout: SMJ with no exchange and no sort below it") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = operators.Relational3.bucketedJoin(spark, SparkSpecBase.sf)
+    df.queryExecution.toRdd.count() // finalize THIS instance's AQE plan
+    def descend(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(descend)
+    }
+    val all = descend(df.queryExecution.executedPlan)
+    val smjs = all.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, "bucketed join no longer plans a sort-merge join")
+    val below = smjs.flatMap(j => j.children.flatMap(descend)).collect {
+      case _: SortExec => "Sort"
+      case _: ShuffleExchangeExec => "Exchange"
+    }
+    assert(below.isEmpty,
+      s"bucket layout stopped propagating order/partitioning: $below")
+  }
+
   test("no batch catalog query plans an unintended nested-loop or cartesian join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) || intendedNestedLoop(name) }
