@@ -20,7 +20,7 @@ class CatalogSpec extends SparkFunSuite {
       operators.Relational3.queries.size, sources.SourcesSinks.queries.size,
       operators.Parity.queries.size, operators.Pdf.queries.size,
       operators.Fetch.queries.size, operators.TextAnalysis.queries.size,
-      operators.Sampling.queries.size,
+      operators.Sampling.queries.size, operators.Corpus.queries.size,
       operators.Dedup.queries.size, operators.Similarity.queries.size,
       operators.EventsOps.queries.size, operators.Multimodal.queries.size,
       streaming.Streaming.queries.size)
