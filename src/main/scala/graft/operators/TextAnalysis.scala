@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for a training-data pipeline over `documents`:
   * token/char statistics, language-ID heuristic, quality scoring, document
@@ -48,6 +49,41 @@ object TextAnalysis {
 
   /** Quality score: length saturation + lexical diversity, the standard
     * cheap pre-filter before expensive model-based scoring. */
+  /** Per-source RELATIVE quality gate (the CCNet move): a doc passes if
+    * its quality reaches its own source's P25 — absolute thresholds rot
+    * as the corpus mix shifts; relative gates self-calibrate per domain.
+    * Plan shape for 100 TB: one partial-agg exchange computes the tiny
+    * per-source threshold table (exact interpolated percentile here — the
+    * oracle-able baseline; a production run swaps in approx_percentile,
+    * same shape), which then BROADCASTS back onto the scan — the corpus
+    * itself never shuffles, and the keep decision is a per-row codegen
+    * predicate. Quality and threshold are rounded to 6 dp before the
+    * comparison so an interpolation ulp can never flip a row across
+    * engines; the kept-mean is a decimal sum of those rounded values
+    * (order-independent) divided once in doubles. */
+  def qualityGate(s: SparkSession, d: String): DataFrame = {
+    val q = documents(s, d)
+      .withColumn("ttr",
+        expr("size(array_distinct(split(text, ' ')))").cast("double") /
+          expr("size(split(text, ' '))"))
+      .withColumn("quality",
+        round(least(lit(1.0), length(col("text")).cast("double") / 400.0) * 0.5 +
+          col("ttr") * 0.5, 6))
+    val thr = q.groupBy(col("source"))
+      .agg(round(expr("percentile(quality, 0.25)"), 6).as("p25"))
+    q.join(broadcast(thr), "source")
+      .withColumn("keep", col("quality") >= col("p25"))
+      .groupBy(col("source"), col("p25"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        (sum(when(col("keep"), col("quality").cast(DecimalType(12, 6))))
+          .cast("double") / sum(when(col("keep"), 1L).otherwise(0L)))
+          .as("kept_quality_mean"))
+      .select(col("source"), col("p25"), col("n_docs"),
+        col("n_kept").cast("long").as("n_kept"), col("kept_quality_mean"))
+      .orderBy(col("source"))
+  }
+
   def qualityScore(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("n_chars_m", length(col("text")).cast("double"))
@@ -218,6 +254,7 @@ object TextAnalysis {
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
+    "q_quality_gate" -> (qualityGate _),
     "q_fingerprint" -> (fingerprint _),
     "q_token_count" -> (tokenCount _)
   )
@@ -327,6 +364,25 @@ object TextAnalysis {
         |    len(string_split(text, ' ')) AS n_tokens
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_quality_gate" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    round(least(1.0, CAST(length(text) AS DOUBLE) / 400.0) * 0.5 +
+        |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) * 0.5, 6) AS quality
+        |  FROM documents),
+        |t AS (
+        |  SELECT source, round(quantile_cont(quality, 0.25), 6) AS p25
+        |  FROM q GROUP BY source)
+        |SELECT q.source, t.p25, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN q.quality >= t.p25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN q.quality >= t.p25
+        |    THEN CAST(q.quality AS DECIMAL(12,6)) END) AS DOUBLE)
+        |    / SUM(CASE WHEN q.quality >= t.p25 THEN 1 ELSE 0 END) AS kept_quality_mean
+        |FROM q JOIN t ON q.source = t.source
+        |GROUP BY q.source, t.p25
+        |ORDER BY q.source""".stripMargin,
 
     "q_quality_score" ->
       """SELECT doc_id,
