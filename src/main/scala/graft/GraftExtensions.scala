@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.experimental (TopKPerGroupOp.topK still registers it
     // idempotently for plain sessions)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // rewrite the filter-over-row_number idiom into the bounded-memory
+    // operator wherever it is provably equivalent (see TopKRewriteRule)
+    e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
 }

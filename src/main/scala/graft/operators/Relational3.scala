@@ -215,6 +215,25 @@ object Relational3 {
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** The window IDIOM planned through the custom operator BY THE OPTIMIZER
+    * ([[graft.plans.TopKRewriteRule]]): the query is written exactly as a
+    * user writes top-k-per-group — row_number window, filter, drop — and
+    * the injected Rule[LogicalPlan] collapses it to TopKPerGroupExec (no
+    * sort, no Window; one exchange + O(k) heaps). Same oracle as the
+    * explicit-API form; TopKPlanSpec asserts the rewrite actually fired. */
+  def topkRewrite(s: SparkSession, d: String): DataFrame = {
+    graft.plans.TopKPerGroupOp.ensureRegistered(s)
+    import org.apache.spark.sql.expressions.Window
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 3)
+      .drop("rn")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   /** Range (band) join: facts joined to a broadcast interval table on an
     * inequality — the classic banding/point-in-interval join shape. The
     * band side is tiny so Catalyst's nested-loop over a broadcast is the
@@ -307,6 +326,7 @@ object Relational3 {
     "q_histogram" -> (histogram _),
     "q_band_join" -> (bandJoin _),
     "q_topk_custom_op" -> (topkCustomOp _),
+    "q_topk_rewrite" -> (topkRewrite _),
     "q6_forecast" -> (q6Forecast _),
     "q12_priority" -> (q12Priority _),
     "q14_promo" -> (q14Promo _),
@@ -366,6 +386,16 @@ object Relational3 {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN bands ON l_discount >= lo AND l_discount < hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "q_topk_rewrite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q_topk_custom_op" ->
       """SELECT o_custkey, o_orderkey, o_totalprice

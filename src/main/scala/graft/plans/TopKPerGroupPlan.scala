@@ -65,6 +65,19 @@ object TopKPerGroupOp {
     * at analysis time, not as a task-side MatchError: score must be
     * DOUBLE, tie must be integral. The strategy is registered
     * idempotently on the session. */
+  /** Idempotently register the planner strategy AND the window-idiom
+    * rewrite rule ([[TopKRewriteRule]]) on a session — the programmatic
+    * twin of wiring [[graft.GraftExtensions]]. */
+  def ensureRegistered(s: org.apache.spark.sql.SparkSession): Unit = {
+    val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      cs.experimental.extraStrategies =
+        TopKPerGroupStrategy +: cs.experimental.extraStrategies
+    if (!cs.experimental.extraOptimizations.contains(TopKRewriteRule))
+      cs.experimental.extraOptimizations =
+        TopKRewriteRule +: cs.experimental.extraOptimizations
+  }
+
   def topK(df: DataFrame, groupCol: String, scoreCol: String, tieCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

@@ -124,6 +124,50 @@ class TopKPlanSpec extends SparkFunSuite {
     assert(better(false, 2.0, 1, false, 2.0, 5))  // tie asc
   }
 
+  test("optimizer rule rewrites the row_number idiom into TopKPerGroupExec") {
+    val df = operators.Relational3.topkRewrite(spark, sf)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan
+    assert(findExecs(plan).nonEmpty,
+      s"rewrite did not fire — plan:\n${plan.treeString.take(2000)}")
+    val planStr = plan.treeString
+    assert(!planStr.contains("WindowExec") && !planStr.contains("WindowGroupLimit"),
+      "Window survived the rewrite")
+    // ground truth: the same idiom with the rule NOT registered (fresh
+    // column lineage, no experimental mutation) — results must be equal
+    import org.apache.spark.sql.expressions.Window
+    val expected = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rk") <= 3).drop("rk")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect().map(_.toSeq)
+    assert(df.collect().map(_.toSeq).toSeq === expected.toSeq)
+  }
+
+  test("the rewrite leaves ineligible shapes alone (rank kept, wrong order type)") {
+    graft.plans.TopKPerGroupOp.ensureRegistered(spark)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    // rn survives into the output -> TopKPerGroup cannot produce it
+    val keepsRank = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"))
+    assert(findExecs(keepsRank.queryExecution.executedPlan).isEmpty,
+      "rule fired although the rank column is still referenced")
+    // rank() admits ties past k -> not this operator's semantics
+    val rankFn = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"))
+    assert(findExecs(rankFn.queryExecution.executedPlan).isEmpty,
+      "rule fired on rank(), which admits ties")
+  }
+
   test("stratified sample selects via the custom op with no sort below it") {
     val df = operators.Sampling.sampleStratified(spark, sf)
     df.queryExecution.toRdd.count() // finalize THIS instance's AQE plan
