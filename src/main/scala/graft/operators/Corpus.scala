@@ -17,24 +17,35 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Tunables, read per call with `spark.graft.*` session confs. The
+    * DuckDB oracles pin the DEFAULTS — non-default values are user
+    * surface (the plan shape is identical at any setting). */
+  private def confInt(s: SparkSession, key: String, dflt: Int): Int =
+    s.conf.get(key, dflt.toString).toInt
+
   /** Sliding-window chunker: WINDOW=64 tokens, STRIDE=48 (16-token
     * overlap) — the RAG/pretraining chunk shape. Chunk i of a doc covers
     * tokens [i·48+1, min(i·48+64, n)]; starts run while i·48 < n, so every
     * token lands in ≥1 chunk and a doc shorter than one window yields
     * exactly one chunk. Pure per-row arithmetic + explode: at 100 TB this
     * is scan → generate → write, no exchange anywhere. */
-  def textChunks(s: SparkSession, d: String): DataFrame =
+  def textChunks(s: SparkSession, d: String): DataFrame = {
+    val win = confInt(s, "spark.graft.corpus.chunkWindow", 64)
+    val stride = confInt(s, "spark.graft.corpus.chunkStride", 48)
+    require(stride > 0 && win >= stride,
+      s"chunkWindow ($win) must be >= chunkStride ($stride) > 0")
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .withColumn("chunk_id",
-        explode(expr("sequence(0, CAST(ceil(n / 48.0) AS INT) - 1)")))
+        explode(expr(s"sequence(0, CAST(ceil(n / $stride.0) AS INT) - 1)")))
       .select(
         col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        (col("chunk_id") * 48 + 1).cast("long").as("tok_start"),
-        least(col("chunk_id") * 48 + 64, col("n")).cast("long").as("tok_end"),
-        expr("array_join(slice(toks, chunk_id * 48 + 1, 64), ' ')").as("chunk_text"))
+        (col("chunk_id") * stride + 1).cast("long").as("tok_start"),
+        least(col("chunk_id") * stride + win, col("n")).cast("long").as("tok_end"),
+        expr(s"array_join(slice(toks, chunk_id * $stride + 1, $win), ' ')").as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_id"))
+  }
 
   /** Sequence packing: assign whole documents to fixed token-budget
     * training sequences (BUDGET=512) by greedy sequential fill inside a
@@ -46,13 +57,16 @@ object Corpus {
     * NO global-order cumsum, which at 100 TB would serialize on one
     * partition. More shards = more parallelism, same semantics. */
   def seqPack(s: SparkSession, d: String): DataFrame = {
+    val budget = confInt(s, "spark.graft.corpus.packBudget", 512)
+    val shards = confInt(s, "spark.graft.corpus.packShards", 8)
+    require(budget > 0 && shards > 0, "packBudget and packShards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents(s, d)
-      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
         expr("size(split(text, ' '))").cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("bin", ((col("cum") - col("n_tokens")) / 512).cast("long"))
+      .withColumn("bin", ((col("cum") - col("n_tokens")) / budget).cast("long"))
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("seq_tokens"),
@@ -104,11 +118,13 @@ object Corpus {
     * because the synthetic corpus draws from a ~40-word vocabulary —
     * real pipelines use 8-13-gram windows, same plan. */
   def contamination(s: SparkSession, d: String): DataFrame = {
+    val gw = confInt(s, "spark.graft.corpus.contaminationGram", 3)
+    require(gw >= 1, "contaminationGram must be >= 1")
     def grams(df: DataFrame, idAs: String) = df
       .select(col("doc_id").as(idAs), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
+      .filter(size(col("toks")) >= gw)
       .select(col(idAs), explode(
-        expr("transform(sequence(1, size(toks) - 2), i -> md5(array_join(slice(toks, i, 3), ' ')))"))
+        expr(s"transform(sequence(1, size(toks) - ${gw - 1}), i -> md5(array_join(slice(toks, i, $gw), ' ')))"))
         .as("g"))
       .distinct()
     val docs = documents(s, d)

@@ -48,12 +48,13 @@ object Sampling {
     * row_number ranks only the k·strata survivors (≤100 rows), not the
     * input. */
   def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val k = s.conf.get("spark.graft.sampling.stratumK", "20").toInt
     val base = orders(s, d)
       .withColumn("nscore",
         -expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 13), 16, 10) AS DOUBLE)"))
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
         col("nscore"))
-    graft.plans.TopKPerGroupOp.topK(base, "o_orderpriority", "nscore", "o_orderkey", 20)
+    graft.plans.TopKPerGroupOp.topK(base, "o_orderpriority", "nscore", "o_orderkey", k)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("o_orderpriority"))
           .orderBy(col("nscore").desc, col("o_orderkey"))))

@@ -111,7 +111,9 @@ object Similarity {
     * residency actually optimizes at 100 TB: vectors near their posting
     * list's centroid) improves 1.27×, while recall stays within noise of
     * the seed. On a corpus with real cluster structure both move together. */
-  def knnIvf(s: SparkSession, d: String): DataFrame = knnIvfImpl(s, d, lloydIters = 1)
+  def knnIvf(s: SparkSession, d: String): DataFrame =
+    knnIvfImpl(s, d,
+      lloydIters = s.conf.get("spark.graft.ivf.lloydIters", "1").toInt)
 
   /** Seed-only variant (no Lloyd step) — kept for the quantizer-quality
     * spec; not a catalog query. */
@@ -177,11 +179,16 @@ object Similarity {
 
   private[graft] def knnIvfImpl(s: SparkSession, d: String, lloydIters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // nprobe: how many nearest cells a query probes (the recall/cost
+    // knob every IVF engine exposes; the oracle pins the default 2)
+    val nprobe = s.conf.get("spark.graft.ivf.nprobe", "2").toInt
+    require(nprobe >= 1 && nprobe <= 2,
+      s"nprobe must be in [1, 2] (scoreTop2 retains 2 cells), got $nprobe")
     val top2 = ivfTop2(s, d, lloydIters)
     val assigned = top2.filter(col("crk") === 1)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
         col("nrm").as("cnrm"), col("cent_id").as("cell"))
-    val qprobes = top2.filter(col("vec_id") < 30)
+    val qprobes = top2.filter(col("vec_id") < 30 && col("crk") <= nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"), col("cent_id").as("cell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))

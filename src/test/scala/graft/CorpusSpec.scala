@@ -27,6 +27,36 @@ class CorpusSpec extends SparkFunSuite {
     }
   }
 
+  test("spark.graft.* confs retune the operators; defaults match the oracle constants") {
+    val s = spark
+    try {
+      s.conf.set("spark.graft.corpus.chunkWindow", "32")
+      s.conf.set("spark.graft.corpus.chunkStride", "16")
+      val tuned = Corpus.textChunks(s, sf).count()
+      s.conf.unset("spark.graft.corpus.chunkWindow")
+      s.conf.unset("spark.graft.corpus.chunkStride")
+      val dflt = Corpus.textChunks(s, sf).count()
+      assert(tuned > dflt, s"stride 16 must yield more chunks than 48 ($tuned vs $dflt)")
+
+      s.conf.set("spark.graft.sampling.stratumK", "5")
+      val k5 = operators.Sampling.sampleStratified(s, sf).count()
+      s.conf.unset("spark.graft.sampling.stratumK")
+      val k20 = operators.Sampling.sampleStratified(s, sf).count()
+      assert(k5 === k20 / 4, s"stratumK=5 should quarter the sample ($k5 vs $k20)")
+
+      s.conf.set("spark.graft.ivf.nprobe", "1")
+      val probe1 = operators.Similarity.knnIvf(s, sf).count()
+      s.conf.unset("spark.graft.ivf.nprobe")
+      val probe2 = operators.Similarity.knnIvf(s, sf).count()
+      assert(probe1 <= probe2, "nprobe=1 cannot return more neighbors than nprobe=2")
+    } finally {
+      Seq("spark.graft.corpus.chunkWindow", "spark.graft.corpus.chunkStride",
+        "spark.graft.sampling.stratumK", "spark.graft.ivf.nprobe")
+        .foreach(s.conf.unset)
+      CacheScope.releaseAll()
+    }
+  }
+
   test("packer conserves tokens and keeps bins dense per shard") {
     val packed = Corpus.seqPack(spark, sf).collect()
     val total = graft.Tables.documents(spark, sf)
