@@ -52,16 +52,19 @@ object TextAnalysis {
   /** Per-source RELATIVE quality gate (the CCNet move): a doc passes if
     * its quality reaches its own source's P25 — absolute thresholds rot
     * as the corpus mix shifts; relative gates self-calibrate per domain.
-    * Plan shape for 100 TB: one partial-agg exchange computes the tiny
-    * per-source threshold table (exact interpolated percentile here — the
-    * oracle-able baseline; a production run swaps in approx_percentile,
-    * same shape), which then BROADCASTS back onto the scan — the corpus
-    * itself never shuffles, and the keep decision is a per-row codegen
-    * predicate. Quality and threshold are rounded to 6 dp before the
-    * comparison so an interpolation ulp can never flip a row across
-    * engines; the kept-mean is a decimal sum of those rounded values
-    * (order-independent) divided once in doubles. */
+    * The threshold is the DISCRETE P25 — the k-th smallest quality in the
+    * source, k = ceil(n/4) — NOT an interpolated percentile: interpolation
+    * arithmetic differs between engines in the last ulp (Spark's
+    * `percentile` vs DuckDB's `quantile_cont` flipped a 6-dp boundary at
+    * sf0.1), while a rank-selected member value is bit-identical by
+    * construction, so `quality >= p25` can never disagree. The exact
+    * rank selection is the oracle-able baseline; a 100 TB run swaps in an
+    * approx_percentile sketch (one partial-agg exchange, same downstream
+    * shape). The tiny per-source threshold table BROADCASTS back onto the
+    * scan — the corpus itself never shuffles; the kept-mean is an
+    * order-independent decimal sum divided once in doubles. */
   def qualityGate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = documents(s, d)
       .withColumn("ttr",
         expr("size(array_distinct(split(text, ' ')))").cast("double") /
@@ -69,8 +72,12 @@ object TextAnalysis {
       .withColumn("quality",
         round(least(lit(1.0), length(col("text")).cast("double") / 400.0) * 0.5 +
           col("ttr") * 0.5, 6))
-    val thr = q.groupBy(col("source"))
-      .agg(round(expr("percentile(quality, 0.25)"), 6).as("p25"))
+    val thr = q
+      .withColumn("qrn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))))
+      .withColumn("qn", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("qrn") === ceil(col("qn") * 0.25).cast("long"))
+      .select(col("source"), col("quality").as("p25"))
     q.join(broadcast(thr), "source")
       .withColumn("keep", col("quality") >= col("p25"))
       .groupBy(col("source"), col("p25"))
@@ -372,9 +379,14 @@ object TextAnalysis {
         |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |        / len(string_split(text, ' ')) * 0.5, 6) AS quality
         |  FROM documents),
+        |r AS (
+        |  SELECT source, quality,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality, doc_id) AS qrn,
+        |    COUNT(*) OVER (PARTITION BY source) AS qn
+        |  FROM q),
         |t AS (
-        |  SELECT source, round(quantile_cont(quality, 0.25), 6) AS p25
-        |  FROM q GROUP BY source)
+        |  SELECT source, quality AS p25 FROM r
+        |  WHERE qrn = CAST(ceil(qn * 0.25) AS BIGINT))
         |SELECT q.source, t.p25, COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN q.quality >= t.p25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(SUM(CASE WHEN q.quality >= t.p25
