@@ -29,6 +29,18 @@ class ExtensionsSpec extends SparkFunSuite {
       val shingles = s2.sql("SELECT shingle_explode('abcd', 3)").collect()
       assert(shingles.map(r => (r.getInt(0), r.getString(1))).toSeq ===
         Seq((1, "abc"), (2, "bcd")))
+      // the injected optimizer rule + strategy fire on the pure-SQL
+      // row_number top-k idiom too (no experimental.* mutation here)
+      import org.apache.spark.sql.functions.{col, row_number}
+      import org.apache.spark.sql.expressions.Window
+      val topk = Tables.orders(s2, sf)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rn") <= 2).drop("rn")
+      assert(topk.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+        "extensions session did not plan the window idiom via TopKPerGroupExec")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
