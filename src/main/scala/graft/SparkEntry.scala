@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Relational2.queries ++
     operators.Relational3.queries ++
     sources.SourcesSinks.queries ++
+    sources.BucketV2.queries ++
     operators.Parity.queries ++
     operators.Pdf.queries ++
     operators.Fetch.queries ++
@@ -38,6 +39,7 @@ object SparkEntry {
     operators.Relational2.oracle ++
     operators.Relational3.oracle ++
     sources.SourcesSinks.oracle ++
+    sources.BucketV2.oracle ++
     operators.Parity.oracle ++
     operators.Pdf.oracle ++
     operators.Fetch.oracle ++

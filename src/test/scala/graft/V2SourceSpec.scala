@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.{BucketV2, GraftBucketFormat, GraftBucketScan}
+
+/** The graft-bucket DataSourceV2 connector: storage-partitioned join
+  * (KeyGroupedPartitioning via HasPartitionKey — no exchange), reported
+  * per-partition order (no sort), column pruning, and predicate pushdown
+  * evaluated inside the reader. */
+class V2SourceSpec extends SparkFunSuite {
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(nodes)
+  }
+
+  test("round trip preserves every supported type incl. escapes and nulls") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Some("plain"), Some(1.5), Some(7), Some(true)),
+      (2L, Some("tab\there nl\nthere \\N not null"), Some(-0.0), Some(-7), Some(false)),
+      (3L, None: Option[String], None: Option[Double], None: Option[Int], None: Option[Boolean]),
+      (18L, Some("\\trailing backslash\\"), Some(Double.MaxValue), Some(0), Some(true))
+    ).toDF("k", "s", "d", "i", "b")
+      .withColumn("dt", when($"k" =!= 3, to_date(lit("2024-02-29"))))
+    val path = java.nio.file.Files.createTempDirectory("graft_v2_rt").toString
+    GraftBucketFormat.write(df, path, "k", 4)
+    val back = s.read.format("graft-bucket").load(path)
+    assert(back.schema === df.schema)
+    val exp = df.collect().map(_.toString).sorted.toSeq
+    val got = back.collect().map(_.toString).sorted.toSeq
+    assert(got === exp)
+  }
+
+  test("co-bucketed join is storage-partitioned: no exchange, no sort") {
+    val df = BucketV2.v2BucketJoin(spark, sf)
+    val qe = df.queryExecution
+    qe.toRdd.count() // execute THIS instance so AQE finalizes its plan
+    val all = nodes(qe.executedPlan)
+    val smj = all.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"expected a sort-merge join:\n${qe.executedPlan}")
+    // below the join: the scans feed it directly — nothing reshuffles or
+    // re-sorts what the connector already reported
+    val below = nodes(smj.head)
+    assert(!below.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"storage-partitioned join still shuffled:\n${smj.head}")
+    assert(!below.exists(_.isInstanceOf[SortExec]),
+      s"reported ordering was ignored (Sort below the join):\n${smj.head}")
+    // and the scans really are the V2 connector
+    assert(below.count {
+      case b: BatchScanExec => b.scan.isInstanceOf[GraftBucketScan]
+      case _ => false
+    } === 2)
+  }
+
+  test("join result matches the plain parquet join") {
+    val s = spark
+    val v2 = BucketV2.v2BucketJoin(s, sf).collect().map(_.toString).toSeq
+    val pq = Tables.lineitem(s, sf)
+      .join(Tables.orders(s, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(graft.Exact.dec(col("l_extendedprice"), 12, 2) *
+          (lit(1).cast(org.apache.spark.sql.types.DecimalType(3, 2)) -
+            graft.Exact.dec(col("l_discount"), 3, 2)))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus"))
+      .collect().map(_.toString).toSeq
+    assert(v2 === pq)
+  }
+
+  test("column pruning and filter pushdown reach the reader") {
+    val df = BucketV2.v2ScanPushdown(spark, sf)
+    val scans = nodes(df.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b.scan.asInstanceOf[GraftBucketScan] }
+    assert(scans.size === 1)
+    val scan = scans.head
+    // 2 of 5 columns survive pruning
+    assert(scan.readSchema().fieldNames.toSeq === Seq("o_orderkey", "o_totalprice"))
+    // both comparisons (and the implied IsNotNulls) were accepted by the
+    // reader; the residual copy above the scan re-checks them
+    val pushed = scan.description()
+    assert(pushed.contains("o_totalprice"), pushed)
+    assert(pushed.contains("o_orderstatus"), pushed)
+    // and the filter actually filters: every surviving row qualifies
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(1) > 450000.0))
+  }
+
+  test("writes one sorted file per bucket, empty buckets included") {
+    val s = spark
+    import s.implicits._
+    // keys chosen so buckets 1 and 3 are empty
+    val df = Seq(0L, 4L, 8L, 2L, 6L, 10L, 14L).toDF("k")
+      .withColumn("v", ($"k" * 10).cast("long"))
+    val path = java.nio.file.Files.createTempDirectory("graft_v2_files").toString
+    GraftBucketFormat.write(df, path, "k", 4)
+    (0 until 4).foreach { b =>
+      val f = new java.io.File(GraftBucketFormat.bucketFile(path, b))
+      assert(f.exists(), s"bucket $b file missing")
+    }
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(
+      GraftBucketFormat.bucketFile(path, 1))) === 0L)
+    // within-bucket key order is ascending (the ordering the scan reports)
+    val lines = scala.io.Source.fromFile(
+      GraftBucketFormat.bucketFile(path, 2)).getLines().toSeq
+    val keys = lines.map(_.split('\t')(0).toLong)
+    assert(keys === keys.sorted)
+    assert(keys.forall(k => GraftBucketFormat.bucketOf(k, 4) == 2))
+  }
+}
