@@ -23,6 +23,9 @@ object Corpus {
   private def confInt(s: SparkSession, key: String, dflt: Int): Int =
     s.conf.get(key, dflt.toString).toInt
 
+  private def confDouble(s: SparkSession, key: String, dflt: Double): Double =
+    s.conf.get(key, dflt.toString).toDouble
+
   /** Sliding-window chunker: WINDOW=64 tokens, STRIDE=48 (16-token
     * overlap) — the RAG/pretraining chunk shape. Chunk i of a doc covers
     * tokens [i·48+1, min(i·48+64, n)]; starts run while i·48 < n, so every
@@ -136,13 +139,104 @@ object Corpus {
       .orderBy(col("train_doc"), col("eval_doc"))
   }
 
+  /** Deterministic source mixing: scale each source toward target mixture
+    * weights under a global token budget — the data-mixing step that sets
+    * a training corpus's domain composition. Weights here are a fixed
+    * ramp over the twenty synthetic sources (src k gets (20−k)/210 of the
+    * budget); the budget is `mixRatio` (default 0.5) of total corpus
+    * tokens. Per-source acceptance rate = min(1, budget·w / source
+    * tokens); membership is the md5-prefix hash gate (partition-invariant
+    * and re-ingest-stable, like [[Sampling]]). The rate boundary is
+    * compared in fixed-width HEX (hash prefix < hex13(⌊rate·2^52⌋)) so
+    * both engines decide from the identical 52-bit integer — no
+    * float-parse ambiguity at the boundary.
+    *
+    * Scale shape: per-source totals are one partial-agg exchange over
+    * |sources| groups; the 20-row rate table BROADCASTS back onto the
+    * scan; the keep decision is per-row; only the final per-source
+    * summary exchanges again. The corpus itself never shuffles. */
+  def mixSources(s: SparkSession, d: String): DataFrame = {
+    val ratio = confDouble(s, "spark.graft.corpus.mixRatio", 0.5)
+    require(ratio > 0, "mixRatio must be positive")
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val bySource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("src_docs"), sum(col("n_tokens")).as("src_tokens"))
+    val total = docs.agg(sum(col("n_tokens")).cast("double").as("total_tokens"))
+    // mirror the oracle's arithmetic shape exactly: ((ratio·total)·w)/src
+    val rates = bySource.crossJoin(broadcast(total))
+      .withColumn("w",
+        (lit(20) - substring(col("source"), 4, 8).cast("int")) / lit(210.0))
+      .withColumn("rate",
+        least(lit(1.0),
+          lit(ratio) * col("total_tokens") * col("w") /
+            col("src_tokens").cast("double")))
+      .withColumn("hex_thr", lpad(lower(hex(
+        floor(col("rate") * lit(4503599627370496.0)).cast("long"))), 13, "0"))
+    val kept = docs.join(broadcast(rates.select(col("source"), col("rate"), col("hex_thr"))), "source")
+      .filter(col("rate") >= 1.0 ||
+        substring(md5(col("doc_id").cast("string")), 1, 13) < col("hex_thr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+    bySource.join(kept, Seq("source"), "left")
+      .select(col("source"), col("src_docs"),
+        col("src_tokens").cast("long").as("src_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens").cast("long"), lit(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Corpus-frequency boilerplate removal (the C4 move, block-granular):
+    * a word block appearing in ≥ `boilerDf` DISTINCT documents is
+    * boilerplate (headers, footers, license banners); documents are
+    * reassembled from their surviving blocks in order. Output carries
+    * md5(clean text) rather than the text — the gate compares content
+    * without hauling the corpus through the result set. Block width 3 /
+    * df 3 fit the synthetic 40-word vocabulary (measured: ~9% of block
+    * instances strip at sf0.01); real pipelines run line- or
+    * paragraph-granular with the same plan.
+    *
+    * Scale shape: explode is narrow; block frequencies are one hash agg;
+    * the frequency join keys on the block text (at 100 TB: its fixed-width
+    * hash); reassembly is one more exchange keyed by doc. Three shuffles
+    * total, each over block-sized rows, never whole documents. */
+  def boilerplateRm(s: SparkSession, d: String): DataFrame = {
+    val w = confInt(s, "spark.graft.corpus.boilerBlock", 3)
+    val minDf = confInt(s, "spark.graft.corpus.boilerDf", 3)
+    require(w >= 1 && minDf >= 2, "boilerBlock >= 1, boilerDf >= 2")
+    val blocks = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("block_id",
+        explode(expr(s"sequence(0, CAST(ceil(n / $w.0) AS INT) - 1)")))
+      .select(col("doc_id"), col("block_id").cast("long").as("block_id"),
+        expr(s"array_join(slice(toks, block_id * $w + 1, $w), ' ')").as("btxt"))
+    val freq = blocks.groupBy(col("btxt"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    blocks.join(freq, "btxt")
+      .withColumn("boiler", col("df") >= minDf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(not(col("boiler")), struct(col("block_id"), col("btxt"))))),
+            x => x.getField("btxt")),
+          " ")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_chunks" -> (textChunks _),
     "q_seq_pack" -> (seqPack _),
     "q_inverted_index" -> (invertedIndex _),
-    "q_contamination" -> (contamination _)
+    "q_contamination" -> (contamination _),
+    "q_mix_sources" -> (mixSources _),
+    "q_boilerplate_rm" -> (boilerplateRm _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -177,6 +271,58 @@ object Corpus {
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY shard, (cum - n_tokens) // 512
         |ORDER BY shard, bin""".stripMargin,
+
+    "q_mix_sources" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, COUNT(*) AS src_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM t GROUP BY source),
+        |r AS (
+        |  SELECT source, src_docs, src_tokens,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      CAST(0.5 AS DOUBLE) * (SELECT CAST(SUM(n_tokens) AS DOUBLE) FROM t)
+        |        * ((20 - CAST(substr(source, 4) AS INT)) / CAST(210.0 AS DOUBLE))
+        |        / CAST(src_tokens AS DOUBLE)) AS rate
+        |  FROM s),
+        |k AS (
+        |  SELECT t.source, t.n_tokens FROM t JOIN r USING (source)
+        |  WHERE r.rate >= 1.0
+        |     OR substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 13)
+        |        < printf('%013x', CAST(floor(r.rate * CAST(4503599627370496 AS DOUBLE)) AS BIGINT))),
+        |a AS (
+        |  SELECT source, COUNT(*) AS n_kept,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+        |  FROM k GROUP BY source)
+        |SELECT r.source, r.src_docs, r.src_tokens,
+        |  COALESCE(a.n_kept, 0) AS n_kept,
+        |  COALESCE(a.kept_tokens, 0) AS kept_tokens
+        |FROM r LEFT JOIN a USING (source) ORDER BY r.source""".stripMargin,
+
+    "q_boilerplate_rm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(CAST(ceil(n / 3.0) AS BIGINT))) AS block_id
+        |  FROM t),
+        |x AS (
+        |  SELECT doc_id, block_id,
+        |    array_to_string(list_slice(toks, block_id * 3 + 1,
+        |      least(block_id * 3 + 3, n)), ' ') AS btxt
+        |  FROM b),
+        |f AS (SELECT btxt, COUNT(DISTINCT doc_id) AS df FROM x GROUP BY btxt)
+        |SELECT x.doc_id, COUNT(*) AS n_blocks,
+        |  CAST(SUM(CASE WHEN f.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(string_agg(CASE WHEN f.df < 3 THEN x.btxt END, ' '
+        |    ORDER BY x.block_id), '')) AS clean_md5
+        |FROM x JOIN f USING (btxt)
+        |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin,
 
     "q_contamination" ->
       """WITH t AS (

@@ -67,8 +67,13 @@ object Streaming {
       s"graft_stream_events_${math.abs(d.hashCode)}")
     Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
+    val target = Paths.get(d, "events.parquet")
+    // existence alone isn't enough: a hash-colliding (or reused) stage dir
+    // could hold a link to a DIFFERENT sf dir — verify the target too
+    if (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != target)
+      Files.delete(link)
     if (!Files.exists(link))
-      Files.createSymbolicLink(link, Paths.get(d, "events.parquet"))
+      Files.createSymbolicLink(link, target)
     s.readStream.schema(eventsSchema).parquet(stage.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }

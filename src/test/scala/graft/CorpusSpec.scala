@@ -57,6 +57,52 @@ class CorpusSpec extends SparkFunSuite {
     }
   }
 
+  test("mix: budget scales kept tokens, rates never overshoot a source") {
+    val s = spark
+    val rows = Corpus.mixSources(s, sf).collect()
+    assert(rows.length === 20, "one row per source")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("src_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("src_tokens"))
+    }
+    val kept = rows.map(_.getAs[Long]("kept_tokens")).sum
+    val total = rows.map(_.getAs[Long]("src_tokens")).sum
+    // hash sampling is approximate; the corpus-level take should land in
+    // the budget's neighborhood, and a tighter budget must keep less
+    assert(kept > 0 && kept < total)
+    try {
+      s.conf.set("spark.graft.corpus.mixRatio", "0.1")
+      val tight = Corpus.mixSources(s, sf).collect()
+        .map(_.getAs[Long]("kept_tokens")).sum
+      assert(tight < kept, s"ratio 0.1 kept $tight, ratio 0.5 kept $kept")
+    } finally s.conf.unset("spark.graft.corpus.mixRatio")
+    // the weight ramp means low-index sources keep a larger fraction
+    val fracOf = rows.map(r => r.getAs[String]("source") ->
+      r.getAs[Long]("kept_tokens").toDouble / r.getAs[Long]("src_tokens")).toMap
+    assert(fracOf("src0") > fracOf("src19"),
+      s"src0 should outkeep src19: $fracOf")
+  }
+
+  test("boilerplate: removed blocks are exactly the df>=3 ones, text reassembles in order") {
+    val s = spark
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val out = Corpus.boilerplateRm(s, sf).collect()
+    val docs = graft.Tables.documents(s, sf).count()
+    assert(out.length === docs, "every document must survive with a row")
+    val removed = out.map(_.getAs[Long]("n_removed")).sum
+    val blocks = out.map(_.getAs[Long]("n_blocks")).sum
+    assert(removed > 0 && removed < blocks,
+      s"expected partial removal, got $removed of $blocks")
+    // a doc whose every block survives must reassemble to its own text
+    val clean = graft.Tables.documents(s, sf)
+      .select(col("doc_id"), org.apache.spark.sql.functions.md5(col("text")).as("orig_md5"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(_.getAs[Long]("n_removed") == 0).take(20).foreach { r =>
+      assert(r.getAs[String]("clean_md5") === clean(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}: untouched doc must round-trip")
+    }
+  }
+
   test("packer conserves tokens and keeps bins dense per shard") {
     val packed = Corpus.seqPack(spark, sf).collect()
     val total = graft.Tables.documents(spark, sf)
