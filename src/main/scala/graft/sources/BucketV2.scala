@@ -10,10 +10,12 @@ import graft.Tables._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -111,6 +113,22 @@ object GraftBucketFormat {
       case StringType => escape(v.toString)
       case DateType   => v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toString
       case _          => v.toString // int/long/double/boolean
+    }
+
+  /** Encode one field straight from an InternalRow — the write-path twin
+    * of [[encodeField]]; both must emit the text [[decodeField]] parses
+    * (dates are already epoch-day ints internally). */
+  private[sources] def encodeInternalField(row: InternalRow, i: Int, dt: DataType): String =
+    if (row.isNullAt(i)) "\\N"
+    else dt match {
+      case StringType  => escape(row.getUTF8String(i).toString)
+      case IntegerType => row.getInt(i).toString
+      case LongType    => row.getLong(i).toString
+      case DoubleType  => row.getDouble(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case DateType    => row.getInt(i).toString
+      case other => throw new IllegalArgumentException(
+        s"graft-bucket does not support $other")
     }
 
   /** Parse one field to its Catalyst-internal value (UTF8String for
@@ -270,15 +288,155 @@ class GraftBucketTableProvider extends TableProvider with DataSourceRegister {
 }
 
 class GraftBucketTable(path: String, meta: GraftBucketFormat.Meta)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-bucket `$path`"
   override def schema(): StructType = meta.schema
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(meta.buckets, meta.key))
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftBucketScanBuilder(path, meta)
+
+  /** Full-load V2 write: the engine is told the distribution and order
+    * this layout needs ([[RequiresDistributionAndOrdering]]) and plans
+    * the shuffle + sort itself — the caller never pre-partitions. Appends
+    * into already-loaded buckets would break the one-sorted-file-per-
+    * bucket invariant, so they are refused up front. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val in = info.schema()
+    require(
+      in.fields.map(f => (f.name, f.dataType)).toSeq ==
+        meta.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"write schema ${in.simpleString} != table schema ${meta.schema.simpleString}")
+    val loaded = (0 until meta.buckets).exists { b =>
+      val f = new File(GraftBucketFormat.bucketFile(path, b))
+      f.exists() && f.length() > 0
+    }
+    require(!loaded,
+      s"graft-bucket `$path` already holds data: the layout is full-load " +
+        "(one sorted file per bucket) — use createOrReplace, not append")
+    new WriteBuilder {
+      override def build(): Write = new GraftBucketWrite(path, meta)
+    }
+  }
+}
+
+/** The write plan: declares `clustered(bucket(n, key))` distribution and
+  * `(bucket(n, key), key)` ordering, `n` output partitions — Catalyst
+  * resolves the transform through the catalog's bucket function and
+  * inserts the exchange + sort. Tasks stream rows to one temp file per
+  * bucket; the driver commit renames winners into place (speculative or
+  * retried attempts lose the rename, never corrupt a bucket) and fills
+  * empty buckets so partition values stay aligned for SPJ reads. */
+class GraftBucketWrite(path: String, meta: GraftBucketFormat.Meta)
+    extends Write with RequiresDistributionAndOrdering with BatchWrite {
+
+  override def description(): String =
+    s"GraftBucketWrite path=$path buckets=${meta.buckets} key=${meta.key}"
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.bucket(meta.buckets, meta.key)))
+  override def requiredNumPartitions(): Int = meta.buckets
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.bucket(meta.buckets, meta.key), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column(meta.key), SortDirection.ASCENDING))
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftBucketWriterFactory(path, meta)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.flatMap { case m: GraftBucketCommit => m.files }
+    val clashes = files.groupBy(_._1).filter(_._2.length > 1)
+    require(clashes.isEmpty,
+      s"buckets ${clashes.keys.mkString(",")} written by more than one task " +
+        "— the required clustered distribution was not honored")
+    files.foreach { case (b, tmp) =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(path, tmp),
+        java.nio.file.Paths.get(GraftBucketFormat.bucketFile(path, b)),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    (0 until meta.buckets).foreach { b =>
+      val f = new File(GraftBucketFormat.bucketFile(path, b))
+      if (!f.exists()) f.createNewFile()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: GraftBucketCommit =>
+        m.files.foreach { case (_, tmp) => new File(path, tmp).delete() }
+      case _ =>
+    }
+}
+
+case class GraftBucketCommit(files: Seq[(Int, String)]) extends WriterCommitMessage
+
+class GraftBucketWriterFactory(path: String, meta: GraftBucketFormat.Meta)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftBucketDataWriter(path, meta, s"$partitionId-$taskId")
+}
+
+/** Streams InternalRows into per-bucket temp files, enforcing (loudly)
+  * the ordering contract the Write declared: buckets arrive grouped, keys
+  * ascending within a bucket. */
+class GraftBucketDataWriter(
+    path: String, meta: GraftBucketFormat.Meta, taskUid: String)
+    extends DataWriter[InternalRow] {
+  import GraftBucketFormat._
+
+  private val fields = meta.schema.fields
+  private val keyIdx = meta.schema.fieldIndex(meta.key)
+  private val keyIsLong = fields(keyIdx).dataType == LongType
+  private var cur = -1
+  private var lastKey = Long.MinValue
+  private var out: BufferedWriter = _
+  private val seen = scala.collection.mutable.Set.empty[Int]
+  private val files = scala.collection.mutable.ListBuffer.empty[(Int, String)]
+
+  private def closeCur(): Unit = if (out != null) { out.close(); out = null }
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(keyIdx), s"null ${meta.key} cannot be bucketed")
+    val k = if (keyIsLong) row.getLong(keyIdx) else row.getInt(keyIdx).toLong
+    val b = bucketOf(k, meta.buckets)
+    if (b != cur) {
+      require(seen.add(b),
+        s"bucket $b re-surfaced after other buckets — required ordering not honored")
+      closeCur()
+      val tmp = f"b=$b%05d.tsv.$taskUid.tmp"
+      out = new BufferedWriter(new FileWriter(new File(path, tmp)))
+      files += b -> tmp
+      cur = b
+      lastKey = Long.MinValue
+    }
+    require(k >= lastKey, s"keys not ascending within bucket $b")
+    lastKey = k
+    val line = new StringBuilder
+    var i = 0
+    while (i < fields.length) {
+      if (i > 0) line.append('\t')
+      line.append(encodeInternalField(row, i, fields(i).dataType))
+      i += 1
+    }
+    out.write(line.result()); out.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeCur()
+    GraftBucketCommit(files.toList)
+  }
+
+  override def abort(): Unit = {
+    closeCur()
+    files.foreach { case (_, tmp) => new File(path, tmp).delete() }
+  }
+
+  override def close(): Unit = closeCur()
 }
 
 class GraftBucketScanBuilder(path: String, meta: GraftBucketFormat.Meta)
