@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -161,11 +162,19 @@ object Corpus {
     val docs = documents(s, d)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val bySource = docs.groupBy(col("source"))
+    // The 20-row per-source stats table is persisted (CacheScope-tracked)
+    // so the rate derivation AND the final summary join reuse ONE pass
+    // over the corpus; the grand total derives from this same aggregate
+    // via a whole-frame window (20 rows through one partition — free),
+    // not a second corpus scan + 1-row cross join.
+    val bySource = CacheScope.track(docs.groupBy(col("source"))
       .agg(count(lit(1)).as("src_docs"), sum(col("n_tokens")).as("src_tokens"))
-    val total = docs.agg(sum(col("n_tokens")).cast("double").as("total_tokens"))
-    // mirror the oracle's arithmetic shape exactly: ((ratio·total)·w)/src
-    val rates = bySource.crossJoin(broadcast(total))
+      .persist())
+    // mirror the oracle's arithmetic shape exactly: ((ratio·total)·w)/src;
+    // sum(src_tokens) is the same exact long sum as the oracle's
+    // SUM(n_tokens), cast to double once.
+    val rates = bySource
+      .withColumn("total_tokens", sum(col("src_tokens")).over().cast("double"))
       .withColumn("w",
         (lit(20) - substring(col("source"), 4, 8).cast("int")) / lit(210.0))
       .withColumn("rate",

@@ -23,7 +23,7 @@ class CatalogSpec extends SparkFunSuite {
       operators.Sampling.queries.size, operators.Corpus.queries.size,
       operators.Dedup.queries.size, operators.Similarity.queries.size,
       operators.EventsOps.queries.size, operators.Multimodal.queries.size,
-      streaming.Streaming.queries.size)
+      streaming.Streaming.queries.size, sources.BucketV2.queries.size)
     assert(moduleSizes.sum === SparkEntry.queries.size,
       "duplicate query name across modules (map merge dropped one)")
   }
