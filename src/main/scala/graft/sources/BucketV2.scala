@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedReader, BufferedWriter, File, FileReader, FileWriter}
+import java.io.BufferedWriter
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
@@ -38,9 +38,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The scan builder also implements [[SupportsPushDownRequiredColumns]]
   * and [[SupportsPushDownFilters]]: pruned columns are never materialized
-  * and pushed predicates are evaluated row-by-row inside the reader
-  * (Spark re-checks residual filters above the scan, so pushdown here is
-  * pure data reduction, never a correctness dependency).
+  * and pushed predicates are evaluated row-by-row inside the reader.
+  * Filters ACCEPTED by `pushFilters` are removed from the plan and never
+  * re-checked by Spark — the reader's evaluation is a correctness
+  * dependency and must match Spark SQL comparison semantics exactly
+  * (e.g. -0.0 = 0.0); only filters returned as residual are re-applied
+  * above the scan.
   *
   * The storage format itself is deliberately simple (one TSV file per
   * bucket + a 3-line meta file) — the point of this module is the
@@ -58,8 +61,7 @@ object GraftBucketFormat {
   val MetaFile = "_graft_bucket_meta"
 
   def readMeta(path: String): Meta = {
-    val lines = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(path, MetaFile)).asScala
+    val lines = BucketStorages.forPath(path).readAllLines(s"$path/$MetaFile")
     Meta(lines(0), lines(1).toInt, StructType.fromDDL(lines(2)))
   }
 
@@ -111,7 +113,13 @@ object GraftBucketFormat {
     if (v == null) "\\N"
     else dt match {
       case StringType => escape(v.toString)
-      case DateType   => v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toString
+      case DateType => v match {
+        // Row.get returns java.time.LocalDate when
+        // spark.sql.datetime.java8API.enabled is on, java.sql.Date otherwise
+        case d: java.time.LocalDate => d.toEpochDay.toString
+        case d: java.sql.Date       => d.toLocalDate.toEpochDay.toString
+        case o => throw new IllegalArgumentException(s"date value $o: ${o.getClass}")
+      }
       case _          => v.toString // int/long/double/boolean
     }
 
@@ -154,17 +162,21 @@ object GraftBucketFormat {
     * one file per bucket. Missing buckets get empty files so both sides
     * of a future join expose the identical partition-value set (no
     * `pushPartValues` dependency). The key must be a non-null integral
-    * column. */
+    * column.
+    *
+    * Tasks write attempt-unique temp files and rename them into place
+    * only at the end of a fully-drained partition — a retried or
+    * speculative attempt either loses the rename to a complete file or
+    * replaces it with an identical one (partition contents are
+    * deterministic after the sort), never corrupts a bucket mid-write. */
   def write(df: DataFrame, path: String, key: String, numBuckets: Int): Unit = {
     val schema = df.schema
     require(schema.fieldNames.contains(key), s"missing key column $key")
     require(schema.fields.forall(f => SupportedTypes.contains(f.dataType)),
       s"unsupported type in ${schema.simpleString}")
-    val dir = new File(path)
-    if (dir.exists()) {
-      dir.listFiles().foreach(_.delete()); dir.delete()
-    }
-    dir.mkdirs()
+    val storage = BucketStorages.forPath(path)
+    storage.deleteRecursive(path)
+    storage.mkdirs(path)
 
     val fields = schema.fields
     val keyIdx = schema.fieldIndex(key)
@@ -175,8 +187,13 @@ object GraftBucketFormat {
       .sortWithinPartitions(col("__graft_bucket"), col(key))
       .drop("__graft_bucket") // recomputed per row below; column only routed/sorted
       .foreachPartition { (rows: Iterator[Row]) =>
+        val store = BucketStorages.forPath(path)
+        val tc = org.apache.spark.TaskContext.get()
+        val uid = if (tc == null) "driver" else s"${tc.partitionId()}-${tc.taskAttemptId()}"
         var cur = -1
         var out: BufferedWriter = null
+        val written = scala.collection.mutable.ListBuffer.empty[Int]
+        def tmpFile(b: Int) = s"${bucketFile(path, b)}.$uid.tmp"
         rows.foreach { r =>
           val b = bucketOf(r.get(keyIdx) match {
             case i: Int => i.toLong
@@ -184,7 +201,8 @@ object GraftBucketFormat {
           }, n)
           if (b != cur) {
             if (out != null) out.close()
-            out = new BufferedWriter(new FileWriter(bucketFile(path, b)))
+            out = store.create(tmpFile(b))
+            written += b
             cur = b
           }
           val line = new StringBuilder
@@ -197,17 +215,12 @@ object GraftBucketFormat {
           out.write(line.result()); out.newLine()
         }
         if (out != null) out.close()
+        written.foreach(b => store.rename(tmpFile(b), bucketFile(path, b)))
       }
     // fill buckets that received no rows (empty files keep partition
     // values aligned across co-bucketed tables)
-    (0 until n).foreach { b =>
-      val f = new File(bucketFile(path, b))
-      if (!f.exists()) f.createNewFile()
-    }
-    val meta = Seq(key, n.toString, schema.toDDL)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, MetaFile),
-      meta.asJava)
+    (0 until n).foreach(b => storage.createEmpty(bucketFile(path, b)))
+    storage.writeAllLines(s"$path/$MetaFile", Seq(key, n.toString, schema.toDDL))
   }
 
   // ---- pushed-filter evaluation over decoded internal values ----------
@@ -252,7 +265,12 @@ object GraftBucketFormat {
     case StringType => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
     case IntegerType | DateType => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
     case LongType => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
-    case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    // + 0.0 collapses -0.0 to 0.0 (IEEE), matching Spark SQL where
+    // -0.0 = 0.0; Double.compare alone would order them apart and an
+    // ACCEPTED EqualTo(col, 0.0) would silently drop stored -0.0 rows
+    // (accepted filters are trusted, not re-checked — see pushFilters)
+    case DoubleType => java.lang.Double.compare(
+      a.asInstanceOf[Double] + 0.0d, b.asInstanceOf[Double] + 0.0d)
     case BooleanType => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
     case other => throw new IllegalArgumentException(other.toString)
   }
@@ -309,9 +327,9 @@ class GraftBucketTable(path: String, meta: GraftBucketFormat.Meta)
       in.fields.map(f => (f.name, f.dataType)).toSeq ==
         meta.schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"write schema ${in.simpleString} != table schema ${meta.schema.simpleString}")
+    val storage = BucketStorages.forPath(path)
     val loaded = (0 until meta.buckets).exists { b =>
-      val f = new File(GraftBucketFormat.bucketFile(path, b))
-      f.exists() && f.length() > 0
+      storage.nonEmptyFile(GraftBucketFormat.bucketFile(path, b))
     }
     require(!loaded,
       s"graft-bucket `$path` already holds data: the layout is full-load " +
@@ -348,29 +366,28 @@ class GraftBucketWrite(path: String, meta: GraftBucketFormat.Meta)
     new GraftBucketWriterFactory(path, meta)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val storage = BucketStorages.forPath(path)
     val files = messages.flatMap { case m: GraftBucketCommit => m.files }
     val clashes = files.groupBy(_._1).filter(_._2.length > 1)
     require(clashes.isEmpty,
       s"buckets ${clashes.keys.mkString(",")} written by more than one task " +
         "— the required clustered distribution was not honored")
     files.foreach { case (b, tmp) =>
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(path, tmp),
-        java.nio.file.Paths.get(GraftBucketFormat.bucketFile(path, b)),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      storage.rename(s"$path/$tmp", GraftBucketFormat.bucketFile(path, b))
     }
     (0 until meta.buckets).foreach { b =>
-      val f = new File(GraftBucketFormat.bucketFile(path, b))
-      if (!f.exists()) f.createNewFile()
+      storage.createEmpty(GraftBucketFormat.bucketFile(path, b))
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val storage = BucketStorages.forPath(path)
     messages.foreach {
       case m: GraftBucketCommit =>
-        m.files.foreach { case (_, tmp) => new File(path, tmp).delete() }
+        m.files.foreach { case (_, tmp) => storage.delete(s"$path/$tmp") }
       case _ =>
     }
+  }
 }
 
 case class GraftBucketCommit(files: Seq[(Int, String)]) extends WriterCommitMessage
@@ -398,6 +415,8 @@ class GraftBucketDataWriter(
   private val seen = scala.collection.mutable.Set.empty[Int]
   private val files = scala.collection.mutable.ListBuffer.empty[(Int, String)]
 
+  private val storage = BucketStorages.forPath(path)
+
   private def closeCur(): Unit = if (out != null) { out.close(); out = null }
 
   override def write(row: InternalRow): Unit = {
@@ -409,7 +428,7 @@ class GraftBucketDataWriter(
         s"bucket $b re-surfaced after other buckets — required ordering not honored")
       closeCur()
       val tmp = f"b=$b%05d.tsv.$taskUid.tmp"
-      out = new BufferedWriter(new FileWriter(new File(path, tmp)))
+      out = storage.create(s"$path/$tmp")
       files += b -> tmp
       cur = b
       lastKey = Long.MinValue
@@ -433,7 +452,7 @@ class GraftBucketDataWriter(
 
   override def abort(): Unit = {
     closeCur()
-    files.foreach { case (_, tmp) => new File(path, tmp).delete() }
+    files.foreach { case (_, tmp) => storage.delete(s"$path/$tmp") }
   }
 
   override def close(): Unit = closeCur()
@@ -520,24 +539,27 @@ class GraftBucketReaderFactory(
     val predicates = pushed.flatMap(compileFilter(dataSchema, _))
 
     new PartitionReader[InternalRow] {
-      private val in = new BufferedReader(new FileReader(p.file))
+      private val in = BucketStorages.forPath(p.file).reader(p.file)
       private var row: GenericInternalRow = _
 
       override def next(): Boolean = {
         var line = in.readLine()
         while (line != null) {
-          if (line.nonEmpty) {
-            val parts = line.split('\t')
-            val full = new Array[Any](fields.length)
-            var i = 0
-            while (i < fields.length) {
-              full(i) = decodeField(parts(i), fields(i).dataType)
-              i += 1
-            }
-            if (predicates.forall(_(full))) {
-              row = new GenericInternalRow(projection.map(full(_)))
-              return true
-            }
+          // limit -1 keeps trailing empty fields; a single-string-column
+          // row holding "" legitimately encodes to an empty line, so no
+          // blank-line skip (empty bucket FILES yield no lines at all)
+          val parts = line.split("\t", -1)
+          require(parts.length == fields.length,
+            s"${p.file}: ${parts.length} fields, schema has ${fields.length}")
+          val full = new Array[Any](fields.length)
+          var i = 0
+          while (i < fields.length) {
+            full(i) = decodeField(parts(i), fields(i).dataType)
+            i += 1
+          }
+          if (predicates.forall(_(full))) {
+            row = new GenericInternalRow(projection.map(full(_)))
+            return true
           }
           line = in.readLine()
         }
@@ -577,22 +599,22 @@ class GraftCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
   }
   override def name(): String = catalogName
 
-  private def tableDir(ident: Identifier): java.nio.file.Path =
-    java.nio.file.Paths.get(warehouse, ident.namespace() :+ ident.name(): _*)
+  private def tableDir(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!java.nio.file.Files.exists(dir.resolve(MetaFile)))
+    if (!BucketStorages.forPath(dir).exists(s"$dir/$MetaFile"))
       throw new NoSuchTableException(ident)
-    new GraftBucketTable(dir.toString, readMeta(dir.toString))
+    new GraftBucketTable(dir, readMeta(dir))
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val ns = java.nio.file.Paths.get(warehouse, namespace: _*)
-    if (!java.nio.file.Files.isDirectory(ns)) Array.empty
-    else ns.toFile.listFiles().toSeq
-      .filter(d => new File(d, MetaFile).exists())
-      .map(d => Identifier.of(namespace, d.getName))
+    val ns = (warehouse +: namespace.toSeq).mkString("/")
+    val storage = BucketStorages.forPath(ns)
+    storage.listSubdirs(ns)
+      .filter(d => storage.exists(s"$ns/$d/$MetaFile"))
+      .map(d => Identifier.of(namespace, d))
       .toArray
   }
 
@@ -670,12 +692,19 @@ object BucketV2 {
     GraftBucketFormat.write(
       orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
       s"$wh/fact/ord_$sfx", "o_orderkey", 16)
-    s.conf.set("spark.sql.catalog.graft_v2", classOf[GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft_v2.warehouse", wh)
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    s.conf.set("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
-    s.table(s"graft_v2.fact.li_$sfx").hint("merge")
-      .join(s.table(s"graft_v2.fact.ord_$sfx"),
+    // catalog + planner confs go on a CLONED session, never the caller's:
+    // the returned frame is lazy, so a set/try/finally here would restore
+    // the confs before planning ever reads them, and setting them on `s`
+    // would leak SPJ planner behavior into every later query in a shared
+    // session. The clone shares the SparkContext (same executors/caches)
+    // but owns its conf and catalog manager.
+    val s2 = org.apache.spark.sql.graftbridge.SparkBridge.cloneSession(s)
+    s2.conf.set("spark.sql.catalog.graft_v2", classOf[GraftCatalog].getName)
+    s2.conf.set("spark.sql.catalog.graft_v2.warehouse", wh)
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
+    s2.table(s"graft_v2.fact.li_$sfx").hint("merge")
+      .join(s2.table(s"graft_v2.fact.ord_$sfx"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_items"),
@@ -687,8 +716,9 @@ object BucketV2 {
 
   /** Column pruning + predicate pushdown through the V2 reader: the scan
     * materializes 2 of 5 columns and drops filtered rows before they
-    * become InternalRows (Spark re-checks the residual above — belt and
-    * suspenders, not a correctness dependency). */
+    * become InternalRows. Both filters are ACCEPTED by the scan builder,
+    * so the reader's evaluation is authoritative — Spark re-checks only
+    * residual (unaccepted) filters. */
   def v2ScanPushdown(s: SparkSession, d: String): DataFrame = {
     val out = stage(s"orders_full_${math.abs(d.hashCode)}")
     GraftBucketFormat.write(

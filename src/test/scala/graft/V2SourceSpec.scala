@@ -90,7 +90,9 @@ class V2SourceSpec extends SparkFunSuite {
     // 2 of 5 columns survive pruning
     assert(scan.readSchema().fieldNames.toSeq === Seq("o_orderkey", "o_totalprice"))
     // both comparisons (and the implied IsNotNulls) were accepted by the
-    // reader; the residual copy above the scan re-checks them
+    // reader — accepted filters leave the plan entirely and are NOT
+    // re-checked above the scan, so the reader's evaluation is the
+    // correctness path here
     val pushed = scan.description()
     assert(pushed.contains("o_totalprice"), pushed)
     assert(pushed.contains("o_orderstatus"), pushed)
@@ -120,5 +122,63 @@ class V2SourceSpec extends SparkFunSuite {
     val keys = lines.map(_.split('\t')(0).toLong)
     assert(keys === keys.sorted)
     assert(keys.forall(k => GraftBucketFormat.bucketOf(k, 4) == 2))
+  }
+
+  test("empty strings survive the TSV codec, trailing field included") {
+    val s = spark
+    import s.implicits._
+    // "" in first/middle/last position — a split without limit -1 would
+    // drop the trailing empty and shift/underflow the decode
+    val df = Seq(
+      (1L, "", "mid", ""),
+      (2L, "a", "", "c"),
+      (3L, "", "", "")
+    ).toDF("k", "s1", "s2", "s3")
+    val path = java.nio.file.Files.createTempDirectory("graft_v2_empty").toString
+    GraftBucketFormat.write(df, path, "k", 2)
+    val back = s.read.format("graft-bucket").load(path)
+    assert(back.count() === 3) // no row silently dropped
+    val got = back.collect().map(_.toString).sorted.toSeq
+    assert(got === df.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("accepted double filter matches -0.0 = 0.0 like Spark SQL") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, -0.0), (2L, 0.0), (3L, 1.5)).toDF("k", "d")
+    val path = java.nio.file.Files.createTempDirectory("graft_v2_zero").toString
+    GraftBucketFormat.write(df, path, "k", 2)
+    val back = s.read.format("graft-bucket").load(path).filter($"d" === 0.0)
+    // EqualTo(d, 0.0) is accepted by the reader (never re-checked): the
+    // stored -0.0 row must come back, as it would from parquet
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("Hadoop storage: file:// URI round-trips through the same connector") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a"), (2L, "b\twith tab"), (5L, null.asInstanceOf[String]))
+      .toDF("k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2_hdfs").toString
+    val uri = s"file://$dir/tbl" // resolves to Hadoop LocalFileSystem
+    GraftBucketFormat.write(df, uri, "k", 2)
+    assert(sources.BucketStorages.forPath(uri) eq sources.HadoopBucketStorage)
+    val back = s.read.format("graft-bucket").load(uri)
+    assert(back.collect().map(_.toString).sorted.toSeq ===
+      df.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("v2BucketJoin leaks no confs into the caller's session") {
+    val s = spark
+    val watched = Seq(
+      "spark.sql.catalog.graft_v2",
+      "spark.sql.catalog.graft_v2.warehouse",
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.sorting.enabled")
+    def snapshot() = watched.map(k => k -> s.conf.getOption(k))
+    val before = snapshot()
+    BucketV2.v2BucketJoin(s, sf).collect()
+    assert(snapshot() === before,
+      "v2BucketJoin mutated the caller session's confs")
   }
 }
