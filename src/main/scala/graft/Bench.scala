@@ -46,29 +46,46 @@ object Bench {
     // warmup: session + codegen + parquet reader init
     spark.range(1000).selectExpr("sum(id)").collect()
     val only: Option[Set[String]] = if (args.nonEmpty) Some(args.toSet) else None
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val times = (1 to reps).map { _ =>
-          CacheScope.releaseAll()
-          spark.catalog.clearCache()
-          System.gc()
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        name -> times(times.length / 2)
-      }
+    val (results, failures) = measure(spark, sfDir, reps, queries)
     def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"failures":${failures.length}}""")
     // short summary LAST: the bounded tail always keeps this line whole
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"failures":${failures.length}}""")
     spark.stop()
+  }
+
+  /** Times each query (median of `reps` noop-sink executions). A failing
+    * query is returned in the FAILURES list, never as a timing — a broken
+    * query must never look like a fast one. */
+  def measure(
+      spark: SparkSession, sfDir: String, reps: Int,
+      queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+      : (Seq[(String, Double)], Seq[String]) = {
+    val attempted = queries.map { case (name, fn) =>
+      val times = (1 to reps).flatMap { _ =>
+        CacheScope.releaseAll()
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
+      }.sorted
+      // median over the reps that completed; None only if every rep
+      // failed (catalog queries are deterministic, so a partial failure
+      // is an environment blip — the completed reps still time the plan)
+      name -> (if (times.nonEmpty) Some(times(times.length / 2)) else None)
+    }
+    (attempted.collect { case (n, Some(t)) => n -> t },
+      attempted.collect { case (n, None) => n })
   }
 }
