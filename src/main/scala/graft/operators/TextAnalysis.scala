@@ -62,9 +62,21 @@ object TextAnalysis {
     * approx_percentile sketch (one partial-agg exchange, same downstream
     * shape). The tiny per-source threshold table BROADCASTS back onto the
     * scan — the corpus itself never shuffles; the kept-mean is an
-    * order-independent decimal sum divided once in doubles. */
+    * order-independent decimal sum divided once in doubles.
+    *
+    * `spark.graft.quality.approxThreshold=true` swaps the threshold
+    * derivation for an `approx_percentile` sketch — ONE partial-agg
+    * exchange over |sources| groups instead of a per-source full sort,
+    * the shape a 100 TB corpus needs (the sort-based window materializes
+    * and orders every source's docs just to pick one row). The sketch
+    * threshold differs from the rank-selected one only within the
+    * sketch's rank tolerance (QualityGateSpec bounds the flipped keep
+    * decisions); the exact path stays the default because the DuckDB
+    * oracle pins bit-identical thresholds. */
   def qualityGate(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val approx = s.conf.getOption("spark.graft.quality.approxThreshold")
+      .exists(_.toBoolean)
     val q = documents(s, d)
       .withColumn("ttr",
         expr("size(array_distinct(split(text, ' ')))").cast("double") /
@@ -72,12 +84,19 @@ object TextAnalysis {
       .withColumn("quality",
         round(least(lit(1.0), length(col("text")).cast("double") / 400.0) * 0.5 +
           col("ttr") * 0.5, 6))
-    val thr = q
-      .withColumn("qrn", row_number().over(
-        Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))))
-      .withColumn("qn", count(lit(1)).over(Window.partitionBy(col("source"))))
-      .filter(col("qrn") === ceil(col("qn") * 0.25).cast("long"))
-      .select(col("source"), col("quality").as("p25"))
+    val thr =
+      if (approx)
+        // accuracy 10000 → rank error ≤ n/10000 per source; still returns
+        // a MEMBER value (the sketch stores observed values), so the
+        // boundary comparison stays exact-equality-safe
+        q.groupBy(col("source"))
+          .agg(expr("approx_percentile(quality, 0.25, 10000)").as("p25"))
+      else q
+        .withColumn("qrn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))))
+        .withColumn("qn", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("qrn") === ceil(col("qn") * 0.25).cast("long"))
+        .select(col("source"), col("quality").as("p25"))
     q.join(broadcast(thr), "source")
       .withColumn("keep", col("quality") >= col("p25"))
       .groupBy(col("source"), col("p25"))
