@@ -110,7 +110,13 @@ object Similarity {
     * sf0.01. One iteration is kept because the objective (what IVF cell
     * residency actually optimizes at 100 TB: vectors near their posting
     * list's centroid) improves 1.27×, while recall stays within noise of
-    * the seed. On a corpus with real cluster structure both move together. */
+    * the seed. On a corpus with real cluster structure both move together.
+    *
+    * Conf-gated quantizer upgrades (IvfSeedingSpec pins both; the catalog
+    * default stays oracle-replayed): `spark.graft.ivf.seeding=kmeanspp`
+    * switches to deterministic farthest-point seeding
+    * ([[farthestPointSeeds]]), and `spark.graft.ivf.objectiveEps=<ε>`
+    * turns `lloydIters` into a cap with an objective-delta early stop. */
   def knnIvf(s: SparkSession, d: String): DataFrame =
     knnIvfImpl(s, d,
       lloydIters = s.conf.get("spark.graft.ivf.lloydIters", "1").toInt)
@@ -132,12 +138,23 @@ object Similarity {
     val base = e.select(col("vec_id"),
       col("embedding"), col("embedding").cast("array<double>").as("emb_d"),
       sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
-    // seed centroids: first 16 vectors, widened to double (exact) so the
-    // seed and learned paths share one scoring kernel (vec_dot_d over a
-    // widened float vector is bit-identical to vec_dot over the floats)
-    val seeds = base.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("emb_d").as("cvec"),
-        col("nrm").as("cnrm"))
+    // seed centroids, widened to double (exact) so the seed and learned
+    // paths share one scoring kernel (vec_dot_d over a widened float
+    // vector is bit-identical to vec_dot over the floats).
+    //   first    — first 16 vectors: the oracle-pinned catalog default
+    //              (the DuckDB oracle replays `vec_id < 16` verbatim)
+    //   kmeanspp — deterministic farthest-point traversal (the k-means++
+    //              hard-max variant): better-spread seeds → higher
+    //              quantizer objective on clustered corpora. Not the
+    //              default because the oracle would have to replay the
+    //              16-step argmax recursion; IvfSeedingSpec pins its
+    //              objective ≥ the default path's instead.
+    val seeds = s.conf.get("spark.graft.ivf.seeding", "first") match {
+      case "kmeanspp" => farthestPointSeeds(base, 16)
+      case _ => base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("emb_d").as("cvec"),
+          col("nrm").as("cnrm"))
+    }
     // score every vector against the broadcast centroids; cell = argmax
     // cosine (rounded like every similarity in this module); keep top-2
     // so corpus assignment (crk=1) and query probes (crk<=2) share a pass
@@ -154,8 +171,7 @@ object Similarity {
     // qv = floor(v·10⁶ + 0.5) (identical rounding both engines), mean
     // = CAST(Σqv AS DOUBLE) / CAST(n·10⁶ AS DOUBLE) — two exact
     // operands, one IEEE division → bit-identical centroids.
-    var cents = seeds
-    for (_ <- 1 to lloydIters) {
+    def lloydStep(cents: DataFrame): DataFrame = {
       val a0 = scoreTop2(cents).filter(col("crk") === 1)
         .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
       val dims = a0.select(col("cell"), posexplode(col("embedding")))
@@ -165,16 +181,79 @@ object Similarity {
         .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
         .select(col("cell"), col("dim"),
           (col("sq").cast("double") / (col("n") * 1000000L).cast("double")).as("cval"))
-      cents = upd.groupBy(col("cell"))
+      upd.groupBy(col("cell"))
         .agg(expr("transform(array_sort(collect_list(struct(dim, cval))), x -> x.cval)")
           .as("cvec"))
         .select(col("cell").as("cent_id"), col("cvec"),
           sqrt(expr("vec_dot_d(cvec, cvec)")).as("cnrm"))
     }
+    // spark.graft.ivf.objectiveEps > 0 turns lloydIters into a CAP with
+    // an objective-delta stop: iterate until the quantizer objective
+    // (mean best-centroid cosine — the quantity spherical k-means
+    // monotonically improves) gains less than eps. Each check is one
+    // scalar aggregate per iteration (MLlib-style convergence test,
+    // O(1) driver data) — conf-gated, since the oracle pins the default
+    // fixed-depth path.
+    val eps = s.conf.get("spark.graft.ivf.objectiveEps", "0").toDouble
+    def objective(cents: DataFrame): Double =
+      scoreTop2(cents).filter(col("crk") === 1)
+        .agg(avg(col("cs"))).head().getDouble(0)
+    var cents = seeds
+    if (eps > 0 && lloydIters > 0) {
+      var prevObj = objective(cents)
+      var it = 0
+      var go = true
+      while (go) {
+        cents = lloydStep(cents)
+        it += 1
+        val obj = objective(cents)
+        go = it < lloydIters && obj - prevObj >= eps
+        prevObj = obj
+      }
+    } else {
+      for (_ <- 1 to lloydIters) cents = lloydStep(cents)
+    }
     val top2 = scoreTop2(cents).persist()
     graft.CacheScope.track(top2)
     top2.count()
     top2
+  }
+
+  /** Deterministic farthest-point seeding (the k-means++ hard-max
+    * variant, MLlib-KMeans-shaped): seed 1 is the smallest `vec_id`;
+    * each next seed is the vector whose best cosine to the chosen set is
+    * LOWEST (i.e. angularly farthest), ties broken by smallest `vec_id`
+    * — fully replayable, no RNG. The running best-cosine frame is
+    * persisted once and updated by k−1 narrow one-row broadcast joins
+    * (each new seed is a persisted 1-row frame, so nothing re-scans the
+    * corpus per step and no vector data is collected to the driver);
+    * `TakeOrderedAndProject` picks each argmin distributedly. */
+  private def farthestPointSeeds(base: DataFrame, k: Int): DataFrame = {
+    // Eager localCheckpoint (not persist) after every step: the
+    // traversal is inherently recursive (seedᵢ selects from curᵢ, which
+    // joins seedᵢ₋₁, which selects from curᵢ₋₁ ...), so without lineage
+    // TRUNCATION the logical plan doubles per seed and overflows the
+    // planner at k=16. Checkpointed blocks are freed by the
+    // ContextCleaner once unreferenced.
+    def seedOf(df: DataFrame): DataFrame =
+      df.limit(1)
+        .select(col("vec_id").as("cent_id"), col("emb_d").as("cvec"),
+          col("nrm").as("cnrm"))
+        .localCheckpoint(true)
+    var cur = base.select(col("vec_id"), col("emb_d"), col("nrm"),
+      lit(-2.0).as("maxcs")).localCheckpoint(true)
+    var seed = seedOf(cur.orderBy(col("vec_id")))
+    val seeds = scala.collection.mutable.ListBuffer(seed)
+    for (_ <- 2 to k) {
+      cur = cur.join(broadcast(seed.select(col("cvec"), col("cnrm"))))
+        .withColumn("maxcs", greatest(col("maxcs"),
+          round(expr("vec_dot_d(emb_d, cvec)") / (col("nrm") * col("cnrm")), 6)))
+        .select(col("vec_id"), col("emb_d"), col("nrm"), col("maxcs"))
+        .localCheckpoint(true)
+      seed = seedOf(cur.orderBy(col("maxcs"), col("vec_id")))
+      seeds += seed
+    }
+    seeds.reduce(_ union _)
   }
 
   private[graft] def knnIvfImpl(s: SparkSession, d: String, lloydIters: Int): DataFrame = {
