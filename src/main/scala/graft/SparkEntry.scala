@@ -28,6 +28,7 @@ object SparkEntry {
     operators.TextAnalysis.queries ++
     operators.Sampling.queries ++
     operators.Corpus.queries ++
+    operators.Curation.queries ++
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.EventsOps.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
     operators.TextAnalysis.oracle ++
     operators.Sampling.oracle ++
     operators.Corpus.oracle ++
+    operators.Curation.oracle ++
     operators.Dedup.oracle ++
     operators.Similarity.oracle ++
     operators.EventsOps.oracle ++

@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-curation operators that COMPOSE the engine's primitives into
+  * the decisions a training-data pipeline actually ships: which docs to
+  * keep (quality-weighted sampling), which near-duplicate to keep
+  * (cluster representative selection), and how to keep eval data out of
+  * the training set when the eval gram set outgrows a broadcast hash
+  * join (Bloom-pruned contamination). All three stay oracle-exact — the
+  * sampling gates are md5-prefix integer comparisons and the Bloom pass
+  * is a PRE-filter whose false positives are removed by an exact join.
+  */
+object Curation {
+
+  private def confDouble(s: SparkSession, key: String, dflt: Double): Double =
+    s.conf.getOption(key).map(_.toDouble).getOrElse(dflt)
+
+  /** quality ∈ (0,1]: the same 6-dp-rounded length+TTR score the quality
+    * gate uses ([[TextAnalysis.qualityGate]]) — one definition of
+    * "quality" across the curation surface. */
+  private def withQuality(df: DataFrame): DataFrame = df
+    .withColumn("ttr",
+      expr("size(array_distinct(split(text, ' ')))").cast("double") /
+        expr("size(split(text, ' '))"))
+    .withColumn("quality",
+      round(least(lit(1.0), length(col("text")).cast("double") / 400.0) * 0.5 +
+        col("ttr") * 0.5, 6))
+
+  /** Quality-WEIGHTED deterministic sampling (the DCLM/FineWeb move):
+    * instead of a hard quality cutoff, each doc's acceptance rate is
+    * proportional to its quality — `rate = min(1, quality · factor)` —
+    * so mid-quality docs thin out gradually rather than vanishing at a
+    * boundary. Membership is the md5-prefix hash gate (partition-
+    * invariant, re-ingest-stable, same 52-bit fixed-width HEX boundary
+    * as [[Corpus.mixSources]] so both engines decide from the identical
+    * integer). `factor` defaults to 1.25 (exactly representable, so
+    * `quality · factor` is one identical IEEE multiply in both engines).
+    *
+    * Scale shape: the decision is a per-row expression on the scan — no
+    * shuffle, no threshold table, nothing broadcast; only the per-source
+    * summary exchanges, over |sources| groups. */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val factor = confDouble(s, "spark.graft.curation.weightFactor", 1.25)
+    require(factor > 0, "weightFactor must be positive")
+    withQuality(documents(s, d))
+      .withColumn("rate", least(lit(1.0), col("quality") * lit(factor)))
+      .withColumn("kept", col("rate") >= 1.0 ||
+        substring(md5(col("doc_id").cast("string")), 1, 13) <
+          lpad(lower(hex(
+            floor(col("rate") * lit(4503599627370496.0)).cast("long"))), 13, "0"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        (sum(when(col("kept"), col("quality").cast(DecimalType(12, 6))))
+          .cast("double") /
+          sum(when(col("kept"), 1L).otherwise(0L))).as("kept_quality_mean"))
+      .select(col("source"), col("n_docs"),
+        col("n_kept").cast("long").as("n_kept"), col("kept_quality_mean"))
+      .orderBy(col("source"))
+  }
+
+  /** Near-dup cluster REPRESENTATIVE selection: dedup that keeps the
+    * best member, not an arbitrary one. [[Dedup.dedupClusters]] already
+    * labels connected components; this picks each cluster's highest-
+    * quality doc (ties: smallest doc_id — fully deterministic) as the
+    * survivor, the step that turns "here are the duplicate groups" into
+    * "here is the kept corpus".
+    *
+    * Scale shape: the cluster table is pair-derived (orders of magnitude
+    * smaller than the corpus); the quality join keys on doc_id and the
+    * per-cluster argmax is one window over cluster-sized groups. The
+    * corpus itself is scanned once for quality and never shuffled whole. */
+  def dedupRepresentative(s: SparkSession, d: String): DataFrame = {
+    val clusters = Dedup.dedupClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val q = withQuality(documents(s, d)).select(col("doc_id"), col("quality"))
+    clusters.join(q, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc"),
+        col("quality").as("rep_quality"), col("cluster_size"),
+        (col("cluster_size") - 1).cast("long").as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Bloom-pruned eval-contamination join. [[Corpus.contamination]]
+    * broadcasts the eval gram SET — right until the eval suite grows
+    * past broadcast size. This variant broadcasts a BLOOM SKETCH of the
+    * eval grams instead (bits, not rows — a scalar subquery computed
+    * once, the same shape Spark's own runtime-filter injection plants),
+    * drops ~all clean training grams at the scan, and then verifies the
+    * survivors with an exact join, so Bloom false positives never reach
+    * the result: output is bit-identical to the exact operator and
+    * shares its oracle.
+    *
+    * Scale shape at 100 TB: the training side streams through a
+    * codegen'd `might_contain` predicate (no shuffle, no broadcast hash
+    * table of the full gram set); only Bloom survivors — contamination-
+    * sized, not corpus-sized — reach the verify join. Here the verify
+    * side still broadcasts; at real scale flip it to shuffle and the
+    * sketch pruning is what keeps the shuffled train side tiny. */
+  def contaminationBloom(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BloomFunctions.register(s)
+    val gw = 3
+    def grams(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= gw)
+      .select(col(idAs), explode(
+        expr(s"transform(sequence(1, size(toks) - ${gw - 1}), i -> md5(array_join(slice(toks, i, $gw), ' ')))"))
+        .as("g"))
+      .distinct()
+    val docs = documents(s, d)
+    grams(docs.filter(col("doc_id") % 97 === 0), "eval_doc")
+      .createOrReplaceTempView("graft_contam_eval_g")
+    grams(docs.filter(col("doc_id") % 97 =!= 0), "train_doc")
+      .createOrReplaceTempView("graft_contam_train_g")
+    s.sql(
+      """SELECT /*+ BROADCAST(e) */ t.train_doc, e.eval_doc,
+        |  COUNT(*) AS n_shared_grams
+        |FROM (SELECT train_doc, g FROM graft_contam_train_g
+        |      WHERE graft_might_contain(
+        |        (SELECT graft_bloom_agg(xxhash64(g), 100000L, 800000L)
+        |         FROM graft_contam_eval_g),
+        |        xxhash64(g))) t
+        |JOIN graft_contam_eval_g e ON t.g = e.g
+        |GROUP BY t.train_doc, e.eval_doc
+        |ORDER BY t.train_doc, e.eval_doc""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_weighted" -> (sampleWeighted _),
+    "q_dedup_representative" -> (dedupRepresentative _),
+    "q_contamination_bloom" -> (contaminationBloom _))
+
+  private val qualitySql =
+    """SELECT doc_id, source,
+      |    round(least(1.0, CAST(length(text) AS DOUBLE) / 400.0) * 0.5 +
+      |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) * 0.5, 6) AS quality
+      |  FROM documents""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_weighted" ->
+      s"""WITH q AS (
+        |  $qualitySql),
+        |k AS (
+        |  SELECT doc_id, source, quality,
+        |    least(CAST(1.0 AS DOUBLE), quality * CAST(1.25 AS DOUBLE)) AS rate
+        |  FROM q),
+        |f AS (
+        |  SELECT source, quality,
+        |    (rate >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+        |      < printf('%013x', CAST(floor(rate * CAST(4503599627370496 AS DOUBLE)) AS BIGINT))) AS kept
+        |  FROM k)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN kept THEN CAST(quality AS DECIMAL(12,6)) END) AS DOUBLE)
+        |    / SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS kept_quality_mean
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    // the cluster CTEs replicate q_dedup_clusters' oracle (same MinHash
+    // parameters); the tail swaps min-id canonical for argmax-quality
+    "q_dedup_representative" ->
+      s"""WITH RECURSIVE sig AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 8), h ->
+        |      list_min(list_transform(list_distinct(string_split(text, ' ')),
+        |        t -> md5(t || '#' || CAST(h AS VARCHAR))))) AS s
+        |  FROM documents),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    md5(s[4*b+1] || s[4*b+2] || s[4*b+3] || s[4*b+4]) AS bucket
+        |  FROM sig, range(0, 2) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM bands a JOIN bands c
+        |    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+        |p AS (
+        |  SELECT d1, d2
+        |  FROM cand JOIN sig x ON d1 = x.doc_id JOIN sig y ON d2 = y.doc_id
+        |  WHERE list_sum(list_transform(range(0, 8),
+        |    i -> CASE WHEN x.s[i+1] = y.s[i+1] THEN 1 ELSE 0 END)) >= 6),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM p
+        |  UNION ALL SELECT d2, d1 FROM p),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach(node, lbl) AS (
+        |  SELECT node, node AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        |cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+        |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id),
+        |q AS (
+        |  $qualitySql),
+        |r AS (
+        |  SELECT cc.cluster_id, cc.doc_id, sizes.cluster_size, q.quality,
+        |    ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+        |      ORDER BY q.quality DESC, cc.doc_id) AS rn
+        |  FROM cc JOIN sizes USING (cluster_id) JOIN q USING (doc_id))
+        |SELECT cluster_id, doc_id AS rep_doc, quality AS rep_quality,
+        |  cluster_size, CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    // identical result to q_contamination: the Bloom pass only prunes,
+    // the exact join decides
+    "q_contamination_bloom" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |ix AS (
+        |  SELECT doc_id, toks, unnest(range(1, n - 1)) AS i
+        |  FROM t WHERE n >= 3),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list_slice(toks, i, i + 2), ' ')) AS g
+        |  FROM ix),
+        |e AS (SELECT doc_id AS eval_doc, g FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id AS train_doc, g FROM g WHERE doc_id % 97 <> 0)
+        |SELECT tr.train_doc, e.eval_doc, COUNT(*) AS n_shared_grams
+        |FROM tr JOIN e ON tr.g = e.g
+        |GROUP BY tr.train_doc, e.eval_doc
+        |ORDER BY tr.train_doc, e.eval_doc""".stripMargin
+  )
+}

@@ -21,6 +21,7 @@ class CatalogSpec extends SparkFunSuite {
       operators.Parity.queries.size, operators.Pdf.queries.size,
       operators.Fetch.queries.size, operators.TextAnalysis.queries.size,
       operators.Sampling.queries.size, operators.Corpus.queries.size,
+      operators.Curation.queries.size,
       operators.Dedup.queries.size, operators.Similarity.queries.size,
       operators.EventsOps.queries.size, operators.Multimodal.queries.size,
       streaming.Streaming.queries.size, sources.BucketV2.queries.size)
@@ -70,7 +71,8 @@ class CatalogSpec extends SparkFunSuite {
     // exactly the engine's blocks after each action (clearCache would
     // evict other tenants' caches too)
     val persisting = Seq("q_dedup_minhash", "q_dedup_incremental",
-      "q_dedup_clusters", "q_dedup_ngram", "q_knn_ivf")
+      "q_dedup_clusters", "q_dedup_ngram", "q_knn_ivf",
+      "q_dedup_representative")
     spark.catalog.clearCache()
     for (name <- persisting) {
       SparkEntry.queries(name)(spark, sf).count()

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Curation}
+
+class CurationSpec extends SparkFunSuite {
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(nodes)
+  }
+
+  test("bloom-pruned contamination is bit-identical to the exact operator") {
+    val exact = Corpus.contamination(spark, sf).collect().map(_.toString).toSeq
+    val bloom = Curation.contaminationBloom(spark, sf).collect().map(_.toString).toSeq
+    assert(bloom === exact)
+    assert(bloom.nonEmpty)
+  }
+
+  test("bloom pass is a scalar-subquery sketch, not a nested-loop join") {
+    val df = Curation.contaminationBloom(spark, sf)
+    df.queryExecution.toRdd.count()
+    val plan = nodes(df.queryExecution.executedPlan)
+    assert(!plan.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"bloom sketch attached via BNLJ:\n${df.queryExecution.executedPlan}")
+    // the probe predicate rides a Filter over the train side (printed as
+    // `might_contain(Subquery ...)`) and the sketch is one aggregate
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("might_contain("),
+      s"no bloom probe in the executed plan:\n$planStr")
+    assert(planStr.contains("bloom_filter_agg("),
+      s"no bloom sketch aggregate in the executed plan:\n$planStr")
+  }
+
+  test("weighted sampling: deterministic, monotone in the weight factor") {
+    def keptBy(factor: Double): Long = {
+      spark.conf.set("spark.graft.curation.weightFactor", factor.toString)
+      try Curation.sampleWeighted(spark, sf).agg(sum(col("n_kept")))
+        .head().getLong(0)
+      finally spark.conf.unset("spark.graft.curation.weightFactor")
+    }
+    val total = Tables.documents(spark, sf).count()
+    val base = keptBy(1.25)
+    assert(base === keptBy(1.25), "hash gate is not deterministic")
+    assert(base > 0 && base < total,
+      s"factor 1.25 should thin the corpus, kept $base of $total")
+    val tight = keptBy(0.5)
+    val loose = keptBy(4.0)
+    assert(tight < base && base < loose,
+      s"kept counts not monotone: $tight (0.5) / $base (1.25) / $loose (4.0)")
+    assert(loose === total, "factor 4.0 makes every rate 1.0 — all docs kept")
+  }
+
+  test("cluster representative is the member with the highest quality") {
+    val reps = Curation.dedupRepresentative(spark, sf).collect()
+    CacheScope.releaseAll()
+    assert(reps.nonEmpty)
+    assert(reps.map(_.getLong(0)).distinct.length === reps.length,
+      "one representative per cluster")
+    val members = graft.operators.Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    CacheScope.releaseAll()
+    // replicate Spark's round(): BigDecimal.valueOf + HALF_UP (NOTES rule)
+    val quality = graft.operators.TextAnalysis.qualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> java.math.BigDecimal.valueOf(r.getDouble(3))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()).toMap
+    val byCluster = members.groupBy(_._2)
+    for (r <- reps) {
+      val (cid, rep, repQ) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val ms = byCluster(cid).map(_._1)
+      assert(ms.contains(rep), s"rep $rep not a member of cluster $cid")
+      assert(r.getLong(3) === ms.length.toLong, "cluster_size mismatch")
+      val maxQ = ms.map(quality).max
+      assert(math.abs(repQ - maxQ) < 1e-9,
+        s"cluster $cid rep quality $repQ != member max $maxQ")
+    }
+  }
+}
