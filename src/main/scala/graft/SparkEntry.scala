@@ -29,6 +29,7 @@ object SparkEntry {
     operators.Sampling.queries ++
     operators.Corpus.queries ++
     operators.Curation.queries ++
+    operators.Layout.queries ++
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.EventsOps.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
     operators.Sampling.oracle ++
     operators.Corpus.oracle ++
     operators.Curation.oracle ++
+    operators.Layout.oracle ++
     operators.Dedup.oracle ++
     operators.Similarity.oracle ++
     operators.EventsOps.oracle ++
