@@ -95,6 +95,52 @@ case class SortedLongIntersect(left: Expression, right: Expression)
   * (Lloyd means are doubles). Same sequential double fold, so a widened
   * float vector dotted with itself gives bit-identical results to the
   * float expression. */
+/** Squared Euclidean distance over two array<double> columns — the same
+  * sequential left-to-right fold as the oracle's
+  * `list_sum(list_transform(range(1, n+1), i -> (a[i]-b[i])^2))`, so both
+  * engines produce the identical double bit pattern. Used by the PQ
+  * quantizer ([[graft.operators.Similarity.knnPq]]). */
+case class DoubleVecDistSq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val dlt = x.getDouble(i) - y.getDouble(i)
+      s += dlt * dlt
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val dlt = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dlt = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $dlt * $dlt;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class DoubleVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -138,6 +184,8 @@ object VectorFunctions {
       "vec_dot_d", exprs => DoubleVecDot(exprs(0), exprs(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect", exprs => SortedLongIntersect(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dist2_d", exprs => DoubleVecDistSq(exprs(0), exprs(1)), "built-in")
   }
 
   /** dot(a, b) over array<float> columns, in double precision. */

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Approximate-nearest-neighbor / similarity search over the `embeddings`
   * table (64-dim float vectors).
@@ -424,6 +425,67 @@ object Similarity {
                |END""".stripMargin).as("max_abs_err"))
       .orderBy(col("vec_id"))
 
+  /** Product quantization with ADC scoring — the compression layer every
+    * billion-vector ANN index runs on (FAISS `IVF…,PQ8`): the 64-dim
+    * vector is split into 8 subspaces of 8 dims; each subspace gets a
+    * 16-entry codebook (seeded deterministically with the first 16
+    * vectors' subvectors, matching the IVF quantizer's oracle-pinned
+    * seeding); a vector is stored as 8 four-bit codes — 256 B of floats
+    * becomes 8 B of codes, the difference between an index that fits in
+    * cluster RAM and one that doesn't. Queries score candidates with
+    * Asymmetric Distance Computation: per query, ONE 8×16 lookup table
+    * of exact subspace distances, then every candidate's distance is the
+    * sum of 8 table lookups — no float vector is touched at scan time.
+    *
+    * Oracle-exactness: subspace distances are the same sequential
+    * squared-diff fold in both engines ([[graft.functions.DoubleVecDistSq]]
+    * vs `list_sum(list_transform(...))`), rounded at 6 dp; the ADC sum
+    * runs through DECIMAL(18,6) so partial-agg order can't flip a bit
+    * (NOTES double-aggregate rule). Code assignment ties break on the
+    * smallest centroid id; ADC ties on the smallest candidate id.
+    *
+    * Scale shape: codebooks (128 rows) and per-query LUTs (30×8×16 rows)
+    * BROADCAST; the corpus streams through the assignment join once and
+    * the scoring join once; the only exchanges are the two hash aggs
+    * (argmin-per-(vec,subspace) and sum-per-(query,candidate)). At real
+    * scale the codes pivot to one row per vector and the LUT lookups
+    * become a map-side expression; the long format here keeps every
+    * intermediate oracle-replayable. */
+  def knnPq(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val base = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb_d"))
+    val subs = base.select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), s -> named_struct('s', s, 'sub', slice(emb_d, s*8+1, 8)))"))
+        .as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sub").as("sub"))
+    val cents = subs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("s"), col("sub").as("cvec"))
+    val codes = subs.join(broadcast(cents), "s")
+      .withColumn("d2", round(expr("vec_dist2_d(sub, cvec)"), 6))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy(col("vec_id"), col("s"))
+          .orderBy(col("d2"), col("cent_id"))))
+      .filter(col("ark") === 1)
+      .select(col("vec_id").as("cid"), col("s"), col("cent_id").as("code"))
+    val dtab = subs.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("qid"), col("s"), col("sub").as("qsub"))
+      .join(broadcast(cents), "s")
+      .select(col("qid"), col("s"), col("cent_id").as("code"),
+        round(expr("vec_dist2_d(qsub, cvec)"), 6).as("d2"))
+    codes.join(broadcast(dtab), Seq("s", "code"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("d2").cast(DecimalType(18, 6))).cast("double").as("adc_dist2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc_dist2"), col("cid"))))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), col("rn").cast("long").as("rn"),
+        col("adc_dist2"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -431,6 +493,7 @@ object Similarity {
     "q_knn_brute" -> (knnBrute _),
     "q_knn_lsh" -> (knnLsh _),
     "q_knn_ivf" -> (knnIvf _),
+    "q_knn_pq" -> (knnPq _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_embed_neardup_lsh" -> (embedNearDupLsh _)
   )
@@ -457,6 +520,41 @@ object Similarity {
         |  END AS max_abs_err
         |FROM embeddings e JOIN m ON e.vec_id = m.vec_id
         |ORDER BY e.vec_id""".stripMargin,
+
+    "q_knn_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |subs AS (
+        |  SELECT vec_id, s, list_slice(emb, s*8+1, s*8+8) AS sub
+        |  FROM e, (SELECT unnest(range(0, 8)) AS s) r),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, s, sub AS cvec FROM subs WHERE vec_id < 16),
+        |a AS (
+        |  SELECT subs.vec_id, subs.s, cents.cent_id,
+        |    ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.s
+        |      ORDER BY round(list_sum(list_transform(range(1, 9),
+        |        i -> (sub[i] - cvec[i]) * (sub[i] - cvec[i]))), 6), cents.cent_id) AS ark
+        |  FROM subs JOIN cents ON subs.s = cents.s),
+        |codes AS (SELECT vec_id AS cid, s, cent_id AS code FROM a WHERE ark = 1),
+        |dtab AS (
+        |  SELECT q.vec_id AS qid, q.s, c.cent_id AS code,
+        |    round(list_sum(list_transform(range(1, 9),
+        |      i -> (q.sub[i] - c.cvec[i]) * (q.sub[i] - c.cvec[i]))), 6) AS d2
+        |  FROM subs q JOIN cents c ON q.s = c.s
+        |  WHERE q.vec_id < 30),
+        |sc AS (
+        |  SELECT dtab.qid, codes.cid,
+        |    CAST(SUM(CAST(dtab.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist2
+        |  FROM codes JOIN dtab ON codes.s = dtab.s AND codes.code = dtab.code
+        |  WHERE dtab.qid <> codes.cid
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT qid, cid, adc_dist2,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist2, cid) AS rn
+        |  FROM sc)
+        |SELECT qid, cid, CAST(rn AS BIGINT) AS rn, adc_dist2
+        |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
     "q_knn_brute" ->
       s"""WITH p AS (
