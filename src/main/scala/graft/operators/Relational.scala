@@ -120,6 +120,33 @@ object Relational {
           .as("parts_within_3rsd"))
       .orderBy($c("l_returnflag"))
 
+  /** MERGEABLE distinct-count sketches (Datasketches HLL): per-(flag,
+    * status) sketches are UNIONED up to per-flag estimates — the
+    * re-aggregation story approx_count_distinct alone doesn't give you.
+    * At 100 TB this is how rollups avoid rescanning: persist daily/
+    * partition-level sketches (a few KB each), answer any coarser
+    * grouping by sketch union, never touch the raw data again. Same
+    * oracle strategy as [[aggApprox]]: exact counts + deterministic
+    * within-tolerance booleans pinned TRUE (lgConfigK=12 → rsd ≈ 1.6%,
+    * asserted at 3×rsd = 5%). */
+  def aggHllMerge(s: SparkSession, d: String): DataFrame = {
+    val perGroup = lineitem(s, d)
+      .groupBy($c("l_returnflag"), $c("l_linestatus"))
+      .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
+    val merged = perGroup
+      .groupBy($c("l_returnflag"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_groups"))
+    lineitem(s, d)
+      .groupBy($c("l_returnflag"))
+      .agg(countDistinct($c("l_orderkey")).as("exact_orders"))
+      .join(merged, "l_returnflag")
+      .select($c("l_returnflag"), $c("exact_orders"), $c("n_groups"),
+        (abs($c("est") - $c("exact_orders")) <= $c("exact_orders") * 0.05)
+          .as("merged_within_3rsd"))
+      .orderBy($c("l_returnflag"))
+  }
+
   /** ROLLUP hierarchy totals (partial-agg friendly; one shuffle). */
   def rollupAgg(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -392,6 +419,7 @@ object Relational {
     "q_agg_distinct" -> (aggDistinct _),
     "q_agg_minmax" -> (aggMinMax _),
     "q_agg_approx" -> (aggApprox _),
+    "q_agg_hll_merge" -> (aggHllMerge _),
     "q_rollup" -> (rollupAgg _),
     "q_cube" -> (cubeAgg _),
     "q_join_broadcast" -> (joinBroadcast _),
@@ -460,6 +488,13 @@ object Relational {
         |  COUNT(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS orders_within_3rsd,
         |  TRUE AS parts_within_3rsd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_hll_merge" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  COUNT(DISTINCT l_linestatus) AS n_groups,
+        |  TRUE AS merged_within_3rsd
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_minmax" ->

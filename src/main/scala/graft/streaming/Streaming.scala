@@ -214,6 +214,37 @@ object Streaming {
     s.table(name)
   }
 
+  /** Trigger.AvailableNow catch-up: the SAME streaming pipeline run as a
+    * self-terminating batch job — it drains everything currently in the
+    * source across (rate-limited) micro-batches with full streaming
+    * semantics (watermarks, state, checkpointed exactly-once), then
+    * stops on its own. This is the backfill/nightly-catch-up pattern:
+    * one pipeline definition serves both the live 24/7 query and the
+    * scheduled drain, instead of a batch rewrite that would drift from
+    * the streaming logic. (Unlike the deprecated Trigger.Once, source
+    * rate limits like maxFilesPerTrigger are honored, so a 100 TB
+    * backlog drains in bounded micro-batches rather than one giant
+    * planner-breaking batch.) Result is identical to the live tumbling
+    * query — the oracle is shared. */
+  def streamAvailableNow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = "graft_stream_availablenow"
+    s.catalog.dropTempView(name)
+    val q = tumblingCounts(eventsStream(s, d)).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() // AvailableNow terminates itself when drained
+    finally q.stop()
+    s.table(name).select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        unix_millis(col("w.end")).as("window_end_ms"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("window_start_ms"), col("event_type"))
+  }
+
   /** Driver query: tumbling window agg executed AS A STREAM (complete
     * mode), surfaced with epoch-ms window bounds for the oracle. */
   def streamTumbling(s: SparkSession, d: String): DataFrame = {
@@ -531,12 +562,16 @@ object Streaming {
     "q_stream_stream_left" -> (streamStreamLeftJoin _),
     "q_stream_stream_full" -> (streamStreamFullJoin _),
     "q_stream_stream_left_delay" -> (streamStreamLeftDelayed _),
-    "q_stream_foreachbatch" -> (streamForeachBatch _)
+    "q_stream_foreachbatch" -> (streamForeachBatch _),
+    "q_stream_availablenow" -> (streamAvailableNow _)
   )
 
   val oracle: Map[String, String] = Map(
     // identical to the batch twin — stream/batch equivalence is the test
     "q_stream_tumbling" -> graft.operators.EventsOps.tumblingOracle,
+
+    // AvailableNow drains to the same answer as the live stream/batch
+    "q_stream_availablenow" -> graft.operators.EventsOps.tumblingOracle,
 
     // the batch session SQL verbatim: stream/batch session-merge equivalence
     "q_stream_session" -> graft.operators.EventsOps.oracle("q_events_session"),
