@@ -134,6 +134,42 @@ object TextAnalysis {
         md5(expr("array_join(array_sort(array_distinct(split(text, ' '))), ' ')")).as("fp_bow"))
       .orderBy(col("doc_id"))
 
+  /** Heavy hitters (tokens with ≥ 2% of all occurrences) via Count-Min
+    * sketch pruning + exact verification. The sketch — Spark's own
+    * `count_min_sketch` aggregate, queried through
+    * [[graft.functions.CmsEstimate]] — only OVERestimates, so filtering
+    * candidates on the estimate has no false negatives and the exact
+    * HAVING above it makes the output bit-identical to the plain
+    * heavy-hitter SQL the oracle runs; CMS false positives cost a little
+    * verification work, never correctness (same prune-then-verify
+    * contract as [[Curation.contaminationBloom]]).
+    *
+    * Scale shape: the sketch is one pass, a few hundred KB, and
+    * MERGEABLE (partial-agg friendly); the estimator runs over the
+    * candidate vocabulary, not the token stream. On this synthetic
+    * corpus candidates are the distinct tokens; at a 10⁹-token
+    * vocabulary candidates come from per-partition local heavy hitters
+    * (any global ≥T token is ≥T/P in some partition) and the
+    * sketch/verify stages are unchanged. */
+  def heavyHittersCms(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CmsFunctions.register(s)
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .createOrReplaceTempView("graft_hh_tokens")
+    s.sql(
+      """WITH thr AS (SELECT COUNT(*) DIV 50 AS t FROM graft_hh_tokens),
+        |cand AS (
+        |  SELECT token FROM (SELECT DISTINCT token FROM graft_hh_tokens)
+        |  WHERE graft_cms_estimate(
+        |    (SELECT count_min_sketch(token, 0.0001d, 0.99d, 42) FROM graft_hh_tokens),
+        |    token) >= (SELECT t FROM thr))
+        |SELECT /*+ BROADCAST(cand) */ g.token, COUNT(*) AS n
+        |FROM graft_hh_tokens g JOIN cand ON g.token = cand.token
+        |GROUP BY g.token
+        |HAVING COUNT(*) >= (SELECT t FROM thr)
+        |ORDER BY g.token""".stripMargin)
+  }
+
   /** Token counting three ways: whitespace, regex word tokens, and a
     * BPE-ish fixed-piece chunking ([a-z]{1,4} greedy pieces). */
   def tokenCount(s: SparkSession, d: String): DataFrame =
@@ -282,7 +318,8 @@ object TextAnalysis {
     "q_quality_score" -> (qualityScore _),
     "q_quality_gate" -> (qualityGate _),
     "q_fingerprint" -> (fingerprint _),
-    "q_token_count" -> (tokenCount _)
+    "q_token_count" -> (tokenCount _),
+    "q_heavy_hitters_cms" -> (heavyHittersCms _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -390,6 +427,17 @@ object TextAnalysis {
         |    len(string_split(text, ' ')) AS n_tokens
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // the sketch only prunes; the exact count/HAVING decides, so the
+    // oracle is the plain heavy-hitter SQL
+    "q_heavy_hitters_cms" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |thr AS (SELECT COUNT(*) // 50 AS t FROM tok)
+        |SELECT token, COUNT(*) AS n
+        |FROM tok GROUP BY token
+        |HAVING COUNT(*) >= (SELECT t FROM thr)
+        |ORDER BY token""".stripMargin,
 
     "q_quality_gate" ->
       """WITH q AS (
