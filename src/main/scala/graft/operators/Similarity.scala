@@ -462,13 +462,15 @@ object Similarity {
       .select(col("vec_id"), col("x.s").as("s"), col("x.sub").as("sub"))
     val cents = subs.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("s"), col("sub").as("cvec"))
+    // argmin with id tie-break as min-of-struct (lexicographic), NOT a
+    // row_number window: the aggregate partial-combines map-side, so the
+    // exchange carries corpus×8 groups instead of sorting the full
+    // corpus×8×16 scored join output
     val codes = subs.join(broadcast(cents), "s")
       .withColumn("d2", round(expr("vec_dist2_d(sub, cvec)"), 6))
-      .withColumn("ark", row_number().over(
-        Window.partitionBy(col("vec_id"), col("s"))
-          .orderBy(col("d2"), col("cent_id"))))
-      .filter(col("ark") === 1)
-      .select(col("vec_id").as("cid"), col("s"), col("cent_id").as("code"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
+      .select(col("vec_id").as("cid"), col("s"), col("m.cent_id").as("code"))
     val dtab = subs.filter(col("vec_id") < 30)
       .select(col("vec_id").as("qid"), col("s"), col("sub").as("qsub"))
       .join(broadcast(cents), "s")
