@@ -30,6 +30,59 @@ object Relational2 {
       .agg(count(lit(1)))
       .orderBy(col("l_returnflag"))
 
+  /** VARIANT (Spark 4's semi-structured type): `props` parsed ONCE into
+    * the open binary encoding, fields extracted with `variant_get` path
+    * expressions — unlike `get_json_object` (string re-parse per access)
+    * or `from_json` (rigid schema up front), variant keeps the document
+    * open-schema while storing it pre-parsed, which is why lakehouse
+    * engines shred it columnar at scale. Semantics (not encoding) are
+    * oracle-checked against DuckDB's JSON path extraction. */
+  def variantProps(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+        // a missing path is SQL NULL under try_variant_get — the
+        // open-schema behavior rigid from_json can't give
+        expr("try_variant_get(parse_json(props), '$.missing', 'long')").as("miss"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        count(col("miss")).as("n_missing_present"))
+      .orderBy(col("event_type"))
+
+  /** UNPIVOT (melt): the four lineitem measures as (measure, value) rows
+    * — long-format normalization for metric pipelines. One scan, no
+    * shuffle until the per-measure agg. */
+  def unpivotMeasures(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"), dec(col("l_quantity"), 12, 2).as("l_quantity"),
+        dec(col("l_extendedprice"), 12, 2).as("l_extendedprice"),
+        dec(col("l_discount"), 12, 2).as("l_discount"),
+        dec(col("l_tax"), 12, 2).as("l_tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).cast("double").as("total"))
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  /** LATERAL correlated subquery: top-2 nations per region by name — the
+    * SQL-standard per-group limit (the DataFrame twin is q_topk_group /
+    * the TopKRewriteRule path). */
+  def lateralTopN(s: SparkSession, d: String): DataFrame = {
+    region(s, d).createOrReplaceTempView("graft_region_lat")
+    nation(s, d).createOrReplaceTempView("graft_nation_lat")
+    s.sql(
+      """SELECT r.r_name, t.n_name, t.n_nationkey
+        |FROM graft_region_lat r,
+        |  LATERAL (SELECT n_name, n_nationkey FROM graft_nation_lat n
+        |           WHERE n.n_regionkey = r.r_regionkey
+        |           ORDER BY n_name, n_nationkey LIMIT 2) t
+        |ORDER BY r.r_name, t.n_name""".stripMargin)
+  }
+
   /** GROUPING SETS ((flag), (status), ()) via SQL. */
   def groupingSets(s: SparkSession, d: String): DataFrame = {
     lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
@@ -186,10 +239,46 @@ object Relational2 {
     "q_pivot" -> (pivotStatus _),
     "q_grouping_sets" -> (groupingSets _),
     "q_explode_tokens" -> (explodeTokens _),
-    "q_scalar_subquery" -> (scalarSubquery _)
+    "q_scalar_subquery" -> (scalarSubquery _),
+    "q_variant_props" -> (variantProps _),
+    "q_unpivot" -> (unpivotMeasures _),
+    "q_lateral_topn" -> (lateralTopN _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_variant_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  COUNT(CAST(json_extract_string(props, '$.missing') AS BIGINT)) AS n_missing_present
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH u AS (
+        |  SELECT l_returnflag, 'l_quantity' AS measure,
+        |    CAST(l_quantity AS DECIMAL(12,2)) AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice',
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount',
+        |    CAST(l_discount AS DECIMAL(12,2)) FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_tax',
+        |    CAST(l_tax AS DECIMAL(12,2)) FROM lineitem)
+        |SELECT l_returnflag, measure, COUNT(*) AS n,
+        |  CAST(SUM(val) AS DOUBLE) AS total
+        |FROM u GROUP BY l_returnflag, measure
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q_lateral_topn" ->
+      """SELECT r.r_name, t.n_name, t.n_nationkey
+        |FROM region r,
+        |  LATERAL (SELECT n_name, n_nationkey FROM nation n
+        |           WHERE n.n_regionkey = r.r_regionkey
+        |           ORDER BY n_name, n_nationkey LIMIT 2) t
+        |ORDER BY r.r_name, t.n_name""".stripMargin,
+
     "q_window_quartiles" ->
       """WITH r AS (
         |  SELECT l_returnflag, l_quantity,
