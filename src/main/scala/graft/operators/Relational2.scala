@@ -83,6 +83,36 @@ object Relational2 {
         |ORDER BY r.r_name, t.n_name""".stripMargin)
   }
 
+  /** Recursive CTE (new in Spark 4): transitive walk of a successor
+    * chain — each region's nations ordered by key form the edges, the
+    * recursion walks from the region's first nation accumulating depth.
+    * This is the DECLARATIVE form of the iterate-until-fixpoint loops
+    * the engine hand-rolls where scale demands control
+    * ([[Dedup.dedupClusters]]' contracted label propagation); here the
+    * planner owns the loop. Depth is bounded by region size, and both
+    * engines implement standard UNION ALL recursion, so the oracle is
+    * the same SQL. */
+  def recursiveChain(s: SparkSession, d: String): DataFrame = {
+    nation(s, d).createOrReplaceTempView("graft_nation_rec")
+    s.sql(
+      """WITH RECURSIVE ordered AS (
+        |  SELECT n_regionkey, n_nationkey, n_name,
+        |    ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+        |  FROM graft_nation_rec),
+        |edges AS (
+        |  SELECT a.n_regionkey AS rk, a.n_nationkey AS src, b.n_nationkey AS dst
+        |  FROM ordered a JOIN ordered b
+        |    ON a.n_regionkey = b.n_regionkey AND b.rn = a.rn + 1),
+        |reach(rk, node, depth) AS (
+        |  SELECT n_regionkey, n_nationkey, CAST(0 AS BIGINT) FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.rk, e.dst, r.depth + 1
+        |  FROM reach r JOIN edges e ON e.rk = r.rk AND e.src = r.node)
+        |SELECT r.rk AS r_regionkey, o.n_name, r.depth
+        |FROM reach r JOIN ordered o ON r.node = o.n_nationkey
+        |ORDER BY r.rk, r.depth""".stripMargin)
+  }
+
   /** GROUPING SETS ((flag), (status), ()) via SQL. */
   def groupingSets(s: SparkSession, d: String): DataFrame = {
     lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
@@ -242,7 +272,8 @@ object Relational2 {
     "q_scalar_subquery" -> (scalarSubquery _),
     "q_variant_props" -> (variantProps _),
     "q_unpivot" -> (unpivotMeasures _),
-    "q_lateral_topn" -> (lateralTopN _)
+    "q_lateral_topn" -> (lateralTopN _),
+    "q_recursive_chain" -> (recursiveChain _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -278,6 +309,24 @@ object Relational2 {
         |           WHERE n.n_regionkey = r.r_regionkey
         |           ORDER BY n_name, n_nationkey LIMIT 2) t
         |ORDER BY r.r_name, t.n_name""".stripMargin,
+
+    "q_recursive_chain" ->
+      """WITH RECURSIVE ordered AS (
+        |  SELECT n_regionkey, n_nationkey, n_name,
+        |    ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+        |  FROM nation),
+        |edges AS (
+        |  SELECT a.n_regionkey AS rk, a.n_nationkey AS src, b.n_nationkey AS dst
+        |  FROM ordered a JOIN ordered b
+        |    ON a.n_regionkey = b.n_regionkey AND b.rn = a.rn + 1),
+        |reach(rk, node, depth) AS (
+        |  SELECT n_regionkey, n_nationkey, CAST(0 AS BIGINT) FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.rk, e.dst, r.depth + 1
+        |  FROM reach r JOIN edges e ON e.rk = r.rk AND e.src = r.node)
+        |SELECT r.rk AS r_regionkey, o.n_name, r.depth
+        |FROM reach r JOIN ordered o ON r.node = o.n_nationkey
+        |ORDER BY r.rk, r.depth""".stripMargin,
 
     "q_window_quartiles" ->
       """WITH r AS (
