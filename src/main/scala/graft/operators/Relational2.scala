@@ -51,23 +51,6 @@ object Relational2 {
         count(col("miss")).as("n_missing_present"))
       .orderBy(col("event_type"))
 
-  /** UNPIVOT (melt): the four lineitem measures as (measure, value) rows
-    * — long-format normalization for metric pipelines. One scan, no
-    * shuffle until the per-measure agg. */
-  def unpivotMeasures(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .select(col("l_returnflag"), dec(col("l_quantity"), 12, 2).as("l_quantity"),
-        dec(col("l_extendedprice"), 12, 2).as("l_extendedprice"),
-        dec(col("l_discount"), 12, 2).as("l_discount"),
-        dec(col("l_tax"), 12, 2).as("l_tax"))
-      .unpivot(
-        Array(col("l_returnflag")),
-        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
-        "measure", "val")
-      .groupBy(col("l_returnflag"), col("measure"))
-      .agg(count(lit(1)).as("n"), sum(col("val")).cast("double").as("total"))
-      .orderBy(col("l_returnflag"), col("measure"))
-
   /** LATERAL correlated subquery: top-2 nations per region by name — the
     * SQL-standard per-group limit (the DataFrame twin is q_topk_group /
     * the TopKRewriteRule path). */
@@ -271,7 +254,6 @@ object Relational2 {
     "q_explode_tokens" -> (explodeTokens _),
     "q_scalar_subquery" -> (scalarSubquery _),
     "q_variant_props" -> (variantProps _),
-    "q_unpivot" -> (unpivotMeasures _),
     "q_lateral_topn" -> (lateralTopN _),
     "q_recursive_chain" -> (recursiveChain _)
   )
@@ -283,24 +265,6 @@ object Relational2 {
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  COUNT(CAST(json_extract_string(props, '$.missing') AS BIGINT)) AS n_missing_present
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q_unpivot" ->
-      """WITH u AS (
-        |  SELECT l_returnflag, 'l_quantity' AS measure,
-        |    CAST(l_quantity AS DECIMAL(12,2)) AS val FROM lineitem
-        |  UNION ALL
-        |  SELECT l_returnflag, 'l_extendedprice',
-        |    CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
-        |  UNION ALL
-        |  SELECT l_returnflag, 'l_discount',
-        |    CAST(l_discount AS DECIMAL(12,2)) FROM lineitem
-        |  UNION ALL
-        |  SELECT l_returnflag, 'l_tax',
-        |    CAST(l_tax AS DECIMAL(12,2)) FROM lineitem)
-        |SELECT l_returnflag, measure, COUNT(*) AS n,
-        |  CAST(SUM(val) AS DOUBLE) AS total
-        |FROM u GROUP BY l_returnflag, measure
-        |ORDER BY l_returnflag, measure""".stripMargin,
 
     "q_lateral_topn" ->
       """SELECT r.r_name, t.n_name, t.n_nationkey
