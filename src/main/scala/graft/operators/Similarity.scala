@@ -220,6 +220,69 @@ object Similarity {
     top2
   }
 
+  /** (vec_id, s, sub): every vector split into its 8 double-typed
+    * 8-dim subvectors — the frame both PQ stages run on. */
+  private def pqSubs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb_d"))
+      .select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), s -> named_struct('s', s, 'sub', slice(emb_d, s*8+1, 8)))"))
+        .as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sub").as("sub"))
+
+  /** Mean per-(vector, subspace) squared distance to the nearest
+    * codebook entry after `iters` refinements — the PQ quantization
+    * error PqSpec asserts monotone. */
+  private[graft] def pqQuantError(s: SparkSession, d: String, iters: Int): Double = {
+    graft.functions.VectorFunctions.register(s)
+    val subs = pqSubs(s, d)
+    subs.join(broadcast(pqCodebooks(s, subs, iters)), "s")
+      .withColumn("d2", expr("vec_dist2_d(sub, cvec)"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(col("d2")).as("md"))
+      .agg(avg(col("md")))
+      .head().getDouble(0)
+  }
+
+  /** PQ codebooks after `iters` Lloyd refinements per subspace
+    * (`spark.graft.pq.lloydIters`, default 0 = the oracle-pinned
+    * first-16 seeds). The update is the IVF quantizer's integer-exact
+    * per-dimension mean (`Σ floor(v·10⁶+0.5)` / `n·10⁶`) applied
+    * independently in each of the 8 subspaces, so refined codebooks are
+    * bit-replayable too; L2 assignment + mean update is textbook
+    * k-means, monotone in the quantization error (PqSpec asserts). A
+    * cell that loses every member keeps its previous centroid. Each
+    * iteration is one corpus-codes pass + a 8×16×8-row update exchange
+    * — constant-size regardless of corpus. */
+  private def pqCodebooks(s: SparkSession, subs: DataFrame, iters: Int): DataFrame = {
+    val seeds = subs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("s"), col("sub").as("cvec"))
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val assign = subs.join(broadcast(cents), "s")
+        .withColumn("d2", round(expr("vec_dist2_d(sub, cvec)"), 6))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
+        .select(col("vec_id"), col("s"), col("m.cent_id").as("cell"))
+      val upd = assign.join(subs, Seq("vec_id", "s"))
+        .select(col("s"), col("cell"), posexplode(col("sub")))
+        .select(col("s"), col("cell"), (col("pos") + 1).as("dim"),
+          expr("CAST(floor(col * 1000000.0D + 0.5D) AS BIGINT)").as("qv"))
+        .groupBy(col("s"), col("cell"), col("dim"))
+        .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
+        .select(col("s"), col("cell"), col("dim"),
+          (col("sq").cast("double") / (col("n") * 1000000L).cast("double")).as("cval"))
+        .groupBy(col("s"), col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cval))), x -> x.cval)")
+          .as("cvec_new"))
+      cents = cents.join(upd,
+          cents("s") === upd("s") && cents("cent_id") === upd("cell"), "left")
+        .select(cents("cent_id"), cents("s"),
+          coalesce(col("cvec_new"), cents("cvec")).as("cvec"))
+    }
+    cents
+  }
+
   /** Deterministic farthest-point seeding (the k-means++ hard-max
     * variant, MLlib-KMeans-shaped): seed 1 is the smallest `vec_id`;
     * each next seed is the vector whose best cosine to the chosen set is
@@ -454,14 +517,9 @@ object Similarity {
   def knnPq(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
-    val base = embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb_d"))
-    val subs = base.select(col("vec_id"), explode(expr(
-        "transform(sequence(0, 7), s -> named_struct('s', s, 'sub', slice(emb_d, s*8+1, 8)))"))
-        .as("x"))
-      .select(col("vec_id"), col("x.s").as("s"), col("x.sub").as("sub"))
-    val cents = subs.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("s"), col("sub").as("cvec"))
+    val subs = pqSubs(s, d)
+    val cents = pqCodebooks(s, subs,
+      s.conf.get("spark.graft.pq.lloydIters", "0").toInt)
     // argmin with id tie-break as min-of-struct (lexicographic), NOT a
     // row_number window: the aggregate partial-combines map-side, so the
     // exchange carries corpus×8 groups instead of sorting the full

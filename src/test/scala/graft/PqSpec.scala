@@ -20,6 +20,24 @@ class PqSpec extends SparkFunSuite {
     }
   }
 
+  test("Lloyd-refined codebooks reduce the quantization error, default untouched") {
+    val e0 = Similarity.pqQuantError(spark, sf, 0)
+    val e2 = Similarity.pqQuantError(spark, sf, 2)
+    info(f"PQ quantization error: seed=$e0%.4f, 2 Lloyd iters=$e2%.4f")
+    assert(e2 < e0, f"refinement did not reduce quantization error: $e2%.4f >= $e0%.4f")
+    // and the refined path stays deterministic
+    assert(e2 === Similarity.pqQuantError(spark, sf, 2))
+    // catalog default (lloydIters=0) must be byte-stable under the new conf
+    val a = Similarity.knnPq(spark, sf).collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.pq.lloydIters", "2")
+    val refined =
+      try Similarity.knnPq(spark, sf).collect().map(_.toString).toSeq
+      finally spark.conf.unset("spark.graft.pq.lloydIters")
+    val b = Similarity.knnPq(spark, sf).collect().map(_.toString).toSeq
+    assert(a === b)
+    assert(refined.nonEmpty)
+  }
+
   test("ADC agrees substantially with exact L2 top-3") {
     graft.functions.VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, sf)
