@@ -146,20 +146,37 @@ object TextAnalysis {
     *
     * Scale shape: the sketch is one pass, a few hundred KB, and
     * MERGEABLE (partial-agg friendly); the estimator runs over the
-    * candidate vocabulary, not the token stream. On this synthetic
-    * corpus candidates are the distinct tokens; at a 10⁹-token
-    * vocabulary candidates come from per-partition local heavy hitters
-    * (any global ≥T token is ≥T/P in some partition) and the
-    * sketch/verify stages are unchanged. */
+    * candidate vocabulary, not the token stream. Candidate enumeration
+    * has two conf-selected shapes with identical output:
+    * default — distinct tokens (right for a bounded vocabulary);
+    * `spark.graft.text.hhLocalCandidates=true` — per-partition local
+    * heavy hitters (any token with global count ≥T has ≥T/P occurrences
+    * in at least one of P partitions, so the local pass cannot lose a
+    * true heavy hitter), which bounds the candidate state per partition
+    * at a 10⁹-token vocabulary where a global distinct would be the
+    * corpus. The sketch/verify stages are identical in both shapes. */
   def heavyHittersCms(s: SparkSession, d: String): DataFrame = {
     graft.functions.CmsFunctions.register(s)
-    documents(s, d)
+    val toks = documents(s, d)
       .select(explode(split(col("text"), " ")).as("token"))
-      .createOrReplaceTempView("graft_hh_tokens")
+    toks.createOrReplaceTempView("graft_hh_tokens")
+    val localCand = s.conf.getOption("spark.graft.text.hhLocalCandidates")
+      .exists(_.toBoolean)
+    val candSql =
+      if (localCand) {
+        // P from the physical plan (scan splits), embedded as a literal;
+        // pigeonhole: local threshold max(1, T/P) over per-partition counts
+        val p = toks.rdd.getNumPartitions.max(1)
+        s"""SELECT DISTINCT token FROM (
+           |    SELECT spark_partition_id() AS pid, token, COUNT(*) AS ln
+           |    FROM graft_hh_tokens GROUP BY spark_partition_id(), token)
+           |  WHERE ln >= greatest(1L, (SELECT t FROM thr) DIV $p)""".stripMargin
+      } else
+        "SELECT DISTINCT token FROM graft_hh_tokens"
     s.sql(
-      """WITH thr AS (SELECT COUNT(*) DIV 50 AS t FROM graft_hh_tokens),
+      s"""WITH thr AS (SELECT COUNT(*) DIV 50 AS t FROM graft_hh_tokens),
         |cand AS (
-        |  SELECT token FROM (SELECT DISTINCT token FROM graft_hh_tokens)
+        |  SELECT token FROM ($candSql)
         |  WHERE graft_cms_estimate(
         |    (SELECT count_min_sketch(token, 0.0001d, 0.99d, 42) FROM graft_hh_tokens),
         |    token) >= (SELECT t FROM thr))

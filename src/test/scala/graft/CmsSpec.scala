@@ -27,6 +27,17 @@ class CmsSpec extends SparkFunSuite {
         s"CMS UNDERestimated '${r.getString(0)}': ${r.getLong(2)} < ${r.getLong(1)}")
   }
 
+  test("local-candidate path (hhLocalCandidates) produces identical output") {
+    val default = TextAnalysis.heavyHittersCms(spark, sf)
+      .collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.text.hhLocalCandidates", "true")
+    val local =
+      try TextAnalysis.heavyHittersCms(spark, sf).collect().map(_.toString).toSeq
+      finally spark.conf.unset("spark.graft.text.hhLocalCandidates")
+    assert(local === default)
+    assert(local.nonEmpty)
+  }
+
   test("pruned heavy hitters equal the exact heavy hitters") {
     val pruned = TextAnalysis.heavyHittersCms(spark, sf)
       .collect().map(_.toString).toSeq
