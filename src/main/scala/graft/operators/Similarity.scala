@@ -220,6 +220,54 @@ object Similarity {
     top2
   }
 
+  /** IVF+PQ composed (the FAISS `IVF16,PQ8` architecture — what a
+    * billion-vector index actually runs): the IVF coarse quantizer
+    * (same oracle-pinned seeds + one Lloyd iteration as [[knnIvf]])
+    * restricts each query to its 2 probed cells' members, and those
+    * candidates are scored by PQ ADC table lookups ([[knnPq]]'s
+    * codebooks) instead of full vectors. The two stages multiply:
+    * probing reads ~nprobe/ncells of the corpus, ADC reads 8 B codes
+    * instead of 256 B floats — together the difference between a scan
+    * over everything and a scan over almost nothing. Both stages reuse
+    * their standalone operators' oracle-exact machinery, so the
+    * composition stays hash-checkable. */
+  def knnIvfPq(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    // fixed depth 1, mirroring q_knn_ivf's oracle (not the conf: the
+    // composed oracle replays exactly one Lloyd iteration)
+    val top2 = ivfTop2(s, d, lloydIters = 1)
+    val assigned = top2.filter(col("crk") === 1)
+      .select(col("vec_id").as("cid"), col("cent_id").as("cell"))
+    val qprobes = top2.filter(col("vec_id") < 30 && col("crk") <= 2)
+      .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+    val subs = pqSubs(s, d)
+    val pcents = pqCodebooks(s, subs, 0)
+    val codes = subs.join(broadcast(pcents), "s")
+      .withColumn("d2", round(expr("vec_dist2_d(sub, cvec)"), 6))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
+      .select(col("vec_id").as("cid"), col("s"), col("m.cent_id").as("code"))
+    val dtab = subs.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("qid"), col("s"), col("sub").as("qsub"))
+      .join(broadcast(pcents), "s")
+      .select(col("qid"), col("s"), col("cent_id").as("code"),
+        round(expr("vec_dist2_d(qsub, cvec)"), 6).as("d2"))
+    qprobes.join(assigned, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"))
+      .join(codes, "cid")
+      .join(broadcast(dtab), Seq("qid", "s", "code"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("d2").cast(DecimalType(18, 6))).cast("double").as("adc_dist2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc_dist2"), col("cid"))))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), col("rn").cast("long").as("rn"),
+        col("adc_dist2"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** (vec_id, s, sub): every vector split into its 8 double-typed
     * 8-dim subvectors — the frame both PQ stages run on. */
   private def pqSubs(s: SparkSession, d: String): DataFrame =
@@ -554,6 +602,7 @@ object Similarity {
     "q_knn_lsh" -> (knnLsh _),
     "q_knn_ivf" -> (knnIvf _),
     "q_knn_pq" -> (knnPq _),
+    "q_knn_ivfpq" -> (knnIvfPq _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_embed_neardup_lsh" -> (embedNearDupLsh _)
   )
@@ -687,6 +736,77 @@ object Similarity {
         |    JOIN embeddings ce ON ce.vec_id = a.cid)
         |SELECT qid, cid, CAST(rn AS BIGINT) AS rn, sim
         |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // the IVF chain (seeds..qprobes) and PQ chain (e..dtab) verbatim
+    // from their standalone oracles, composed: candidates from probed
+    // cells, distances from ADC lookups
+    "q_knn_ivfpq" ->
+      s"""WITH seeds AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |s0 AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(${cosSql("e.embedding", "c.cv")}, 6) DESC, c.cent_id) AS crk
+        |  FROM embeddings e, seeds c),
+        |a0 AS (SELECT vec_id, cent_id AS cell FROM s0 WHERE crk = 1),
+        |dims AS (SELECT unnest(range(1, 65)) AS dim),
+        |upd AS (
+        |  SELECT a0.cell, t.dim,
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[t.dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+        |    COUNT(*) AS n
+        |  FROM a0 JOIN embeddings e ON e.vec_id = a0.vec_id, dims t
+        |  GROUP BY a0.cell, t.dim),
+        |cents AS (
+        |  SELECT cell AS cent_id,
+        |    list(CAST(sq AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) ORDER BY dim) AS cv
+        |  FROM upd GROUP BY cell),
+        |scored AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(${cosSql("e.embedding", "c.cv")}, 6) DESC, c.cent_id) AS crk
+        |  FROM embeddings e, cents c),
+        |assigned AS (
+        |  SELECT vec_id AS cid, cent_id AS cell FROM scored WHERE crk = 1),
+        |qprobes AS (
+        |  SELECT vec_id AS qid, cent_id AS cell FROM scored
+        |  WHERE vec_id < 30 AND crk <= 2),
+        |emb AS (
+        |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |subs AS (
+        |  SELECT vec_id, s, list_slice(emb, s*8+1, s*8+8) AS sub
+        |  FROM emb, (SELECT unnest(range(0, 8)) AS s) r),
+        |pc AS (
+        |  SELECT vec_id AS cent_id, s, sub AS cvec FROM subs WHERE vec_id < 16),
+        |pa AS (
+        |  SELECT subs.vec_id, subs.s, pc.cent_id,
+        |    ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.s
+        |      ORDER BY round(list_sum(list_transform(range(1, 9),
+        |        i -> (sub[i] - cvec[i]) * (sub[i] - cvec[i]))), 6), pc.cent_id) AS ark
+        |  FROM subs JOIN pc ON subs.s = pc.s),
+        |codes AS (SELECT vec_id AS cid, s, cent_id AS code FROM pa WHERE ark = 1),
+        |dtab AS (
+        |  SELECT q.vec_id AS qid, q.s, c.cent_id AS code,
+        |    round(list_sum(list_transform(range(1, 9),
+        |      i -> (q.sub[i] - c.cvec[i]) * (q.sub[i] - c.cvec[i]))), 6) AS d2
+        |  FROM subs q JOIN pc c ON q.s = c.s
+        |  WHERE q.vec_id < 30),
+        |cand AS (
+        |  SELECT q.qid, a.cid FROM qprobes q
+        |  JOIN assigned a ON a.cell = q.cell AND a.cid <> q.qid),
+        |sc AS (
+        |  SELECT cand.qid, cand.cid,
+        |    CAST(SUM(CAST(dtab.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist2
+        |  FROM cand
+        |  JOIN codes ON codes.cid = cand.cid
+        |  JOIN dtab ON dtab.qid = cand.qid AND dtab.s = codes.s AND dtab.code = codes.code
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT qid, cid, adc_dist2,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist2, cid) AS rn
+        |  FROM sc)
+        |SELECT qid, cid, CAST(rn AS BIGINT) AS rn, adc_dist2
+        |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
     "q_embed_neardup" ->
       s"""SELECT a.vec_id AS v1, b.vec_id AS v2,

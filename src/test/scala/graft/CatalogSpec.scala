@@ -72,7 +72,7 @@ class CatalogSpec extends SparkFunSuite {
     // evict other tenants' caches too)
     val persisting = Seq("q_dedup_minhash", "q_dedup_incremental",
       "q_dedup_clusters", "q_dedup_ngram", "q_knn_ivf",
-      "q_dedup_representative")
+      "q_dedup_representative", "q_knn_ivfpq")
     spark.catalog.clearCache()
     for (name <- persisting) {
       SparkEntry.queries(name)(spark, sf).count()

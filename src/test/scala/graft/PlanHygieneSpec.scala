@@ -13,11 +13,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanHygieneSpec extends AnyFunSuite {
   lazy val spark = SparkSpecBase.session
 
-  /** The three queries where a nested loop IS the design:
+  /** The queries where a nested loop IS the design:
     * - q_band_join: inequality join against a 5-row interval table;
     * - q_knn_brute: the deliberate brute-force baseline (queries broadcast);
-    * - q_knn_ivf: the 16-row centroid scoring cross product (= assignment). */
-  private val intendedNestedLoop = Set("q_band_join", "q_knn_brute", "q_knn_ivf")
+    * - q_knn_ivf / q_knn_ivfpq: the 16-row centroid scoring cross
+    *   product (= cell assignment; ivfpq composes the same quantizer). */
+  private val intendedNestedLoop =
+    Set("q_band_join", "q_knn_brute", "q_knn_ivf", "q_knn_ivfpq")
 
   /** Queries whose BUILD already executes jobs (sinks write, streams run,
     * eager caches materialize) — planning them here would re-run half of
