@@ -134,10 +134,42 @@ object Curation {
         |ORDER BY t.train_doc, e.eval_doc""".stripMargin)
   }
 
+  /** Corpus snapshot diff — the dataset-versioning primitive: what
+    * changed between corpus v1 and v2, per source? The comparison joins
+    * doc ids and compares md5 FINGERPRINTS, never text — at 100 TB the
+    * diff moves fixed-width hashes through one full-outer join and a
+    * |sources×4|-group agg while the corpus bytes stay put. (v2 here is
+    * derived deterministically from the same snapshot — docs `%7==0`
+    * deleted, `%11==0` edited, `%13==0` cloned under a shifted id — so
+    * the oracle can replay it; a real pipeline feeds two real
+    * snapshots through the identical plan.) */
+  def corpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val a = docs.select(col("doc_id"), col("source").as("src_a"),
+      md5(col("text")).as("fp_a"))
+    val b = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source").as("src_b"),
+        md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("fp_b"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("source").as("src_b"), md5(col("text")).as("fp_b")))
+    a.join(b, Seq("doc_id"), "full")
+      .select(coalesce(col("src_a"), col("src_b")).as("source"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_weighted" -> (sampleWeighted _),
     "q_dedup_representative" -> (dedupRepresentative _),
-    "q_contamination_bloom" -> (contaminationBloom _))
+    "q_contamination_bloom" -> (contaminationBloom _),
+    "q_corpus_diff" -> (corpusDiff _))
 
   private val qualitySql =
     """SELECT doc_id, source,
@@ -207,6 +239,26 @@ object Curation {
         |SELECT cluster_id, doc_id AS rep_doc, quality AS rep_quality,
         |  cluster_size, CAST(cluster_size - 1 AS BIGINT) AS n_dropped
         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, source AS src_a, md5(text) AS fp_a FROM documents),
+        |b AS (
+        |  SELECT doc_id, source AS src_b,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp_b
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, md5(text)
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |j AS (
+        |  SELECT coalesce(a.src_a, b.src_b) AS source,
+        |    CASE WHEN a.fp_a IS NULL THEN 'added'
+        |         WHEN b.fp_b IS NULL THEN 'removed'
+        |         WHEN a.fp_a <> b.fp_b THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b USING (doc_id))
+        |SELECT source, status, COUNT(*) AS n
+        |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin,
 
     // identical result to q_contamination: the Bloom pass only prunes,
     // the exact join decides

@@ -168,6 +168,26 @@ class V2SourceSpec extends SparkFunSuite {
       df.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("corrupt bucket file fails loudly, never returns shifted rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "v", "d")
+    val path = java.nio.file.Files.createTempDirectory("graft_v2_corrupt").toString
+    GraftBucketFormat.write(df, path, "k", 2)
+    // chop a field off one row: decode must refuse, not misalign
+    val f = java.nio.file.Paths.get(GraftBucketFormat.bucketFile(path, 1))
+    val lines = java.nio.file.Files.readAllLines(f)
+    java.nio.file.Files.write(f,
+      java.util.List.of(lines.get(0).split("\t", -1).dropRight(1).mkString("\t")))
+    val e = intercept[Exception] {
+      s.read.format("graft-bucket").load(path).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("fields") || m.contains("schema")),
+      s"expected the field-count guard, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("v2BucketJoin leaks no confs into the caller's session") {
     val s = spark
     val watched = Seq(
