@@ -239,13 +239,42 @@ object Corpus {
 
   // --------------------------------------------------------------- wiring
 
+  /** Length-bucketed batching: group docs of similar token length into
+    * fixed-size batches so each batch pads to ITS OWN max, not the
+    * corpus max — the padding-efficiency move every packed-inference
+    * and training loader makes. Docs are ordered by (length, id) within
+    * `doc_id % 8` shards (same shard-parallel shape as [[seqPack]]: no
+    * global sort), cut into 32-doc batches, and each batch reports its
+    * padding waste (`32·max − Σ` tokens) — the number this layout
+    * minimizes. Per-shard windows are the only exchange; at 100 TB each
+    * shard sorts independently and batches stream out. */
+  def lengthBatch(s: SparkSession, d: String): DataFrame = {
+    val batch = confInt(s, "spark.graft.corpus.lengthBatch", 32)
+    require(batch >= 1, "lengthBatch must be >= 1")
+    documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("n_tokens"), col("doc_id"))))
+      .withColumn("batch_id", ((col("rn") - 1) / batch).cast("long"))
+      .groupBy(col("shard"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        (max(col("n_tokens")) * count(lit(1)) - sum(col("n_tokens")))
+          .as("padding_waste"))
+      .orderBy(col("shard"), col("batch_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_chunks" -> (textChunks _),
     "q_seq_pack" -> (seqPack _),
     "q_inverted_index" -> (invertedIndex _),
     "q_contamination" -> (contamination _),
     "q_mix_sources" -> (mixSources _),
-    "q_boilerplate_rm" -> (boilerplateRm _)
+    "q_boilerplate_rm" -> (boilerplateRm _),
+    "q_length_batch" -> (lengthBatch _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -332,6 +361,24 @@ object Corpus {
         |    ORDER BY x.block_id), '')) AS clean_md5
         |FROM x JOIN f USING (btxt)
         |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin,
+
+    "q_length_batch" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY shard
+        |      ORDER BY n_tokens, doc_id) AS rn
+        |  FROM t)
+        |SELECT shard, (rn - 1) // 32 AS batch_id,
+        |  COUNT(*) AS n_docs,
+        |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  MAX(n_tokens) * COUNT(*) - CAST(SUM(n_tokens) AS BIGINT) AS padding_waste
+        |FROM r GROUP BY shard, (rn - 1) // 32
+        |ORDER BY shard, batch_id""".stripMargin,
 
     "q_contamination" ->
       """WITH t AS (

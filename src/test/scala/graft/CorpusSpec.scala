@@ -103,6 +103,25 @@ class CorpusSpec extends SparkFunSuite {
     }
   }
 
+  test("length batching: conserves docs/tokens, beats arrival-order padding") {
+    val batched = Corpus.lengthBatch(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("size(split(text, ' '))").cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(batched.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    assert(batched.map(_.getAs[Long]("sum_tokens")).sum === docs.map(_._2).sum)
+    val sortedWaste = batched.map(_.getAs[Long]("padding_waste")).sum
+    // the same shard/batch cut applied in ARRIVAL (doc_id) order — what a
+    // naive loader pads to
+    val naiveWaste = docs.groupBy(_._1 % 8).values.map { shard =>
+      shard.sortBy(_._1).map(_._2).grouped(32)
+        .map(b => b.max * b.length - b.sum).sum
+    }.sum
+    info(s"padding waste: length-sorted=$sortedWaste, arrival-order=$naiveWaste")
+    assert(sortedWaste < naiveWaste,
+      s"length bucketing should beat arrival order: $sortedWaste >= $naiveWaste")
+  }
+
   test("packer conserves tokens and keeps bins dense per shard") {
     val packed = Corpus.seqPack(spark, sf).collect()
     val total = graft.Tables.documents(spark, sf)
