@@ -214,6 +214,26 @@ object Streaming {
     s.table(name)
   }
 
+  /** Sliding (hopping) windows AS A STREAM: 1-hour windows every 30
+    * minutes, each event contributing to two windows' state — the
+    * overlap is what distinguishes the state layout from tumbling
+    * (2× window-state entries, same watermark eviction). Oracle is the
+    * batch q_events_sliding SQL verbatim: stream/batch equivalence. */
+  def streamSliding(s: SparkSession, d: String): DataFrame = {
+    val res = runToMemory(s,
+      eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      "graft_stream_sliding", "complete")
+    res.select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        unix_millis(col("w.end")).as("window_end_ms"),
+        col("event_type"), col("n"))
+      .orderBy(col("window_start_ms"), col("event_type"))
+  }
+
   /** Trigger.AvailableNow catch-up: the SAME streaming pipeline run as a
     * self-terminating batch job — it drains everything currently in the
     * source across (rate-limited) micro-batches with full streaming
@@ -563,7 +583,8 @@ object Streaming {
     "q_stream_stream_full" -> (streamStreamFullJoin _),
     "q_stream_stream_left_delay" -> (streamStreamLeftDelayed _),
     "q_stream_foreachbatch" -> (streamForeachBatch _),
-    "q_stream_availablenow" -> (streamAvailableNow _)
+    "q_stream_availablenow" -> (streamAvailableNow _),
+    "q_stream_sliding" -> (streamSliding _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -572,6 +593,9 @@ object Streaming {
 
     // AvailableNow drains to the same answer as the live stream/batch
     "q_stream_availablenow" -> graft.operators.EventsOps.tumblingOracle,
+
+    // the batch sliding-window SQL verbatim
+    "q_stream_sliding" -> graft.operators.EventsOps.oracle("q_events_sliding"),
 
     // the batch session SQL verbatim: stream/batch session-merge equivalence
     "q_stream_session" -> graft.operators.EventsOps.oracle("q_events_session"),
