@@ -132,7 +132,8 @@ object Similarity {
     * quantizer-objective spec (which averages `cs` at crk=1: the quantity
     * spherical k-means monotonically improves). Persisted + CacheScope-
     * tracked; caller releases via CacheScope. */
-  private[graft] def ivfTop2(s: SparkSession, d: String, lloydIters: Int): DataFrame = {
+  private[graft] def ivfTop2(s: SparkSession, d: String, lloydIters: Int,
+      seeding: String = null, objectiveEps: java.lang.Double = null): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
     val e = embeddings(s, d)
@@ -150,7 +151,12 @@ object Similarity {
     //              default because the oracle would have to replay the
     //              16-step argmax recursion; IvfSeedingSpec pins its
     //              objective ≥ the default path's instead.
-    val seeds = s.conf.get("spark.graft.ivf.seeding", "first") match {
+    // explicit params pin a caller to a quantizer config regardless of
+    // session confs (knnIvfPq pins the oracle defaults); null = inherit
+    // the session's spark.graft.ivf.* confs (knnIvf's behavior)
+    val seedMode = Option(seeding)
+      .getOrElse(s.conf.get("spark.graft.ivf.seeding", "first"))
+    val seeds = seedMode match {
       case "kmeanspp" => farthestPointSeeds(base, 16)
       case _ => base.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cent_id"), col("emb_d").as("cvec"),
@@ -195,7 +201,8 @@ object Similarity {
     // scalar aggregate per iteration (MLlib-style convergence test,
     // O(1) driver data) — conf-gated, since the oracle pins the default
     // fixed-depth path.
-    val eps = s.conf.get("spark.graft.ivf.objectiveEps", "0").toDouble
+    val eps = Option(objectiveEps).map(_.doubleValue)
+      .getOrElse(s.conf.get("spark.graft.ivf.objectiveEps", "0").toDouble)
     def objective(cents: DataFrame): Double =
       scoreTop2(cents).filter(col("crk") === 1)
         .agg(avg(col("cs"))).head().getDouble(0)
@@ -234,9 +241,11 @@ object Similarity {
   def knnIvfPq(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
-    // fixed depth 1, mirroring q_knn_ivf's oracle (not the conf: the
-    // composed oracle replays exactly one Lloyd iteration)
-    val top2 = ivfTop2(s, d, lloydIters = 1)
+    // the composed oracle replays exactly one Lloyd iteration over the
+    // first-16 seeds with no early stop — pin ALL quantizer knobs
+    // explicitly so session confs (seeding/objectiveEps) can't silently
+    // diverge this query from its oracle
+    val top2 = ivfTop2(s, d, lloydIters = 1, seeding = "first", objectiveEps = 0.0)
     val assigned = top2.filter(col("crk") === 1)
       .select(col("vec_id").as("cid"), col("cent_id").as("cell"))
     val qprobes = top2.filter(col("vec_id") < 30 && col("crk") <= 2)

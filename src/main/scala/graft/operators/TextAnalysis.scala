@@ -150,11 +150,17 @@ object TextAnalysis {
     * has two conf-selected shapes with identical output:
     * default — distinct tokens (right for a bounded vocabulary);
     * `spark.graft.text.hhLocalCandidates=true` — per-partition local
-    * heavy hitters (any token with global count ≥T has ≥T/P occurrences
-    * in at least one of P partitions, so the local pass cannot lose a
-    * true heavy hitter), which bounds the candidate state per partition
-    * at a 10⁹-token vocabulary where a global distinct would be the
-    * corpus. The sketch/verify stages are identical in both shapes. */
+    * heavy hitters, which bounds the candidate state per partition at a
+    * 10⁹-token vocabulary where a global distinct would be the corpus.
+    * The local test is `50·ln + 49 ≥ n_p` (ln = token's count in its
+    * partition, n_p = the partition's total): if a token failed it in
+    * EVERY partition, summing `50·ln < n_p − 49` over the P partitions
+    * gives `50·c < N − 49·P ≤ N − 49`, i.e. `c < ⌈(N−49)/50⌉ ≤ N DIV
+    * 50` — so no token meeting the global 2% threshold can be lost.
+    * Both ln and n_p come from one per-partition aggregate evaluated
+    * inside the query itself (no partition count is baked in at plan
+    * build, so the guarantee holds whatever split planning the executed
+    * scan gets). The sketch/verify stages are identical in both shapes. */
   def heavyHittersCms(s: SparkSession, d: String): DataFrame = {
     graft.functions.CmsFunctions.register(s)
     val toks = documents(s, d)
@@ -163,15 +169,13 @@ object TextAnalysis {
     val localCand = s.conf.getOption("spark.graft.text.hhLocalCandidates")
       .exists(_.toBoolean)
     val candSql =
-      if (localCand) {
-        // P from the physical plan (scan splits), embedded as a literal;
-        // pigeonhole: local threshold max(1, T/P) over per-partition counts
-        val p = toks.rdd.getNumPartitions.max(1)
-        s"""SELECT DISTINCT token FROM (
-           |    SELECT spark_partition_id() AS pid, token, COUNT(*) AS ln
-           |    FROM graft_hh_tokens GROUP BY spark_partition_id(), token)
-           |  WHERE ln >= greatest(1L, (SELECT t FROM thr) DIV $p)""".stripMargin
-      } else
+      if (localCand)
+        """SELECT DISTINCT token FROM (
+          |    SELECT token, ln, SUM(ln) OVER (PARTITION BY pid) AS np
+          |    FROM (SELECT spark_partition_id() AS pid, token, COUNT(*) AS ln
+          |          FROM graft_hh_tokens GROUP BY spark_partition_id(), token))
+          |  WHERE ln * 50L + 49L >= np""".stripMargin
+      else
         "SELECT DISTINCT token FROM graft_hh_tokens"
     s.sql(
       s"""WITH thr AS (SELECT COUNT(*) DIV 50 AS t FROM graft_hh_tokens),

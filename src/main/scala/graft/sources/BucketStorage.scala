@@ -25,9 +25,19 @@ trait BucketStorage extends Serializable {
   def writeAllLines(path: String, lines: Seq[String]): Unit
   def exists(path: String): Boolean
   def nonEmptyFile(path: String): Boolean
-  /** Replace-existing move; used by the driver-side commit, so the last
-    * completed attempt's file wins and a half-written loser never lands. */
+  /** Replace-existing move. DRIVER-ONLY: the V2 commit path calls this
+    * single-threaded after all tasks report, so the winner's file can
+    * safely displace anything already at `dst`. Executor tasks must use
+    * [[commit]] instead — this method is not safe under concurrent
+    * original+speculative attempts of the same partition. */
   def rename(src: String, dst: String): Unit
+  /** Executor-safe publish of a deterministically-produced file: move
+    * `src` into place only if `dst` is absent; if another attempt of the
+    * same partition already committed (contents are identical by
+    * construction), drop `src` and keep the existing `dst`. Never deletes
+    * an existing destination, so a killed attempt can't leave a committed
+    * bucket file missing. */
+  def commit(src: String, dst: String): Unit
   def delete(path: String): Unit
   /** Touch an empty file if absent (keeps bucket partition values aligned
     * across co-bucketed tables). */
@@ -36,6 +46,8 @@ trait BucketStorage extends Serializable {
   def deleteRecursive(path: String): Unit
   /** Names of immediate subdirectories (catalog namespace listing). */
   def listSubdirs(dir: String): Seq[String]
+  /** Names of immediate regular files (driver-side litter sweep). */
+  def listFiles(dir: String): Seq[String]
 }
 
 /** Plain `java.io`/`java.nio` storage for scheme-less local paths. */
@@ -56,6 +68,12 @@ object LocalBucketStorage extends BucketStorage {
   }
   override def rename(src: String, dst: String): Unit =
     Files.move(Paths.get(src), Paths.get(dst), StandardCopyOption.REPLACE_EXISTING)
+  override def commit(src: String, dst: String): Unit = {
+    val s = Paths.get(src); val d = Paths.get(dst)
+    if (Files.exists(d)) Files.deleteIfExists(s)
+    else try Files.move(s, d) // no REPLACE_EXISTING: a concurrent winner survives
+    catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(s) }
+  }
   override def delete(path: String): Unit =
     Files.deleteIfExists(Paths.get(path))
   override def createEmpty(path: String): Unit = {
@@ -68,15 +86,31 @@ object LocalBucketStorage extends BucketStorage {
     val p = Paths.get(path)
     if (Files.exists(p)) {
       import java.util.Comparator
-      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
     }
   }
   override def listSubdirs(dir: String): Seq[String] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) Nil
-    else Files.list(p).iterator().asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq
+    else {
+      val list = Files.list(p)
+      try list.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toList
+      finally list.close()
+    }
+  }
+  override def listFiles(dir: String): Seq[String] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Nil
+    else {
+      val list = Files.list(p)
+      try list.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(_.getFileName.toString).toList
+      finally list.close()
+    }
   }
 }
 
@@ -115,10 +149,22 @@ object HadoopBucketStorage extends BucketStorage {
   }
   override def rename(src: String, dst: String): Unit = {
     val f = fs(src); val d = new HPath(dst)
-    // Hadoop rename is not replace-existing on every FS; the commit runs
-    // single-threaded on the driver, so delete-then-rename is race-free.
+    // Hadoop rename is not replace-existing on every FS. This method is
+    // DRIVER-ONLY (V2 commit, after all tasks report), so delete-then-
+    // rename is single-threaded and race-free there; executor tasks go
+    // through commit() below, which never deletes a destination.
     if (f.exists(d)) f.delete(d, false)
     require(f.rename(new HPath(src), d), s"rename $src -> $dst failed")
+  }
+  override def commit(src: String, dst: String): Unit = {
+    val f = fs(src); val s = new HPath(src); val d = new HPath(dst)
+    if (f.exists(d)) f.delete(s, false)
+    else if (!f.rename(s, d)) {
+      // Hadoop rename returns false when dst appeared concurrently: a
+      // twin attempt won with identical contents — drop our copy.
+      require(f.exists(d), s"commit $src -> $dst failed with no winner")
+      f.delete(s, false)
+    }
   }
   override def delete(path: String): Unit =
     fs(path).delete(new HPath(path), false)
@@ -133,6 +179,11 @@ object HadoopBucketStorage extends BucketStorage {
     val f = fs(dir); val p = new HPath(dir)
     if (!f.exists(p)) Nil
     else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+  override def listFiles(dir: String): Seq[String] = {
+    val f = fs(dir); val p = new HPath(dir)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.getName)
   }
 }
 

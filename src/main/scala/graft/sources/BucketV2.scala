@@ -164,11 +164,14 @@ object GraftBucketFormat {
     * `pushPartValues` dependency). The key must be a non-null integral
     * column.
     *
-    * Tasks write attempt-unique temp files and rename them into place
-    * only at the end of a fully-drained partition — a retried or
-    * speculative attempt either loses the rename to a complete file or
-    * replaces it with an identical one (partition contents are
-    * deterministic after the sort), never corrupts a bucket mid-write. */
+    * Tasks write attempt-unique temp files and publish them via
+    * [[BucketStorage.commit]] only at the end of a fully-drained
+    * partition — a retried or speculative attempt either commits first
+    * or finds an identical file already in place (partition contents are
+    * deterministic after the sort) and drops its own copy. A destination
+    * is never deleted, so a zombie attempt killed mid-publish can't
+    * un-commit a bucket. Leftover `*.tmp` files from failed attempts are
+    * swept driver-side before the meta file lands. */
   def write(df: DataFrame, path: String, key: String, numBuckets: Int): Unit = {
     val schema = df.schema
     require(schema.fieldNames.contains(key), s"missing key column $key")
@@ -215,11 +218,16 @@ object GraftBucketFormat {
           out.write(line.result()); out.newLine()
         }
         if (out != null) out.close()
-        written.foreach(b => store.rename(tmpFile(b), bucketFile(path, b)))
+        written.foreach(b => store.commit(tmpFile(b), bucketFile(path, b)))
       }
     // fill buckets that received no rows (empty files keep partition
     // values aligned across co-bucketed tables)
     (0 until n).foreach(b => storage.createEmpty(bucketFile(path, b)))
+    // sweep *.tmp litter from failed/killed attempts — reads enumerate
+    // bucket files by name so litter is invisible to scans, but it
+    // accumulates; the job is complete here, so any surviving tmp is junk
+    storage.listFiles(path).filter(_.endsWith(".tmp"))
+      .foreach(f => storage.delete(s"$path/$f"))
     storage.writeAllLines(s"$path/$MetaFile", Seq(key, n.toString, schema.toDDL))
   }
 

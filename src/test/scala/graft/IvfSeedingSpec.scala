@@ -55,6 +55,23 @@ class IvfSeedingSpec extends SparkFunSuite {
     }
   }
 
+  test("knnIvfPq is pinned to the oracle quantizer regardless of session confs") {
+    // the composed query passes explicit seeding/eps into ivfTop2, so
+    // flipping the session confs must not move a single row — otherwise
+    // q_knn_ivfpq silently diverges from its replayed oracle
+    val pinned = Similarity.knnIvfPq(spark, sf).collect().map(_.toString).sorted.toSeq
+    CacheScope.releaseAll()
+    var underConfs: Seq[String] = Nil
+    withConfs(
+      "spark.graft.ivf.seeding" -> "kmeanspp",
+      "spark.graft.ivf.objectiveEps" -> "0.0005") {
+      underConfs = Similarity.knnIvfPq(spark, sf).collect().map(_.toString).sorted.toSeq
+      CacheScope.releaseAll()
+    }
+    assert(underConfs === pinned,
+      "session spark.graft.ivf.* confs leaked into the composed IVF+PQ query")
+  }
+
   test("catalog default is untouched by the new confs' existence") {
     // the oracle-pinned default path: first-16 seeds, one fixed iteration
     val a = Similarity.knnIvf(spark, sf).collect().map(_.toString).toSeq
