@@ -74,9 +74,14 @@ object Curation {
     * Scale shape: the cluster table is pair-derived (orders of magnitude
     * smaller than the corpus); the quality join keys on doc_id and the
     * per-cluster argmax is one window over cluster-sized groups. The
-    * corpus itself is scanned once for quality and never shuffled whole. */
+    * corpus itself is scanned once for quality and never shuffled whole.
+    * With `spark.graft.dedup.shareClusters=true` the cluster table is
+    * reused from the snapshot [[Dedup.dedupClusters]] published instead
+    * of re-running the whole MinHash→CC pipeline — the marginal cost of
+    * representative selection then is one join plus one window. */
   def dedupRepresentative(s: SparkSession, d: String): DataFrame = {
-    val clusters = Dedup.dedupClusters(s, d)
+    val clusters = Dedup.sharedClusters(s, d)
+      .getOrElse(Dedup.dedupClusters(s, d))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     val q = withQuality(documents(s, d)).select(col("doc_id"), col("quality"))
     clusters.join(q, "doc_id")

@@ -190,7 +190,53 @@ object Dedup {
     } else df.localCheckpoint()
   }
 
+  /** Cross-query sharing of the clusters intermediate, gated by
+    * `spark.graft.dedup.shareClusters=true`. The full MinHash→bands→
+    * pairs→CC pipeline is the most expensive job in the catalog, and
+    * [[Curation.dedupRepresentative]] needs exactly its output — without
+    * sharing it re-runs the whole thing (at 100 TB that doubles the
+    * single biggest job). Semantics are producer-pays: `dedupClusters`
+    * ALWAYS computes (so its own cost is never hidden by a stale cache)
+    * and, with the conf on, publishes an eagerly-materialized snapshot
+    * keyed by (session, data dir); consumers reuse the snapshot if one
+    * exists and fall back to computing (and publishing) otherwise. The
+    * snapshot is lineage-truncated ([[truncateLineage]] — self-contained
+    * RDD blocks, so neither `CacheScope.releaseAll` nor
+    * `catalog.clearCache` between queries evicts it) and is tiny:
+    * pair-derived cluster labels, not corpus rows. Re-publishing
+    * unpersists the previous snapshot. Input mutated under the same dir
+    * ⇒ call again (producer recomputes) or leave the conf off. */
+  private val publishedClusters =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** Number of full pair-pipeline executions — lets the sharing spec
+    * assert "computed once" without scraping the UI. */
+  private[graft] val clusterPipelineRuns = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def clearPublishedClusters(): Unit = {
+    publishedClusters.values().forEach(df => df.unpersist(blocking = false))
+    publishedClusters.clear()
+  }
+  private def shareOn(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.dedup.shareClusters").exists(_.toBoolean)
+  /** The published snapshot for (s, d), if sharing is on and one exists. */
+  private[graft] def sharedClusters(s: SparkSession, d: String): Option[DataFrame] =
+    if (shareOn(s)) Option(publishedClusters.get((s, d))) else None
+
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val table = clusterTable(s, d)
+    val out =
+      if (shareOn(s)) {
+        val snap = truncateLineage(table) // eager + self-contained
+        Option(publishedClusters.put((s, d), snap))
+          .foreach(_.unpersist(blocking = false))
+        snap
+      } else table
+    out.orderBy(col("doc_id"))
+  }
+
+  /** The unordered (doc_id, cluster_id, cluster_size, is_canonical)
+    * table — the shareable unit behind [[dedupClusters]]. */
+  private def clusterTable(s: SparkSession, d: String): DataFrame = {
+    clusterPipelineRuns.incrementAndGet()
     val pairs = graft.CacheScope.track(
       minhashPairs(s, d).select(col("d1"), col("d2")).persist())
     pairs.count()
@@ -257,7 +303,6 @@ object Dedup {
     finalLabels.join(sizes, "lbl")
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
         col("cluster_size"), (col("node") === col("lbl")).as("is_canonical"))
-      .orderBy(col("doc_id"))
   }
 
   /** Shingle sets as sorted 64-bit hash arrays, one row per doc. Guarded
