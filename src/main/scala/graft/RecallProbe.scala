@@ -24,6 +24,17 @@ object RecallProbe {
         println(f"RECALL $sf iters=$it r=$r%.4f obj=$obj%.4f")
         CacheScope.releaseAll(); spark.catalog.clearCache()
       }
+      // PQ: recall@3 of ADC scoring with seed vs Lloyd-refined codebooks
+      // (PqSpec pins that refinement monotonically cuts quantization
+      // error; this measures whether that translates to recall)
+      for (it <- 0 to 3) {
+        spark.conf.set("spark.graft.pq.lloydIters", it.toString)
+        try {
+          val r = recall(Similarity.knnPq(spark, sf))
+          println(f"PQRECALL $sf iters=$it r=$r%.4f")
+        } finally spark.conf.unset("spark.graft.pq.lloydIters")
+        CacheScope.releaseAll(); spark.catalog.clearCache()
+      }
       CacheScope.releaseAll(); spark.catalog.clearCache()
     }
     spark.stop()

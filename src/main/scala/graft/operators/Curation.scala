@@ -150,15 +150,25 @@ object Curation {
     * snapshots through the identical plan.) */
   def corpusDiff(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val a = docs.select(col("doc_id"), col("source").as("src_a"),
-      md5(col("text")).as("fp_a"))
     val b = docs.filter(col("doc_id") % 7 =!= 0)
-      .select(col("doc_id"), col("source").as("src_b"),
-        md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
-          .otherwise(col("text"))).as("fp_b"))
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
       .unionByName(docs.filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
-          col("source").as("src_b"), md5(col("text")).as("fp_b")))
+          col("source"), col("text")))
+    corpusDiff(docs, b)
+  }
+
+  /** The real two-snapshot entry point: diff ANY two corpus frames with
+    * `(doc_id, source, text)` columns. The catalog query above delegates
+    * here with its oracle-replayable derived v2; a pipeline passes two
+    * actual snapshot reads. Only md5 fingerprints cross the join. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), col("source").as("src_a"),
+      md5(col("text")).as("fp_a"))
+    val b = v2.select(col("doc_id"), col("source").as("src_b"),
+      md5(col("text")).as("fp_b"))
     a.join(b, Seq("doc_id"), "full")
       .select(coalesce(col("src_a"), col("src_b")).as("source"),
         when(col("fp_a").isNull, "added")

@@ -41,6 +41,58 @@ object Layout {
       .orderBy(col("z_range"))
   }
 
+  /** Write the orders 2-D projection to parquet under one of two physical
+    * layouts over the SAME rows: z-ordered (`repartitionByRange` on the
+    * Morton key + `sortWithinPartitions` — exactly the write recipe
+    * [[zorderLayout]]'s doc promises) or sorted by `x` alone (the 1-D
+    * baseline every single-column clustering gives you). The layout key
+    * is dropped before writing — the reader prunes on the parquet
+    * row-group min/max of the REAL columns, which is the point. */
+  def writeBox2d(s: SparkSession, d: String, path: String,
+      zOrdered: Boolean, files: Int = 64): Unit = {
+    graft.functions.ZOrder.register(s)
+    val keyed = orders(s, d)
+      .select(
+        (col("o_orderkey") % 256).cast("int").as("x"),
+        (col("o_custkey") % 256).cast("int").as("y"),
+        col("o_totalprice").as("payload"))
+      .withColumn("zkey", expr("graft_zorder(x, y)"))
+    val arranged =
+      if (zOrdered)
+        keyed.repartitionByRange(files, col("zkey")).sortWithinPartitions(col("zkey"))
+      else
+        keyed.repartitionByRange(files, col("x")).sortWithinPartitions(col("x"))
+    arranged.drop("zkey").write.mode("overwrite").parquet(path)
+  }
+
+  /** Execute a 2-D box predicate over a [[writeBox2d]] table and report
+    * (rows the parquet scan actually surfaced, rows matching the
+    * predicate). The first number is what min/max row-group pruning
+    * could NOT skip — the executed measurement behind the z-curve claim:
+    * under a 2-D box, the z-layout's scan count collapses toward the
+    * match count while a 1-D sort must surface every row group whose `x`
+    * range overlaps, because its `y` min/max spans the whole domain. */
+  def boxScanRows(s: SparkSession, path: String,
+      x0: Int, x1: Int, y0: Int, y1: Int): (Long, Long) = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = s.read.parquet(path)
+      .filter(col("x").between(x0, x1) && col("y").between(y0, y1))
+    val matched = df.queryExecution.toRdd.count() // executes THIS instance
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val scanned = nodes(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f.metrics("numOutputRows").value }
+      .sum
+    (scanned, matched)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_layout" -> (zorderLayout _))
 

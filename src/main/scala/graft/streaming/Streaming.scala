@@ -265,6 +265,81 @@ object Streaming {
       .orderBy(col("window_start_ms"), col("event_type"))
   }
 
+  /** Checkpoint-restart exactly-once PROOF — the failure-recovery twin of
+    * the reference's visibility-timeout redelivery (SURVEY §A Q4), here
+    * exercised as an engine guarantee rather than spec'd config:
+    *
+    *  1. events are staged as 6 files; a checkpointed query (RocksDB
+    *     state store, parquet sink, 1 file per micro-batch) starts
+    *     draining them and is STOPPED mid-stream after ≥2 commits —
+    *     possibly killing an in-flight batch;
+    *  2. a duplicate slice (`event_id % 10 == 0` — re-delivery of rows
+    *     whose ids are already in the dedup state) lands as NEW files
+    *     after the crash;
+    *  3. a new query starts from the SAME checkpoint and drains.
+    *
+    * The final sink (read through `_spark_metadata`, i.e. committed
+    * files only) must equal the batch answer exactly: a replayed
+    * already-committed batch would double rows, lost RocksDB dedup
+    * state would let the redelivered slice through, a dropped batch
+    * would leave gaps — each failure mode breaks the oracle hash. The
+    * watermark delay exceeds the corpus's 30-day span so no row is
+    * "late" whatever file order the source picks; state stays ~|events|
+    * keys, which is exactly what the WithinWatermark eviction bounds in
+    * the 24/7 variant ([[dedupStream]]). */
+  def streamRestart(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // fresh dirs per invocation: the restart must recover from the
+    // CHECKPOINT, never from leftovers of a previous run
+    val root = Files.createTempDirectory("graft_stream_restart")
+    val landing = root.resolve("in").toString
+    val sinkDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val raw = s.read.schema(eventsSchema)
+      .parquet(Paths.get(d, "events.parquet").toString)
+    raw.repartitionByRange(6, col("event_id"))
+      .write.mode("append").parquet(landing)
+    def start() = s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "768 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", ckpt)
+      .start()
+    val prevProvider =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q1 = start()
+      // let at least batches 0 and 1 commit, then kill the query mid-run
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      while (Option(q1.lastProgress).forall(_.batchId < 1) &&
+          System.nanoTime < deadline)
+        Thread.sleep(25)
+      q1.stop()
+      // redelivery arrives AFTER the crash, as new files
+      raw.filter(col("event_id") % 10 === 0)
+        .repartition(2).write.mode("append").parquet(landing)
+      val q2 = start()
+      try q2.processAllAvailable()
+      finally q2.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    s.read.parquet(sinkDir)
+      .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Driver query: tumbling window agg executed AS A STREAM (complete
     * mode), surfaced with epoch-ms window bounds for the oracle. */
   def streamTumbling(s: SparkSession, d: String): DataFrame = {
@@ -584,7 +659,8 @@ object Streaming {
     "q_stream_stream_left_delay" -> (streamStreamLeftDelayed _),
     "q_stream_foreachbatch" -> (streamForeachBatch _),
     "q_stream_availablenow" -> (streamAvailableNow _),
-    "q_stream_sliding" -> (streamSliding _)
+    "q_stream_sliding" -> (streamSliding _),
+    "q_stream_restart" -> (streamRestart _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -673,6 +749,13 @@ object Streaming {
         |ORDER BY window_start_ms""".stripMargin,
 
     "q_stream_dedup" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // crash + redelivery + restart must land on exactly the batch table:
+    // a replayed batch doubles rows, lost state admits the redelivered
+    // slice, a dropped batch leaves gaps — all three break this hash
+    "q_stream_restart" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
 

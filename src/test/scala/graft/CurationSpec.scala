@@ -83,4 +83,24 @@ class CurationSpec extends SparkFunSuite {
         s"cluster $cid rep quality $repQ != member max $maxQ")
     }
   }
+
+  test("two-input corpusDiff classifies adds/removes/changes across distinct frames") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "web", "alpha"), (2L, "web", "bravo"),
+      (3L, "books", "charlie"), (4L, "books", "delta"))
+      .toDF("doc_id", "source", "text")
+    val v2 = Seq(
+      (1L, "web", "alpha"),          // unchanged
+      (2L, "web", "bravo EDITED"),   // changed
+      (4L, "books", "delta"),        // unchanged (3 removed)
+      (5L, "books", "echo"))         // added
+      .toDF("doc_id", "source", "text")
+    val got = Curation.corpusDiff(v1, v2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      ("web", "unchanged", 1L), ("web", "changed", 1L),
+      ("books", "removed", 1L), ("books", "unchanged", 1L),
+      ("books", "added", 1L)))
+  }
 }

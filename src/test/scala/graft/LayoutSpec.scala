@@ -65,4 +65,23 @@ class LayoutSpec extends SparkFunSuite {
     assert(avgXSide <= 96.0, f"x side $avgXSide%.1f — not clustered")
     assert(avgYSide <= 96.0, f"y side $avgYSide%.1f — not clustered")
   }
+
+  test("executed proof: z-layout lets row-group pruning skip what a 1-D sort cannot") {
+    // same rows, two physical layouts, one 2-D box predicate — the scan
+    // metric counts rows the parquet reader actually surfaced after
+    // min/max pruning, i.e. the IO the layout failed to skip
+    val dir = java.nio.file.Files.createTempDirectory("graft_zprune").toString
+    Layout.writeBox2d(spark, sf, s"$dir/z", zOrdered = true)
+    Layout.writeBox2d(spark, sf, s"$dir/x1d", zOrdered = false)
+    val (zScan, zMatch) = Layout.boxScanRows(spark, s"$dir/z", 64, 95, 64, 95)
+    val (xScan, xMatch) = Layout.boxScanRows(spark, s"$dir/x1d", 64, 95, 64, 95)
+    assert(zMatch === xMatch, "layouts disagree on the query RESULT")
+    assert(zMatch > 0, "empty box — predicate proves nothing")
+    info(f"32×32 box: matched=$zMatch, scanned z=$zScan vs 1-D=$xScan " +
+      f"(${xScan.toDouble / zScan}%.1fx fewer rows surfaced)")
+    assert(zScan < xScan,
+      s"z-layout surfaced $zScan rows, not fewer than the 1-D layout's $xScan")
+    assert(zScan.toDouble <= xScan.toDouble / 2,
+      s"z-layout pruning not meaningfully better: $zScan vs $xScan")
+  }
 }
