@@ -396,6 +396,15 @@ object Dedup {
   def ngramCandidateStats(s: SparkSession, d: String): (Long, Long) =
     (ngramCandidates(cachedShingles(s, d)).count(), dedupNgram(s, d).count())
 
+  /** Stage probes for [[graft.NgramProfile]] — execute exactly the
+    * query's first one / two stages so the verify stage's share of
+    * q_dedup_ngram is a measured number. */
+  private[graft] def profileShingles(s: SparkSession, d: String): Unit =
+    cachedShingles(s, d)
+  private[graft] def profileCandidates(s: SparkSession, d: String): Unit =
+    ngramCandidates(cachedShingles(s, d))
+      .write.mode("overwrite").format("noop").save()
+
   /** 32-bit SimHash per document, computed entirely per-row (nested
     * higher-order aggregate over the token set — no explode, no shuffle):
     * bit b = sign of the sum over tokens of ±1 by md5-bit b. */
