@@ -603,9 +603,38 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** kNN label classification — the standard embedding-quality eval: each
+    * query vector is assigned the MAJORITY label of its 5 brute-force
+    * nearest neighbors (vote ties → smallest label, fully deterministic)
+    * and compared to its own label. This is how a pipeline smoke-tests an
+    * embedding column before spending GPU-hours on it: near-chance kNN
+    * accuracy means the embeddings carry no label signal (true for this
+    * isotropic synthetic fixture — the measurement, not a target).
+    *
+    * Scale shape: inherits [[knnBrute]]'s broadcast-scan (swap in the
+    * IVF/PQ ladder for a billion-vector eval); the vote is one
+    * partial-agg over queries×labels and the label joins are
+    * broadcast-sized (one row per query). */
+  def knnClassify(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = embeddings(s, d).select(col("vec_id"), col("label"))
+    knnBrute(s, d)
+      .join(labels.select(col("vec_id").as("cid"), col("label").as("nlabel")), "cid")
+      .groupBy(col("qid"), col("nlabel"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("n_votes").desc, col("nlabel"))))
+      .filter(col("rk") === 1)
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("true_label")), "qid")
+      .select(col("qid"), col("true_label"), col("nlabel").as("pred_label"),
+        col("n_votes"), (col("nlabel") === col("true_label")).as("correct"))
+      .orderBy(col("qid"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_classify" -> (knnClassify _),
     "q_embed_quantize" -> (embedQuantize _),
     "q_knn_brute" -> (knnBrute _),
     "q_knn_lsh" -> (knnLsh _),
@@ -684,6 +713,28 @@ object Similarity {
         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM p)
         |SELECT qid, cid, CAST(rn AS BIGINT) AS rn, sim FROM r
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    // the brute top-5 CTE verbatim, then majority vote (ties -> smallest
+    // label) against the query's own label
+    "q_knn_classify" ->
+      s"""WITH p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    round(${cosSql("q.embedding", "c.embedding")}, 6) AS sim
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT qid, cid, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM p),
+        |v AS (
+        |  SELECT r.qid, c.label AS nlabel, COUNT(*) AS n_votes
+        |  FROM r JOIN embeddings c ON r.cid = c.vec_id
+        |  WHERE r.rn <= 5 GROUP BY r.qid, c.label),
+        |w AS (SELECT qid, nlabel, n_votes,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n_votes DESC, nlabel) AS rk
+        |  FROM v)
+        |SELECT w.qid, q.label AS true_label, w.nlabel AS pred_label,
+        |  w.n_votes, (w.nlabel = q.label) AS correct
+        |FROM w JOIN embeddings q ON w.qid = q.vec_id
+        |WHERE w.rk = 1 ORDER BY w.qid""".stripMargin,
 
     "q_knn_lsh" ->
       s"""WITH e AS (

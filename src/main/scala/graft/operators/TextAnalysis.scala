@@ -326,9 +326,34 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** BPE-style vocabulary induction, the data-side step: count adjacent
+    * token pairs across the corpus and rank the top merge candidates —
+    * exactly what each round of byte-pair-encoding training computes
+    * (the trainer then applies the best merge and re-counts; the loop is
+    * a driver iteration over THIS operator with a broadcast merge map).
+    * Ties break on the pair string, fully deterministic.
+    *
+    * Scale shape: one explode (n−1 pairs per doc) into one
+    * partial-aggregated shuffle over the pair vocabulary, then a top-k
+    * TakeOrderedAndProject — no corpus-sized sort, no window. The
+    * size-2 guard respects the `sequence(1, 0)` descending gotcha
+    * (NOTES determinism rules). */
+  def vocabPairs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""".stripMargin))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_pairs" -> (vocabPairs _),
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_udtf_shingles" -> (udtfShingles _),
     "q_repetition_filter" -> (repetitionFilter _),
@@ -344,6 +369,15 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_vocab_pairs" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS pair
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT pair, COUNT(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
     "q_tfidf_top_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

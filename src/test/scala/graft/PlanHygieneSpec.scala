@@ -17,9 +17,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     * - q_band_join: inequality join against a 5-row interval table;
     * - q_knn_brute: the deliberate brute-force baseline (queries broadcast);
     * - q_knn_ivf / q_knn_ivfpq: the 16-row centroid scoring cross
-    *   product (= cell assignment; ivfpq composes the same quantizer). */
+    *   product (= cell assignment; ivfpq composes the same quantizer);
+    * - q_knn_classify: votes over q_knn_brute's output — inherits the
+    *   brute baseline's broadcast scan by construction. */
   private val intendedNestedLoop =
-    Set("q_band_join", "q_knn_brute", "q_knn_ivf", "q_knn_ivfpq")
+    Set("q_band_join", "q_knn_brute", "q_knn_ivf", "q_knn_ivfpq",
+      "q_knn_classify")
 
   /** Queries whose BUILD already executes jobs (sinks write, streams run,
     * eager caches materialize) — planning them here would re-run half of
