@@ -267,7 +267,87 @@ object Corpus {
       .orderBy(col("shard"), col("batch_id"))
   }
 
+  /** Cross-document LINE dedup, keep-first (the C4/CCNet line-level
+    * pass, block-granular because the synthetic corpus has no newlines):
+    * a width-5 word block that already appeared earlier in the corpus —
+    * in a lower doc_id, or earlier in the same doc — is removed, and
+    * each document is reassembled from its surviving blocks in order.
+    * This is the complement of [[boilerplateRm]]: that drops blocks
+    * FREQUENT across docs everywhere they appear; this keeps exactly ONE
+    * global occurrence of every block. Output carries md5(clean text),
+    * never the text.
+    *
+    * Scale shape: one shuffle on the block text to rank occurrences
+    * (groups are duplicate-count-sized — tiny), one shuffle on doc_id to
+    * reassemble. The occurrence rank is a window over those tiny groups,
+    * NOT a global order; at 100 TB both exchanges are corpus-sized but
+    * per-key work is O(dupes). Block width 5 ≈ 30 B keys — narrower than
+    * a 32-byte md5 hex, so the raw text IS the compact shuffle key. */
+  def lineDedup(s: SparkSession, d: String): DataFrame = {
+    val w = confInt(s, "spark.graft.corpus.lineBlock", 5)
+    require(w >= 1, "lineBlock must be >= 1")
+    val blocks = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("block_id",
+        explode(expr(s"sequence(0, CAST(ceil(n / $w.0) AS INT) - 1)")))
+      .select(col("doc_id"), col("block_id").cast("long").as("block_id"),
+        expr(s"array_join(slice(toks, block_id * $w + 1, $w), ' ')").as("btxt"))
+    blocks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("btxt")).orderBy(col("doc_id"), col("block_id"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("rn") === 1, struct(col("block_id"), col("btxt"))))),
+            x => x.getField("btxt")),
+          " ")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Temperature-based mixture weights (the multilingual/multi-domain
+    * resampling move: raise small sources, damp large ones). For each
+    * source with natural share p = src_tokens/total, the α=0.5 tempered
+    * share is q ∝ p^α — computed as `sqrt(p)` because IEEE sqrt is
+    * correctly rounded and therefore bit-identical across engines,
+    * which a libm `pow(p, α)` is NOT (the reason α is fixed rather than
+    * a conf: any other α would make the oracle engine-dependent).
+    * `epochs` = q·total/src_tokens is the effective pass count over each
+    * source a sampler at these weights implies — the number a data-mix
+    * designer actually reads (small sources > 1, large sources < 1).
+    *
+    * Scale shape: one partial-aggregated pass over the corpus into a
+    * |sources|-row table; the normalization is two whole-frame windows
+    * over those 20 rows (free); nothing corpus-sized moves. The weight
+    * sum crosses engines exactly by summing 9-dp DECIMALs, not doubles
+    * (double-sum order is engine-defined; decimal sums are exact). */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    documents(s, d)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("src_docs"), sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("total", sum(col("src_tokens")).over().cast("double"))
+      .withColumn("w", round(sqrt(col("src_tokens").cast("double") / col("total")), 9))
+      .withColumn("sumw",
+        sum(col("w").cast(DecimalType(12, 9))).over().cast("double"))
+      .withColumn("q_temp", round(col("w") / col("sumw"), 6))
+      .select(col("source"), col("src_docs"),
+        col("src_tokens").cast("long").as("src_tokens"),
+        round(col("src_tokens").cast("double") / col("total"), 6).as("p_natural"),
+        col("q_temp"),
+        round(col("q_temp") * col("total") / col("src_tokens").cast("double"), 6)
+          .as("epochs"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_line_dedup" -> (lineDedup _),
+    "q_mix_temperature" -> (mixTemperature _),
     "q_text_chunks" -> (textChunks _),
     "q_seq_pack" -> (seqPack _),
     "q_inverted_index" -> (invertedIndex _),
@@ -278,6 +358,56 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(CAST(ceil(n / 5.0) AS BIGINT))) AS block_id
+        |  FROM t),
+        |x AS (
+        |  SELECT doc_id, block_id,
+        |    array_to_string(list_slice(toks, block_id * 5 + 1,
+        |      least(block_id * 5 + 5, n)), ' ') AS btxt
+        |  FROM b),
+        |r AS (
+        |  SELECT doc_id, block_id, btxt,
+        |    ROW_NUMBER() OVER (PARTITION BY btxt ORDER BY doc_id, block_id) AS rn
+        |  FROM x)
+        |SELECT doc_id, COUNT(*) AS n_blocks,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN btxt END, ' '
+        |    ORDER BY block_id), '')) AS clean_md5
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, COUNT(*) AS src_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM t GROUP BY source),
+        |x AS (
+        |  SELECT source, src_docs, src_tokens,
+        |    CAST((SELECT SUM(src_tokens) FROM s) AS DOUBLE) AS total
+        |  FROM s),
+        |y AS (
+        |  SELECT *, round(sqrt(CAST(src_tokens AS DOUBLE) / total), 9) AS w
+        |  FROM x),
+        |z AS (
+        |  SELECT *,
+        |    CAST((SELECT SUM(CAST(w AS DECIMAL(12,9))) FROM y) AS DOUBLE) AS sumw
+        |  FROM y)
+        |SELECT source, src_docs, src_tokens,
+        |  round(CAST(src_tokens AS DOUBLE) / total, 6) AS p_natural,
+        |  round(w / sumw, 6) AS q_temp,
+        |  round(round(w / sumw, 6) * total / CAST(src_tokens AS DOUBLE), 6) AS epochs
+        |FROM z ORDER BY source""".stripMargin,
+
     "q_text_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -19,6 +20,9 @@ object Curation {
 
   private def confDouble(s: SparkSession, key: String, dflt: Double): Double =
     s.conf.getOption(key).map(_.toDouble).getOrElse(dflt)
+
+  private def confLong(s: SparkSession, key: String, dflt: Long): Long =
+    s.conf.getOption(key).map(_.toLong).getOrElse(dflt)
 
   /** quality ∈ (0,1]: the same 6-dp-rounded length+TTR score the quality
     * gate uses ([[TextAnalysis.qualityGate]]) — one definition of
@@ -62,6 +66,56 @@ object Curation {
       .select(col("source"), col("n_docs"),
         col("n_kept").cast("long").as("n_kept"), col("kept_quality_mean"))
       .orderBy(col("source"))
+  }
+
+  /** Token-budget corpus selection: keep the highest-quality documents
+    * until a token budget fills — the "we can afford B training tokens,
+    * which docs make the cut?" decision. Greedy rule: in (quality DESC,
+    * doc_id) order, a doc is kept iff the token sum of everything BEFORE
+    * it is `< budget` (same don't-split-documents prefix rule as
+    * [[Corpus.seqPack]]; the budget overshoots by at most one doc).
+    *
+    * Scale shape — the reason this operator exists: the naive form is a
+    * window over one GLOBAL order, which serializes the corpus through a
+    * single partition. Instead, a two-phase distributed prefix sum:
+    * (1) coarse-bucket docs by `floor(quality·256)` and aggregate token
+    * sums per bucket (≤257 rows — the only whole-frame window runs over
+    * THIS, for free); (2) broadcast the bucket prefix table back: buckets
+    * wholly under budget keep every doc map-side (no shuffle, no window),
+    * buckets wholly past it drop map-side, and only the one STRADDLE
+    * bucket — ~1/256 of the corpus — pays an exact within-bucket window,
+    * partitioned per bucket so even that parallelizes. Token sums are
+    * longs throughout, so the two-phase split is bit-exact against the
+    * oracle's single global window. */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val budget = confLong(s, "spark.graft.curation.tokenBudget", 2000L)
+    require(budget > 0, "tokenBudget must be positive")
+    val docs = CacheScope.track(
+      withQuality(documents(s, d))
+        .select(col("doc_id"), col("quality"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("bucket", floor(col("quality") * 256).cast("int"))
+        .persist())
+    // quality is monotone in bucket, so bucket-DESC prefix sums agree
+    // with the global (quality DESC, doc_id) prefix restricted to whole
+    // buckets; ≤257 rows flow through the whole-frame window.
+    val buckets = docs.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("before_b", coalesce(
+        sum(col("btok")).over(Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tagged = docs.join(broadcast(buckets), "bucket")
+    val fullKeep = tagged.filter(col("before_b") + col("btok") <= budget)
+    val straddle = tagged
+      .filter(col("before_b") < budget && col("before_b") + col("btok") > budget)
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("bucket"))
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("before_b") + col("cum") - col("n_tokens") < budget)
+    fullKeep.select(col("doc_id"), col("quality"), col("n_tokens"))
+      .unionByName(straddle.select(col("doc_id"), col("quality"), col("n_tokens")))
+      .orderBy(col("doc_id"))
   }
 
   /** Near-dup cluster REPRESENTATIVE selection: dedup that keeps the
@@ -181,6 +235,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_budget" -> (tokenBudget _),
     "q_sample_weighted" -> (sampleWeighted _),
     "q_dedup_representative" -> (dedupRepresentative _),
     "q_contamination_bloom" -> (contaminationBloom _),
@@ -194,6 +249,24 @@ object Curation {
       |  FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // single global window — semantically what the engine's two-phase
+    // bucket prefix sum computes distributed
+    "q_token_budget" ->
+      s"""WITH q AS (
+        |  SELECT doc_id,
+        |    round(least(1.0, CAST(length(text) AS DOUBLE) / 400.0) * 0.5 +
+        |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) * 0.5, 6) AS quality,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, quality, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        |  FROM q)
+        |SELECT doc_id, quality, n_tokens FROM w
+        |WHERE tok_before < 2000 ORDER BY doc_id""".stripMargin,
+
     "q_sample_weighted" ->
       s"""WITH q AS (
         |  $qualitySql),

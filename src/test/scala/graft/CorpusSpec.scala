@@ -134,4 +134,42 @@ class CorpusSpec extends SparkFunSuite {
         s"shard $shard: bin ids not dense: ${ids.mkString(",")}")
     }
   }
+
+  test("line dedup keeps exactly one global occurrence of every block") {
+    val out = Corpus.lineDedup(spark, sf).collect()
+    val blockStats = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("block_id",
+        explode(expr("sequence(0, CAST(ceil(n / 5.0) AS INT) - 1)")))
+      .select(expr("array_join(slice(toks, block_id * 5 + 1, 5), ' ')").as("btxt"))
+    val totalBlocks = blockStats.count()
+    val distinctBlocks = blockStats.distinct().count()
+    assert(out.map(_.getAs[Long]("n_blocks")).sum === totalBlocks)
+    // every duplicate occurrence beyond the first is removed, corpus-wide
+    assert(out.map(_.getAs[Long]("n_removed")).sum === totalBlocks - distinctBlocks)
+    assert(totalBlocks > distinctBlocks,
+      "fixture has no duplicate blocks — test vacuous")
+  }
+
+  test("temperature mixing: α=0.5 shares normalize and flatten the natural mix") {
+    val rows = Corpus.mixTemperature(spark, sf).collect()
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_.getAs[Double]("q_temp")).sum - 1.0) < 1e-4,
+      "tempered shares must sum to 1")
+    // tempering flattens but preserves order: q ∝ √p keeps the ranking
+    // and shrinks the max/min spread to its square root; epochs ∝ 1/√p
+    // are anti-monotone in source size
+    val bySize = rows.sortBy(_.getAs[Long]("src_tokens"))
+    val qBySize = bySize.map(_.getAs[Double]("q_temp"))
+    assert(qBySize.zip(qBySize.tail).forall { case (a, b) => a <= b + 1e-9 },
+      s"tempered shares must preserve the size ranking: ${qBySize.mkString(",")}")
+    val ps = rows.map(_.getAs[Double]("p_natural"))
+    val qs = rows.map(_.getAs[Double]("q_temp"))
+    assert(qs.max / qs.min < ps.max / ps.min,
+      s"tempering must shrink the spread: q ${qs.max / qs.min} vs p ${ps.max / ps.min}")
+    val epochs = bySize.map(_.getAs[Double]("epochs"))
+    assert(epochs.zip(epochs.tail).forall { case (a, b) => a >= b - 1e-9 },
+      s"epochs not anti-monotone in size: ${epochs.mkString(",")}")
+  }
 }

@@ -103,4 +103,40 @@ class CurationSpec extends SparkFunSuite {
       ("books", "removed", 1L), ("books", "unchanged", 1L),
       ("books", "added", 1L)))
   }
+
+  test("token budget: two-phase bucket prefix equals the global-window greedy rule") {
+    import org.apache.spark.sql.expressions.Window
+    def withBudget[A](b: Long)(body: => A): A =
+      try { spark.conf.set("spark.graft.curation.tokenBudget", b.toString); body }
+      finally spark.conf.unset("spark.graft.curation.tokenBudget")
+    // the reference semantics, computed the NON-scalable way: one window
+    // over the global (quality desc, doc_id) order
+    val globalGreedy = Tables.documents(spark, sf)
+      .withColumn("ttr",
+        expr("size(array_distinct(split(text, ' ')))").cast("double") /
+          expr("size(split(text, ' '))"))
+      .withColumn("quality",
+        round(least(lit(1.0), length(col("text")).cast("double") / 400.0) * 0.5 +
+          col("ttr") * 0.5, 6))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("tok_before", coalesce(
+        sum(col("n_tokens")).over(
+          Window.orderBy(col("quality").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    for (budget <- Seq(1L, 700L, 2000L, 1000000L)) {
+      val expected = globalGreedy.filter(col("tok_before") < budget)
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+        .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+      val got = withBudget(budget)(
+        Curation.tokenBudget(spark, sf).collect().map(_.toString).toSeq)
+      CacheScope.releaseAll()
+      assert(got === expected, s"budget $budget: two-phase != global window")
+    }
+    // budget 1 keeps exactly the single best doc; a huge budget keeps all
+    assert(withBudget(1L)(Curation.tokenBudget(spark, sf).count()) === 1L)
+    CacheScope.releaseAll()
+    assert(withBudget(1000000L)(Curation.tokenBudget(spark, sf).count()) ===
+      Tables.documents(spark, sf).count())
+    CacheScope.releaseAll()
+  }
 }
