@@ -118,6 +118,52 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-domain token cap (the FineWeb/Dolma over-represented-domain
+    * guard): every source keeps at most `capTokens` tokens, the docs
+    * chosen hash-deterministically — in md5(doc_id) order, keep while
+    * the source's token prefix is under the cap. Hash order makes the
+    * cut a pure function of the ids: re-ingests, engine swaps, and
+    * incremental appends keep the same docs (appends can only ADD docs
+    * whose hash lands before the boundary — no reshuffling churn).
+    *
+    * Scale shape: the same two-phase distributed prefix sum as
+    * [[tokenBudget]], per group — bucket by the hash's first byte
+    * (256 buckets/source, consistent with the hash order by
+    * construction), prefix the |sources|·256-row bucket table with a
+    * window PARTITIONED by source (parallel across sources, 256 rows
+    * each — never a corpus-sized order), and only each source's one
+    * straddle bucket (~1/256 of it) pays an exact window. A source
+    * whose whole bucket run is under the cap never shuffles at all. */
+  def domainCap(s: SparkSession, d: String): DataFrame = {
+    val cap = confLong(s, "spark.graft.curation.domainCapTokens", 300L)
+    require(cap > 0, "domainCapTokens must be positive")
+    val docs = CacheScope.track(
+      documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("hb", substring(col("h"), 1, 2))
+        .persist())
+    val buckets = docs.groupBy(col("source"), col("hb"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("before_b", coalesce(
+        sum(col("btok")).over(Window.partitionBy(col("source"))
+          .orderBy(col("hb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tagged = docs.join(buckets, Seq("source", "hb"))
+    val fullKeep = tagged.filter(col("before_b") + col("btok") <= cap)
+    val straddle = tagged
+      .filter(col("before_b") < cap && col("before_b") + col("btok") > cap)
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("source"), col("hb"))
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("before_b") + col("cum") - col("n_tokens") < cap)
+    fullKeep.select(col("source"), col("doc_id"), col("n_tokens"))
+      .unionByName(straddle.select(col("source"), col("doc_id"), col("n_tokens")))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Near-dup cluster REPRESENTATIVE selection: dedup that keeps the
     * best member, not an arbitrary one. [[Dedup.dedupClusters]] already
     * labels connected components; this picks each cluster's highest-
@@ -236,6 +282,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_budget" -> (tokenBudget _),
+    "q_domain_cap" -> (domainCap _),
     "q_sample_weighted" -> (sampleWeighted _),
     "q_dedup_representative" -> (dedupRepresentative _),
     "q_contamination_bloom" -> (contaminationBloom _),
@@ -266,6 +313,22 @@ object Curation {
         |  FROM q)
         |SELECT doc_id, quality, n_tokens FROM w
         |WHERE tok_before < 2000 ORDER BY doc_id""".stripMargin,
+
+    // per-source global window — what the engine's per-source bucketed
+    // prefix sum computes distributed
+    "q_domain_cap" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |w AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens FROM w
+        |WHERE tok_before < 300 ORDER BY source, doc_id""".stripMargin,
 
     "q_sample_weighted" ->
       s"""WITH q AS (

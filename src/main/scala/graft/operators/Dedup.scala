@@ -237,8 +237,23 @@ object Dedup {
     * table — the shareable unit behind [[dedupClusters]]. */
   private def clusterTable(s: SparkSession, d: String): DataFrame = {
     clusterPipelineRuns.incrementAndGet()
+    val finalLabels = connectedComponents(minhashPairs(s, d))
+    val sizes = finalLabels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    finalLabels.join(sizes, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"), (col("node") === col("lbl")).as("is_canonical"))
+  }
+
+  /** Contracted min-label connected components over a DIRECTED pair list
+    * (`d1 < d2` columns required): returns every node with its
+    * component's minimum id as `(node, lbl)`. Extracted from the MinHash
+    * cluster pipeline so any pair generator — near-dup text pairs,
+    * embedding similarity pairs ([[Similarity.semanticDedup]]) — reuses
+    * the same two-level contraction + fixpoint machinery and its
+    * convergence guarantee. */
+  private[operators] def connectedComponents(pairsIn: DataFrame): DataFrame = {
     val pairs = graft.CacheScope.track(
-      minhashPairs(s, d).select(col("d1"), col("d2")).persist())
+      pairsIn.select(col("d1"), col("d2")).persist())
     pairs.count()
     // Level 1 — every node takes min(self, direct neighbors), computed
     // WITHOUT materializing the 2× symmetric edge list: pairs carry
@@ -295,14 +310,10 @@ object Dedup {
     require(converged, s"label propagation did not converge in $iter rounds")
     // Map level-1 labels through the contracted components; labels that
     // never appeared in a contracted edge are already component minima.
-    val finalLabels = l1.as("a")
+    l1.as("a")
       .join(labels.select(col("node").as("n2"), col("lbl").as("l2")),
         col("a.lbl") === col("n2"), "left")
       .select(col("a.node").as("node"), coalesce(col("l2"), col("a.lbl")).as("lbl"))
-    val sizes = finalLabels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-    finalLabels.join(sizes, "lbl")
-      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
-        col("cluster_size"), (col("node") === col("lbl")).as("is_canonical"))
   }
 
   /** Shingle sets as sorted 64-bit hash arrays, one row per doc. Guarded

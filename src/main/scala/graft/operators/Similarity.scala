@@ -515,6 +515,33 @@ object Similarity {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** SemDeDup-style SEMANTIC dedup: connected components over the
+    * embedding near-dup graph, keep each component's minimum-id vector.
+    * Where [[Dedup.dedupClusters]] clusters by TEXT overlap (MinHash),
+    * this clusters by embedding cosine ≥ 0.35 — catching paraphrases and
+    * translations that share no n-grams — and reuses the exact same
+    * contracted min-label CC machinery ([[Dedup.connectedComponents]]),
+    * so the convergence guarantee and the GraphX cross-validation carry
+    * over. Every vector appears in the output (singletons are their own
+    * kept cluster), so `keep` IS the dedup decision column.
+    *
+    * Scale shape: pair generation is [[embedNearDup]]'s blocked kernel
+    * (swap in [[embedNearDupLsh]] for the sub-quadratic path at real
+    * corpus sizes — same columns, same CC downstream); CC runs on the
+    * pair-derived graph, orders of magnitude smaller than the corpus. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val pairs = embedNearDup(s, d).select(col("v1").as("d1"), col("v2").as("d2"))
+    val labels = Dedup.connectedComponents(pairs)
+    val lab = embeddings(s, d).select(col("vec_id"))
+      .join(labels.select(col("node").as("vec_id"), col("lbl")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("cluster_id"))
+    val sizes = lab.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the storage/
     * bandwidth play every large ANN deployment makes (4× smaller vectors,
     * SIMD-friendly dot products downstream). Per-vector scale = max |v|;
@@ -642,7 +669,8 @@ object Similarity {
     "q_knn_pq" -> (knnPq _),
     "q_knn_ivfpq" -> (knnIvfPq _),
     "q_embed_neardup" -> (embedNearDup _),
-    "q_embed_neardup_lsh" -> (embedNearDupLsh _)
+    "q_embed_neardup_lsh" -> (embedNearDupLsh _),
+    "q_semantic_dedup" -> (semanticDedup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -867,6 +895,32 @@ object Similarity {
         |  FROM sc)
         |SELECT qid, cid, CAST(rn AS BIGINT) AS rn, adc_dist2
         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // the neardup pair CTE verbatim, then recursive min-label reach +
+    // singleton fill — mirrors q_dedup_representative's CC oracle shape
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.35),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM p
+        |  UNION ALL SELECT d2, d1 FROM p),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach(node, lbl) AS (
+        |  SELECT node, node AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        |cc AS (SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+        |allv AS (
+        |  SELECT e.vec_id, COALESCE(cc.cluster_id, e.vec_id) AS cluster_id
+        |  FROM embeddings e LEFT JOIN cc USING (vec_id)),
+        |sizes AS (
+        |  SELECT cluster_id, COUNT(*) AS cluster_size FROM allv GROUP BY cluster_id)
+        |SELECT allv.vec_id, allv.cluster_id, sizes.cluster_size,
+        |  (allv.vec_id = allv.cluster_id) AS keep
+        |FROM allv JOIN sizes USING (cluster_id)
+        |ORDER BY allv.vec_id""".stripMargin,
 
     "q_embed_neardup" ->
       s"""SELECT a.vec_id AS v1, b.vec_id AS v2,

@@ -139,4 +139,40 @@ class CurationSpec extends SparkFunSuite {
       Tables.documents(spark, sf).count())
     CacheScope.releaseAll()
   }
+
+  test("domain cap: bucketed prefix equals the per-source global window; caps hold") {
+    import org.apache.spark.sql.expressions.Window
+    def withCap[A](c: Long)(body: => A): A =
+      try { spark.conf.set("spark.graft.curation.domainCapTokens", c.toString); body }
+      finally spark.conf.unset("spark.graft.curation.domainCapTokens")
+    val base = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("tok_before", coalesce(
+        sum(col("n_tokens")).over(
+          Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    for (cap <- Seq(1L, 120L, 300L, 1000000L)) {
+      val expected = base.filter(col("tok_before") < cap)
+        .select(col("source"), col("doc_id"), col("n_tokens"))
+        .orderBy(col("source"), col("doc_id")).collect().map(_.toString).toSeq
+      val got = withCap(cap)(
+        Curation.domainCap(spark, sf).collect().map(_.toString).toSeq)
+      CacheScope.releaseAll()
+      assert(got === expected, s"cap $cap: bucketed prefix != per-source window")
+    }
+    // every source's kept tokens stay under cap + its one overshooting doc
+    val kept = withCap(120L)(Curation.domainCap(spark, sf).collect())
+    CacheScope.releaseAll()
+    kept.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val toks = rows.map(_.getAs[Long]("n_tokens"))
+      assert(toks.sum - toks.max < 120L,
+        s"source $src blew the cap even before its boundary doc: ${toks.sum}")
+    }
+    // cap 1 keeps exactly one doc per source
+    val one = withCap(1L)(Curation.domainCap(spark, sf).collect())
+    CacheScope.releaseAll()
+    assert(one.groupBy(_.getString(0)).values.forall(_.length == 1))
+  }
 }

@@ -30,4 +30,26 @@ class SimilaritySpec extends SparkFunSuite {
         f"Lloyd step worsened the quantizer objective: $lloydObj%.4f < $seedObj%.4f")
     } finally CacheScope.releaseAll()
   }
+
+  test("semantic dedup: clusters are consistent with the near-dup graph, one keeper each") {
+    try {
+      val pairs = Similarity.embedNearDup(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val out = Similarity.semanticDedup(spark, sf).collect()
+      val cluster = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // covers every vector, near-dup pairs land in the same cluster
+      assert(out.length === Tables.embeddings(spark, sf).count())
+      pairs.foreach { case (a, b) =>
+        assert(cluster(a) === cluster(b), s"pair ($a,$b) split across clusters")
+      }
+      // exactly one keeper per cluster: its minimum member; sizes add up
+      out.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+        val keeps = members.filter(_.getAs[Boolean]("keep"))
+        assert(keeps.length === 1, s"cluster $cid has ${keeps.length} keepers")
+        assert(keeps.head.getLong(0) === members.map(_.getLong(0)).min)
+        assert(members.forall(_.getAs[Long]("cluster_size") === members.length.toLong))
+      }
+      assert(pairs.nonEmpty, "fixture has no near-dup pairs — test vacuous")
+    } finally CacheScope.releaseAll()
+  }
 }
