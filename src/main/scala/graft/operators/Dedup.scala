@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for a training-data pipeline: exact, normalized
@@ -416,6 +417,53 @@ object Dedup {
     ngramCandidates(cachedShingles(s, d))
       .write.mode("overwrite").format("noop").save()
 
+  /** Repeated-SPAN profile — the data side of exact-substring dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): for every token 10-gram position in every doc, is that
+    * exact 10-gram repeated anywhere in the corpus (another doc OR
+    * another position of the same doc)? Per doc: position count, dup
+    * position count, and the longest consecutive dup run — the numbers
+    * the span-removal decision reads (a long run = a verbatim copied
+    * passage; Lee et al. cut spans ≥ 50 tokens). The suffix-array the
+    * paper builds is a single-machine structure; the gram-hash count
+    * join below is the distributed equivalent at 10-gram resolution.
+    *
+    * Scale shape: positions → one partial-aggregated count per distinct
+    * gram → one shuffle join back on the gram hash (both sides
+    * corpus-positional — inherent to exact-substring semantics), then
+    * doc-local windows (doc-sized groups) for the gaps-and-islands run
+    * length. Grams travel as md5 hashes, never as 10-token strings. */
+  def spanDedup(s: SparkSession, d: String): DataFrame = {
+    val w = 10
+    val g = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, CAST(n AS INT) - ${w - 1}),
+           |  i -> struct(CAST(i AS BIGINT) AS i,
+           |    md5(array_join(slice(toks, i, $w), ' ')) AS gh))""".stripMargin))
+        .as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.gh").as("gh"))
+    val counts = g.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
+    val dg = graft.CacheScope.track(
+      g.join(counts, "gh")
+        .select(col("doc_id"), col("i"), (col("cnt") > 1).as("dup"))
+        .persist())
+    val base = dg.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_pos"))
+    val longest = dg.filter(col("dup"))
+      .withColumn("isl", col("i") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+      .groupBy(col("doc_id"), col("isl")).agg(count(lit(1)).as("rl"))
+      .groupBy(col("doc_id")).agg(max(col("rl")).as("longest"))
+    base.join(longest, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pos"), col("n_dup_pos"),
+        coalesce(col("longest"), lit(0L)).as("longest_dup_run"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 32-bit SimHash per document, computed entirely per-row (nested
     * higher-order aggregate over the token set — no explode, no shuffle):
     * bit b = sign of the sum over tokens of ±1 by md5-bit b. */
@@ -464,6 +512,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_udaf" -> (minhashUdaf _),
+    "q_span_dedup" -> (spanDedup _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_normalized" -> (dedupNormalized _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -474,6 +523,34 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |ix AS (
+        |  SELECT doc_id, toks, unnest(range(1, n - 8)) AS i
+        |  FROM t WHERE n >= 10),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS gh
+        |  FROM ix),
+        |c AS (SELECT gh, COUNT(*) AS cnt FROM g GROUP BY gh),
+        |dg AS (SELECT g.doc_id, g.i, (c.cnt > 1) AS dup FROM g JOIN c USING (gh)),
+        |base AS (
+        |  SELECT doc_id, COUNT(*) AS n_pos,
+        |    CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pos
+        |  FROM dg GROUP BY doc_id),
+        |runs AS (
+        |  SELECT doc_id, i,
+        |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+        |  FROM dg WHERE dup),
+        |runlen AS (SELECT doc_id, COUNT(*) AS rl FROM runs GROUP BY doc_id, isl),
+        |lr AS (SELECT doc_id, MAX(rl) AS longest FROM runlen GROUP BY doc_id)
+        |SELECT base.doc_id, base.n_pos, base.n_dup_pos,
+        |  COALESCE(lr.longest, 0) AS longest_dup_run
+        |FROM base LEFT JOIN lr USING (doc_id)
+        |ORDER BY base.doc_id""".stripMargin,
     "q_minhash_udaf" ->
       """WITH sig AS (
         |  SELECT doc_id,

@@ -110,4 +110,25 @@ class DedupSpec extends SparkFunSuite {
     }
     assert(udaf(1L) === graft.functions.MinHashAggregator.finish(sig))
   }
+
+  test("span profile: position conservation, dup bounds, run length sanity") {
+    try {
+      val out = Dedup.spanDedup(spark, sf).collect()
+      val nToks = Tables.documents(spark, sf)
+        .select(col("doc_id"), expr("size(split(text, ' '))").cast("long").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.length === nToks.count(_._2 >= 10))
+      out.foreach { r =>
+        val (id, nPos) = (r.getLong(0), r.getAs[Long]("n_pos"))
+        val nDup = r.getAs[Long]("n_dup_pos")
+        val run = r.getAs[Long]("longest_dup_run")
+        assert(nPos === nToks(id) - 9, s"doc $id: position count off")
+        assert(nDup <= nPos && run <= nDup,
+          s"doc $id: bounds violated ($nPos, $nDup, $run)")
+        assert((run == 0) === (nDup == 0), s"doc $id: run/dup flags disagree")
+      }
+      assert(out.map(_.getAs[Long]("n_dup_pos")).sum > 0,
+        "fixture has no repeated 10-gram — test vacuous")
+    } finally CacheScope.releaseAll()
+  }
 }
