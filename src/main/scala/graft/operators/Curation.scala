@@ -89,11 +89,21 @@ object Curation {
     * oracle's single global window. */
   def tokenBudget(s: SparkSession, d: String): DataFrame = {
     val budget = confLong(s, "spark.graft.curation.tokenBudget", 2000L)
-    require(budget > 0, "tokenBudget must be positive")
-    val docs = CacheScope.track(
+    tokenBudgetFrom(
       withQuality(documents(s, d))
         .select(col("doc_id"), col("quality"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      budget)
+  }
+
+  /** Frame core behind [[tokenBudget]]: any `(doc_id, quality,
+    * n_tokens)` frame — the unit the property suite drives with
+    * adversarial qualities (bucket-edge values, mass ties) and
+    * boundary-exact budgets. */
+  private[graft] def tokenBudgetFrom(docsIn: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "tokenBudget must be positive")
+    val docs = CacheScope.track(
+      docsIn
         .withColumn("bucket", floor(col("quality") * 256).cast("int"))
         .persist())
     // quality is monotone in bucket, so bucket-DESC prefix sums agree
@@ -136,12 +146,20 @@ object Curation {
     * whose whole bucket run is under the cap never shuffles at all. */
   def domainCap(s: SparkSession, d: String): DataFrame = {
     val cap = confLong(s, "spark.graft.curation.domainCapTokens", 300L)
+    domainCapFrom(
+      documents(s, d).select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      cap)
+  }
+
+  /** Frame core behind [[domainCap]]: any `(source, doc_id, n_tokens)`
+    * frame; the hash and its bucket derive from doc_id here so callers
+    * can't desynchronize the order key from the bucket key. */
+  private[graft] def domainCapFrom(docsIn: DataFrame, cap: Long): DataFrame = {
     require(cap > 0, "domainCapTokens must be positive")
     val docs = CacheScope.track(
-      documents(s, d)
-        .select(col("source"), col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          md5(col("doc_id").cast("string")).as("h"))
+      docsIn
+        .withColumn("h", md5(col("doc_id").cast("string")))
         .withColumn("hb", substring(col("h"), 1, 2))
         .persist())
     val buckets = docs.groupBy(col("source"), col("hb"))
