@@ -93,10 +93,70 @@ object Layout {
     (scanned, matched)
   }
 
+  /** Small-file COMPACTION — the maintenance pass every long-lived table
+    * needs: streaming ingest and fine-grained partitioned writes leave
+    * thousands of tiny files, and at 100 TB the manifest pressure and
+    * per-file open/footer cost dominate scans long before the bytes do.
+    * This op fragments a copy of `documents` into 64 splats, measures
+    * the actual on-disk bytes, rewrites into `ceil(bytes / targetBytes)`
+    * files, and returns per-source content aggregates FROM THE COMPACTED
+    * TABLE — so the oracle (which computes the same aggregates from the
+    * original) gates that compaction moved bytes without changing one
+    * row. File-count/size assertions live in LayoutSpec (not
+    * SQL-expressible).
+    *
+    * Scale shape: compaction is one repartition exchange sized by
+    * measured bytes (what OPTIMIZE/rewriteDataFiles does in Delta/
+    * Iceberg); the verification aggregate is partial-agg over |sources|
+    * groups. */
+  def compactFiles(s: SparkSession, d: String): DataFrame = {
+    val target = s.conf.get("spark.graft.layout.compactTargetBytes",
+      (4L * 1024 * 1024).toString).toLong
+    require(target > 0, "compactTargetBytes must be positive")
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_compact", s"d_${math.abs(d.hashCode)}")
+    val frag = new org.apache.hadoop.fs.Path(base.resolve("frag").toString)
+    val tight = new org.apache.hadoop.fs.Path(base.resolve("compact").toString)
+    documents(s, d).repartition(64)
+      .write.mode("overwrite").parquet(frag.toString)
+    val fs = frag.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(frag)
+      .filter(f => f.getPath.getName.startsWith("part-")).map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + target - 1) / target).toInt
+    s.read.parquet(frag.toString).repartition(nOut)
+      .write.mode("overwrite").parquet(tight.toString)
+    s.read.parquet(tight.toString)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tok_sum"),
+        min(md5(col("text"))).as("min_md5"),
+        max(md5(col("text"))).as("max_md5"))
+      .orderBy(col("source"))
+  }
+
+  /** Physical file count under a compaction stage dir — LayoutSpec's
+    * probe for the before/after assertion. */
+  private[graft] def partFileCount(s: SparkSession, d: String, sub: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_compact", s"d_${math.abs(d.hashCode)}",
+      sub).toString)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .listStatus(p).count(f => f.getPath.getName.startsWith("part-"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_zorder_layout" -> (zorderLayout _))
+    "q_zorder_layout" -> (zorderLayout _),
+    "q_compact_files" -> (compactFiles _))
 
   val oracle: Map[String, String] = Map(
+    // content preservation: the same aggregates over the ORIGINAL table —
+    // any row compaction lost, duplicated, or mutated flips a column
+    "q_compact_files" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,
+        |  MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     // the Morton key replayed bit-by-bit: sum over i of the x bit at
     // even position 2i and the y bit at odd position 2i+1
     "q_zorder_layout" ->

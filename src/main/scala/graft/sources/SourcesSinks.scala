@@ -176,9 +176,37 @@ object SourcesSinks {
         min(md5(col("content"))).as("content_md5"))
   }
 
+  /** Schema-EVOLUTION read: generation 1 writes `(doc_id, n_chars)`,
+    * generation 2 of the same table adds `lang` — `mergeSchema=true`
+    * reads both generations as one table, old rows NULL-filling the new
+    * column, with the generation a discovered partition column. This is
+    * the append-only schema-change story a long-lived 100 TB table
+    * lives on (the alternative — rewriting every historical file on
+    * each column add — is a full-table write). The aggregate exposes
+    * the NULL accounting per generation, so the oracle gates the fill
+    * semantics, not just the row counts. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val out = stage(s"evolve_${math.abs(d.hashCode)}")
+    val docs = documents(s, d)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("gen"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("lang")).as("n_lang_present"),
+        sum(col("n_chars")).as("chars_sum"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("gen"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_schema_evolution" -> (schemaEvolution _),
     "q_sink_csv_roundtrip" -> (csvRoundtrip _),
     "q_sink_orc_roundtrip" -> (orcRoundtrip _),
     "q_source_corrupt" -> (corruptSource _),
@@ -189,6 +217,20 @@ object SourcesSinks {
   )
 
   val oracle: Map[String, String] = Map(
+    // replay the two write generations as a union: gen 1 rows carry no
+    // lang (NULL), gen 2 rows do — COUNT(lang) exposes the fill
+    "q_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT 1 AS gen, doc_id, n_chars, CAST(NULL AS VARCHAR) AS lang
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 2, doc_id, n_chars, lang
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT gen, COUNT(*) AS n_docs, COUNT(lang) AS n_lang_present,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM u GROUP BY gen ORDER BY gen""".stripMargin,
+
     "q_sink_xml_roundtrip" ->
       """SELECT COUNT(*) AS n_regions, MIN(r_name) AS first_region,
         |  CAST(SUM(r_regionkey) AS BIGINT) AS key_sum

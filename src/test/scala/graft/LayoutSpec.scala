@@ -84,4 +84,17 @@ class LayoutSpec extends SparkFunSuite {
     assert(zScan.toDouble <= xScan.toDouble / 2,
       s"z-layout pruning not meaningfully better: $zScan vs $xScan")
   }
+
+  test("compaction collapses the 64-file fragmentation to the byte-targeted count") {
+    val out = Layout.compactFiles(spark, sf).collect()
+    // content preserved (the oracle gates values; here the shape)
+    assert(out.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count())
+    val fragFiles = Layout.partFileCount(spark, sf, "frag")
+    val tightFiles = Layout.partFileCount(spark, sf, "compact")
+    info(s"compaction: $fragFiles files -> $tightFiles")
+    assert(fragFiles === 64, s"fragmentation stage wrote $fragFiles files")
+    assert(tightFiles >= 1 && tightFiles < fragFiles / 4,
+      s"compaction left $tightFiles files from $fragFiles")
+  }
 }
