@@ -298,7 +298,42 @@ object Curation {
       .orderBy(col("source"), col("status"))
   }
 
+  /** Deterministic EPOCH SHUFFLE — training-order randomization as a
+    * pure function of (seed, doc_id): each epoch re-keys the corpus by
+    * `md5(seed || ':' || doc_id)` and shards on the hash. No RNG state,
+    * no global sort, partition-count invariant: re-running the same seed
+    * reproduces the exact assignment on any cluster, and the next epoch
+    * is just the next seed. At 100 TB the physical form is one hash
+    * exchange into shard files (`sortWithinPartitions(h)` at write time
+    * gives the in-shard read order); there is nothing sequential anywhere.
+    * The catalog query audits epoch "ep1" into 8 shards — per-shard doc
+    * count, source spread, id checksum, hash range — which the oracle
+    * replays bit-for-bit (md5 is md5 everywhere; the shard is the first
+    * hash nibble halved, so no base conversion ambiguity). The seeded
+    * general form is [[epochShuffleAssign]]. */
+  def epochShuffle(s: SparkSession, d: String): DataFrame =
+    epochShuffleAssign(documents(s, d), "ep1")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("doc_id")).as("id_sum"),
+        min(col("h")).as("h_min"),
+        max(col("h")).as("h_max"))
+      .orderBy(col("shard"))
+
+  /** Seeded shard assignment over any frame with a `doc_id` column:
+    * adds the epoch hash `h` and an 8-way `shard`. The shard is the
+    * first hex nibble of the hash halved — uniform, engine-portable,
+    * and cheap (no 52-bit conv needed for a fixed fan-out; widen via
+    * `pmod(conv(substring(h,1,13),16,10), n)` if a run needs n ≠ 8). */
+  private[graft] def epochShuffleAssign(docs: DataFrame, seed: String): DataFrame =
+    docs.withColumn("h",
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        expr("CAST(CAST(conv(substring(h, 1, 1), 16, 10) AS INT) div 2 AS INT)"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_epoch_shuffle" -> (epochShuffle _),
     "q_token_budget" -> (tokenBudget _),
     "q_domain_cap" -> (domainCap _),
     "q_sample_weighted" -> (sampleWeighted _),
@@ -314,6 +349,20 @@ object Curation {
       |  FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // replay the epoch hash and nibble-shard assignment verbatim
+    "q_epoch_shuffle" ->
+      """WITH a AS (
+        |  SELECT doc_id, source, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT *, CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) // 2
+        |    AS INTEGER) AS shard FROM a)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  MIN(h) AS h_min, MAX(h) AS h_max
+        |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
+
     // single global window — semantically what the engine's two-phase
     // bucket prefix sum computes distributed
     "q_token_budget" ->

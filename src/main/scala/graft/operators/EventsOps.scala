@@ -5,6 +5,7 @@ import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-time windowing over the `events` table — the batch twins of the
   * Structured Streaming operators in [[graft.streaming.Streaming]] (same
@@ -134,9 +135,142 @@ object EventsOps {
       .orderBy(col("event_id"))
   }
 
+  /** SCD Type-2 history build: collapse each user's event stream into
+    * versioned `event_type` intervals — a new version opens whenever the
+    * type CHANGES (run-length encoding of the dimension), `valid_to_ms`
+    * is the next version's start, and the open current version carries
+    * the sentinel -1 (a NULL would be semantically right but nullable
+    * columns are a cross-engine compare hazard; -1 is impossible as an
+    * epoch-ms here). This is the warehouse dimension-history primitive
+    * MERGE-based SCD pipelines maintain incrementally; built from a
+    * snapshot it is two windows over the SAME (user_id, time) ordering —
+    * one shuffle, both windows pipelined in a single sort, no self-join.
+    * Ties break on event_id for full determinism. */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byTime))
+      .filter(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
+      .withColumn("version", row_number().over(byTime))
+      .withColumn("valid_to_ms",
+        coalesce(lead(col("ms"), 1).over(byTime), lit(-1L)))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ms").as("valid_from_ms"), col("valid_to_ms"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** Strict-sequence FUNNEL: view → click-after-that-view →
+    * purchase-after-that-click, per user, reported as the classic
+    * step-conversion counts. Each step's timestamp is the MIN event time
+    * strictly after the previous step's (ties at the same ms don't
+    * advance the funnel — event order within a ms is not knowable).
+    *
+    * Scale shape: three whole-frame window aggregates over the SAME
+    * `user_id` partitioning — ONE exchange, no sort (unordered frames),
+    * then a global single-row aggregate. The alternative (per-step
+    * aggregate + join back per step) pays a shuffle per funnel step. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    events(s, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_type"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ms"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ms") > col("t1"),
+          col("ms"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ms") > col("t2"),
+          col("ms"))).over(byUser))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
+        countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_click"),
+        countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_purchase"))
+  }
+
+  /** COHORT RETENTION matrix: cohort = a user's first active day; cell
+    * (cohort_day, day_offset) counts distinct users from that cohort
+    * active `offset` days later — the standard DAU-retention triangle.
+    *
+    * Scale shape: distinct on (user, day) collapses the event stream to
+    * at most |users|×|days| rows FIRST (partial-agg, map-side combined),
+    * the cohort day rides a whole-frame window on the user partitioning,
+    * and the final matrix is tiny. No join back to the raw stream. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val DAY_MS = 86400000L
+    events(s, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .select(col("user_id"), expr(s"ms div $DAY_MS").as("day"))
+      .distinct()
+      .withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** CHANGELOG COMPACTION (the Kafka log-compaction / CDC-materialize
+    * primitive): the event stream is a change log keyed by user; the
+    * latest change wins, and a trailing 'error' acts as a TOMBSTONE that
+    * deletes the key from the compacted snapshot.
+    *
+    * Deliberately NOT the row_number()=1 formulation: `max(struct(...))`
+    * picks the latest (ms, event_id, ...) lexicographically inside a
+    * partial-aggregatable hash agg — map-side combine reduces each
+    * upstream partition to one row per key BEFORE the exchange, and no
+    * per-key sort ever happens. At 100 TB that's the difference between
+    * shuffling the full log and shuffling ~|keys| rows. */
+  def changelogCompact(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("ms"), col("event_id"), col("event_type"), col("value")))
+          .as("last"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.ms").as("last_ms"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"), col("n_changes"))
+      .orderBy(col("user_id"))
+
+  /** Z-SCORE anomaly flags in EXACT integer arithmetic: an event is
+    * anomalous when |value − μ(type)| > 2σ(type). The float formulation
+    * is a cross-engine hazard (σ is a sqrt, μ a division), so the
+    * predicate is cross-multiplied into integers over cents:
+    * `(c·n − s)² > 4·(q·n − s²)` with s=Σc, q=Σc² — bit-identical in any
+    * engine with exact wide integers (decimal(38) here, HUGEINT in the
+    * oracle). Per-type stats are a 5-row partial-agg broadcast back onto
+    * the stream: one scan, one tiny exchange, no window over the table. */
+  def anomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val DEC = DecimalType(19, 0)
+    val e = events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100, 0).cast(DEC).as("c"))
+    val stats = e.groupBy(col("event_type")).agg(
+      count(lit(1)).cast(DEC).as("n"),
+      sum(col("c")).as("s"),
+      sum(col("c") * col("c")).as("q"))
+    val dev = col("c") * col("n") - col("s")
+    e.join(broadcast(stats), "event_type")
+      .filter(dev * dev > lit(4) * (col("q") * col("n") - col("s") * col("s")))
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(dev > 0, "high").otherwise("low").as("side"))
+      .orderBy(col("event_id"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_funnel" -> (funnel _),
+    "q_retention_cohort" -> (retention _),
+    "q_changelog_compact" -> (changelogCompact _),
+    "q_anomaly_zscore" -> (anomalyZscore _),
+    "q_scd2_history" -> (scd2History _),
     "q_asof_join" -> (asofJoin _),
     "q_events_tumbling" -> (tumbling _),
     "q_events_sliding" -> (sliding _),
@@ -155,6 +289,81 @@ object EventsOps {
       |ORDER BY window_start_ms, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+        |s1 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ms END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM e),
+        |s2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ms > t1 THEN ms END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ms > t2 THEN ms END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM s2)
+        |SELECT COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_view,
+        |  COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_click,
+        |  COUNT(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_purchase
+        |FROM s3""".stripMargin,
+
+    "q_retention_cohort" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |c AS (
+        |  SELECT user_id, day,
+        |    MIN(day) OVER (PARTITION BY user_id) AS cohort_day FROM d)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // row_number formulation — equivalent because (ms, event_id) is unique
+    "q_changelog_compact" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ms DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM events)
+        |SELECT user_id, ms AS last_ms, event_type AS last_type,
+        |  value AS last_value, n_changes
+        |FROM e WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    // exact cross-multiplied z-score in HUGEINT — same integers as the
+    // engine's decimal(38) path
+    "q_anomaly_zscore" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(ROUND(value * 100, 0) AS HUGEINT) AS c FROM events),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(c) AS s, SUM(c * c) AS q
+        |  FROM e GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        |  CASE WHEN c * n - s > 0 THEN 'high' ELSE 'low' END AS side
+        |FROM e JOIN st USING (event_type)
+        |WHERE (c * n - s) * (c * n - s) > 4 * (q * n - s * s)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+        |c AS (
+        |  SELECT *, LAG(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ms, event_id) AS prev_type
+        |  FROM e),
+        |f AS (SELECT * FROM c WHERE prev_type IS NULL OR event_type <> prev_type),
+        |v AS (
+        |  SELECT user_id, ms, event_type,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY user_id ORDER BY ms, event_id) AS INTEGER) AS version,
+        |    COALESCE(LEAD(ms) OVER (
+        |      PARTITION BY user_id ORDER BY ms, event_id), -1) AS valid_to_ms
+        |  FROM f)
+        |SELECT user_id, version, event_type, ms AS valid_from_ms, valid_to_ms
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
     "q_asof_join" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),

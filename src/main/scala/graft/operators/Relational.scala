@@ -147,6 +147,51 @@ object Relational {
       .orderBy($c("l_returnflag"))
   }
 
+  /** MERGEABLE quantile sketches (Datasketches KLL): per-partition
+    * sketches are merged up to per-flag P50/P90 estimates — the
+    * percentile rollup story `approx_percentile` alone doesn't give you
+    * (its sketch can't be persisted and re-merged at a coarser grouping
+    * later). Build/merge shape in [[graft.functions.KllQuantiles]].
+    *
+    * Oracle strategy mirrors [[aggHllMerge]], adapted to ranks: KLL is
+    * RANDOMIZED (random compaction offsets), so the raw estimates can't
+    * be pinned; instead the query emits exact rank-selected BAND values
+    * (k-th smallest per flag — bit-identical in both engines, the
+    * qualityGate discipline) and booleans asserting each estimate lands
+    * inside a ±10%/±8%-rank band. k=200 → 99%-confidence normalized rank
+    * error ≈1.65%, so the bands sit >5 sigma out: deterministic TRUE in
+    * practice while still a real value check. */
+  def quantileSketch(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KllQuantiles
+    val li = lineitem(s, d)
+      .select($c("l_returnflag").as("flag"), $c("l_extendedprice").as("v"))
+    val merged = KllQuantiles.partitionSketches(li, "flag", "v", 200)
+      .groupBy($c("flag"))
+      .agg(udaf(KllQuantiles.KllMergeAggregator,
+          org.apache.spark.sql.Encoders.BINARY)
+        .apply($c("sketch")).as("sk"))
+    val est = udf((b: Array[Byte], r: Double) => KllQuantiles.estimate(b, r))
+    val ests = merged.select($c("flag"),
+      est($c("sk"), lit(0.5)).as("p50_est"),
+      est($c("sk"), lit(0.9)).as("p90_est"))
+    val n = li.groupBy($c("flag")).agg(count(lit(1)).as("nr"))
+    val ranked = li
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($c("flag")).orderBy($c("v"))))
+      .join(n, "flag")
+    val bands = ranked.groupBy($c("flag"), $c("nr"))
+      .agg(
+        max(when($c("rn") === ceil($c("nr") * 0.40).cast("long"), $c("v"))).as("lo50"),
+        max(when($c("rn") === ceil($c("nr") * 0.60).cast("long"), $c("v"))).as("hi50"),
+        max(when($c("rn") === ceil($c("nr") * 0.82).cast("long"), $c("v"))).as("lo90"),
+        max(when($c("rn") === ceil($c("nr") * 0.98).cast("long"), $c("v"))).as("hi90"))
+    bands.join(ests, "flag")
+      .select($c("flag"), $c("nr"), $c("lo50"), $c("hi50"), $c("lo90"), $c("hi90"),
+        $c("p50_est").between($c("lo50"), $c("hi50")).as("p50_in_band"),
+        $c("p90_est").between($c("lo90"), $c("hi90")).as("p90_in_band"))
+      .orderBy($c("flag"))
+  }
+
   /** ROLLUP hierarchy totals (partial-agg friendly; one shuffle). */
   def rollupAgg(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -420,6 +465,7 @@ object Relational {
     "q_agg_minmax" -> (aggMinMax _),
     "q_agg_approx" -> (aggApprox _),
     "q_agg_hll_merge" -> (aggHllMerge _),
+    "q_quantile_sketch" -> (quantileSketch _),
     "q_rollup" -> (rollupAgg _),
     "q_cube" -> (cubeAgg _),
     "q_join_broadcast" -> (joinBroadcast _),
@@ -496,6 +542,25 @@ object Relational {
         |  COUNT(DISTINCT l_linestatus) AS n_groups,
         |  TRUE AS merged_within_3rsd
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact rank-selected band values replayed; estimate booleans pinned
+    "q_quantile_sketch" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS v FROM lineitem),
+        |n AS (SELECT flag, COUNT(*) AS nr FROM li GROUP BY flag),
+        |r AS (
+        |  SELECT flag, v,
+        |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY v) AS rn FROM li),
+        |b AS (
+        |  SELECT r.flag, n.nr,
+        |    MAX(CASE WHEN rn = CAST(CEIL(n.nr * 0.40) AS BIGINT) THEN v END) AS lo50,
+        |    MAX(CASE WHEN rn = CAST(CEIL(n.nr * 0.60) AS BIGINT) THEN v END) AS hi50,
+        |    MAX(CASE WHEN rn = CAST(CEIL(n.nr * 0.82) AS BIGINT) THEN v END) AS lo90,
+        |    MAX(CASE WHEN rn = CAST(CEIL(n.nr * 0.98) AS BIGINT) THEN v END) AS hi90
+        |  FROM r JOIN n ON r.flag = n.flag GROUP BY r.flag, n.nr)
+        |SELECT flag, nr, lo50, hi50, lo90, hi90,
+        |  TRUE AS p50_in_band, TRUE AS p90_in_band
+        |FROM b ORDER BY flag""".stripMargin,
 
     "q_agg_minmax" ->
       """SELECT l_returnflag,

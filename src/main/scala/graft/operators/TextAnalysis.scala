@@ -350,9 +350,52 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
 
+  /** Gopher-style heuristic quality rules (Rae et al. 2021 §A.1.1, the
+    * standard pre-model filter battery), adapted to the single-line
+    * synthetic corpus: word-count bounds, mean-word-length bounds,
+    * stopword-presence, and a top-token-fraction repetition cap. Each
+    * rule is a per-doc boolean; the query reports per-source rule
+    * failure counts and the surviving-doc count, which is what a
+    * curation run actually monitors (per-domain rule hit rates tell you
+    * which rule is eating which source).
+    *
+    * Scale shape: every rule is a codegen'd builtin over the row itself
+    * (split + higher-order array fns — no shuffle, no UDF), then ONE
+    * partial-agg exchange over |sources| groups. The top-token count is
+    * O(|distinct| × n_tokens) per row — bounded by the doc, not the
+    * corpus. Mean word length derives from exact integer arithmetic
+    * (chars minus separators over token count) so the rule boundary
+    * compares identical doubles in both engines. */
+  def gopherFilter(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("mwl",
+        (length(col("text")) - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("stop_hits", expr(
+        "size(filter(toks, t -> t IN ('the', 'a', 'in', 'of', 'to')))").cast("long"))
+      .withColumn("top_tok", expr(
+        "array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
+        .cast("long"))
+      .withColumn("r_len", col("n_words").between(20L, 5000L))
+      .withColumn("r_word", col("mwl").between(2.0, 10.0))
+      .withColumn("r_stop", col("stop_hits") >= 2L)
+      .withColumn("r_rep", col("top_tok").cast("double") / col("n_words") <= 0.2)
+      .withColumn("keep", col("r_len") && col("r_word") && col("r_stop") && col("r_rep"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(!col("r_len"), 1L).otherwise(0L)).as("fail_len"),
+        sum(when(!col("r_word"), 1L).otherwise(0L)).as("fail_wordlen"),
+        sum(when(!col("r_stop"), 1L).otherwise(0L)).as("fail_stop"),
+        sum(when(!col("r_rep"), 1L).otherwise(0L)).as("fail_rep"))
+      .orderBy(col("source"))
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gopher_filter" -> (gopherFilter _),
     "q_vocab_pairs" -> (vocabPairs _),
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_udtf_shingles" -> (udtfShingles _),
@@ -369,6 +412,32 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_gopher_filter" ->
+      """WITH t AS (
+        |  SELECT source, text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(len(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mwl,
+        |    len(list_filter(toks, t -> t IN ('the', 'a', 'in', 'of', 'to'))) AS stop_hits,
+        |    list_max(list_transform(list_distinct(toks),
+        |      t -> len(list_filter(toks, x -> x = t)))) AS top_tok
+        |  FROM t),
+        |r AS (
+        |  SELECT source,
+        |    (n_words BETWEEN 20 AND 5000) AS r_len,
+        |    (mwl BETWEEN 2.0 AND 10.0) AS r_word,
+        |    (stop_hits >= 2) AS r_stop,
+        |    (CAST(top_tok AS DOUBLE) / n_words <= 0.2) AS r_rep
+        |  FROM m)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN r_len AND r_word AND r_stop AND r_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(SUM(CASE WHEN NOT r_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+        |  CAST(SUM(CASE WHEN NOT r_word THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+        |  CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+        |  CAST(SUM(CASE WHEN NOT r_rep THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
     "q_vocab_pairs" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |p AS (
