@@ -31,6 +31,8 @@ object SparkEntry {
     operators.Curation.queries ++
     operators.Layout.queries ++
     operators.Dedup.queries ++
+    operators.GraphOps.queries ++
+    operators.DataQuality.queries ++
     operators.Similarity.queries ++
     operators.EventsOps.queries ++
     operators.Multimodal.queries ++
@@ -51,6 +53,8 @@ object SparkEntry {
     operators.Curation.oracle ++
     operators.Layout.oracle ++
     operators.Dedup.oracle ++
+    operators.GraphOps.oracle ++
+    operators.DataQuality.oracle ++
     operators.Similarity.oracle ++
     operators.EventsOps.oracle ++
     operators.Multimodal.oracle ++

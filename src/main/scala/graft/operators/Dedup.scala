@@ -417,6 +417,56 @@ object Dedup {
     ngramCandidates(cachedShingles(s, d))
       .write.mode("overwrite").format("noop").save()
 
+  /** CONTAINMENT dedup — the asymmetric twin of [[dedupNgram]]: find
+    * (contained, container) doc pairs where the contained doc's shingle
+    * set is ≥ 80% inside the other's (`C(A,B) = |A∩B| / |A| ≥ 0.8`).
+    * Jaccard misses these: a paragraph quoted verbatim inside a much
+    * longer page has tiny Jaccard but containment ≈ 1 — the
+    * subset-duplicate shape quote-heavy web corpora are full of. The
+    * relation is DIRECTED; near-identical docs legitimately emit both
+    * directions.
+    *
+    * Scale shape: the prefix-filter lemma adapts to containment — a
+    * qualifying pair must share one of the CONTAINED side's
+    * `n − ceil(0.8n) + 1` globally-rarest shingles, but the container
+    * side has no prefix bound, so candidates come from joining contained
+    * PREFIXES against the FULL posting list (the inverted index the
+    * corpus already maintains). Rarity ranking keeps the posting lists
+    * actually joined short. A size gate rides the join: containment
+    * needs `|B| ≥ 0.8·|A|` (5·nb ≥ 4·na in exact integers) or A can't
+    * fit. Verification is the same codegen merge-walk intersect, and the
+    * final test `5·inter ≥ 4·na` never touches a float. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val sh = cachedShingles(s, d)
+    val exploded = sh.select(col("doc_id"), col("source"),
+      size(col("shingles")).as("n"), explode(col("shingles")).as("sh"))
+    val freq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // contained-side prefixes: n - ceil(0.8n) + 1 = n - (4n+4) DIV 5 + 1
+    val prefixes = exploded.join(freq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .filter(col("rk") <= expr("n - (4*n + 4) DIV 5 + 1"))
+      .select(col("sh"), col("source"), col("doc_id"), col("n"))
+    val candidates = prefixes.as("a").join(exploded.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") === col("b.source") &&
+        col("a.doc_id") =!= col("b.doc_id") &&
+        lit(5) * col("b.n") >= lit(4) * col("a.n"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    candidates
+      .join(sh.select(col("doc_id").as("d1"), col("shingles").as("sh1"),
+        size(col("shingles")).as("n1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
+      .withColumn("inter", expr("sorted_intersect(sh1, sh2)"))
+      .filter(lit(5) * col("inter") >= lit(4) * col("n1") && col("n1") > 0)
+      .select(col("d1").as("contained_id"), col("d2").as("container_id"),
+        col("inter"),
+        (col("inter").cast("double") / col("n1")).as("containment"))
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
   /** Repeated-SPAN profile — the data side of exact-substring dedup
     * (Lee et al., "Deduplicating Training Data Makes Language Models
     * Better"): for every token 10-gram position in every doc, is that
@@ -519,10 +569,32 @@ object Dedup {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_ngram" -> (dedupNgram _),
+    "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_simhash" -> (dedupSimhash _)
   )
 
   val oracle: Map[String, String] = Map(
+    // brute-force directed containment over the same shingle sets — the
+    // prefix filter is completeness-preserving, so the results agree
+    "q_dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(range(1, len(text) - 1),
+        |      i -> substr(text, i, 3)))) AS shingle
+        |  FROM documents),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b
+        |    ON a.source = b.source AND a.shingle = b.shingle
+        |    AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1 AS contained_id, d2 AS container_id, inter,
+        |  CAST(inter AS DOUBLE) / x.n AS containment
+        |FROM inter JOIN sz x ON d1 = x.doc_id
+        |WHERE 5 * inter >= 4 * x.n AND x.n > 0
+        |ORDER BY contained_id, container_id""".stripMargin,
+
     "q_span_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

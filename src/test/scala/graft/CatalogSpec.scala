@@ -22,7 +22,8 @@ class CatalogSpec extends SparkFunSuite {
       operators.Fetch.queries.size, operators.TextAnalysis.queries.size,
       operators.Sampling.queries.size, operators.Corpus.queries.size,
       operators.Curation.queries.size, operators.Layout.queries.size,
-      operators.Dedup.queries.size, operators.Similarity.queries.size,
+      operators.Dedup.queries.size, operators.GraphOps.queries.size,
+      operators.DataQuality.queries.size, operators.Similarity.queries.size,
       operators.EventsOps.queries.size, operators.Multimodal.queries.size,
       streaming.Streaming.queries.size, sources.BucketV2.queries.size)
     assert(moduleSizes.sum === SparkEntry.queries.size,
