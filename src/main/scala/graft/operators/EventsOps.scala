@@ -263,9 +263,50 @@ object EventsOps {
       .orderBy(col("event_id"))
   }
 
+  /** ROLLING 3-hour distinct users from MERGEABLE hourly HLL sketches —
+    * the time-frame twin of the grouping rollup in `q_agg_hll_merge`:
+    * persist one few-KB sketch per hour, answer ANY trailing window by
+    * unioning 3 sketches, never re-touching the raw stream. An exact
+    * rolling distinct would rescan every event 3× forever; the sketch
+    * path reads |hours| rows.
+    *
+    * Shape: no window function at all — each hourly sketch is exploded
+    * to the ≤3 target hours it serves and re-aggregated with
+    * `hll_union_agg` (partial-agg, map-side combined, and no
+    * single-partition global-order window anywhere). The exact rolling
+    * count rides the same expansion on (hour, user) pairs, and the
+    * estimate is pinned inside 3×rsd of it (lgConfigK=12 → rsd ≈ 1.6%),
+    * the q_agg_approx oracle discipline. */
+  def rollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val targets = array(lit(0L), lit(1L), lit(2L))
+    val e = events(s, d).select(
+      expr(s"unix_millis(ts) div $HOUR_MS").as("hour"), col("user_id"))
+    val hourly = e.groupBy(col("hour")).agg(
+      count(lit(1)).as("n_events"),
+      expr("hll_sketch_agg(user_id)").as("sk"))
+    val rolled = hourly.select(col("hour"), col("sk"))
+      .withColumn("k", explode(targets))
+      .select((col("hour") + col("k")).as("hour"), col("sk"))
+      .groupBy(col("hour"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_hours_merged"))
+    val exact = e.distinct()
+      .withColumn("k", explode(targets))
+      .select((col("hour") + col("k")).as("hour"), col("user_id"))
+      .groupBy(col("hour"))
+      .agg(countDistinct(col("user_id")).as("exact_u3h"))
+    hourly.join(rolled, "hour").join(exact, "hour")
+      .select(col("hour"), col("n_events"), col("n_hours_merged"),
+        col("exact_u3h"),
+        (abs(col("est") - col("exact_u3h")) <= col("exact_u3h") * 0.05)
+          .as("rolling_within_3rsd"))
+      .orderBy(col("hour"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_distinct" -> (rollingDistinct _),
     "q_events_funnel" -> (funnel _),
     "q_retention_cohort" -> (retention _),
     "q_changelog_compact" -> (changelogCompact _),
@@ -289,6 +330,25 @@ object EventsOps {
       |ORDER BY window_start_ms, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // exact expansion replayed; the sketch-band boolean pinned TRUE
+    "q_rolling_distinct" ->
+      s"""WITH e AS (
+        |  SELECT epoch_ms(ts) // $HOUR_MS AS hour, user_id FROM events),
+        |h AS (SELECT hour, COUNT(*) AS n_events FROM e GROUP BY hour),
+        |hx AS (
+        |  SELECT h2.hour + k AS hour, COUNT(*) AS n_hours_merged
+        |  FROM (SELECT DISTINCT hour FROM e) h2, range(0, 3) r(k)
+        |  GROUP BY 1),
+        |px AS (
+        |  SELECT p.hour + k AS hour, user_id
+        |  FROM (SELECT DISTINCT hour, user_id FROM e) p, range(0, 3) r(k)),
+        |ex AS (SELECT hour, COUNT(DISTINCT user_id) AS exact_u3h
+        |  FROM px GROUP BY hour)
+        |SELECT h.hour, h.n_events, hx.n_hours_merged, ex.exact_u3h,
+        |  TRUE AS rolling_within_3rsd
+        |FROM h JOIN hx USING (hour) JOIN ex USING (hour)
+        |ORDER BY hour""".stripMargin,
+
     "q_events_funnel" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),

@@ -107,6 +107,15 @@ class GraphDqSpec extends SparkFunSuite {
     assert(viaAgg.nonEmpty)
   }
 
+  test("rolling distinct: sketch estimate in band, merge width bounded") {
+    val rows = EventsOps.rollingDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 3L) // n_hours_merged
+      assert(r.getBoolean(4), s"sketch estimate out of band at hour ${r.getLong(0)}")
+    }
+  }
+
   test("funnel counts are monotone down the steps") {
     val r = EventsOps.funnel(spark, sf).head()
     val (users, v, c, p) =
