@@ -84,6 +84,35 @@ class GraphDqSpec extends SparkFunSuite {
     assert(byRule("ref_orders_customer").getBoolean(4))
   }
 
+  // ------------------------------------------------------------ leakage-safe split
+
+  test("leakage-safe split: the naive per-doc split WOULD leak, the group split can't") {
+    def toSplit(h: String): String =
+      if (h <= "c") "train" else if (h <= "e") "val" else "test"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def naiveSplit(id: Long): String = {
+      val h = md.digest(s"split:$id".getBytes("UTF-8"))
+      toSplit("%02x".format(h(0)).substring(0, 1))
+    }
+    val clusters = operators.Dedup.dedupClusters(spark, sf)
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    CacheScope.releaseAll()
+    assert(clusters.nonEmpty)
+    // the leak the operator exists to close: under per-doc hashing, at
+    // least one near-dup cluster has members in different splits (the
+    // group split assigns by cluster id, so it cannot — by construction)
+    val leakyUnderNaive = clusters.groupBy(_._2).count { case (_, members) =>
+      members.map { case (doc, _) => naiveSplit(doc) }.toSet.size > 1
+    }
+    assert(leakyUnderNaive > 0, "fixture has no naive-split leakage to close")
+    // the summary covers the whole corpus and records real repairs
+    val rows = operators.Sampling.splitLeakageSafe(spark, sf).collect()
+    CacheScope.releaseAll()
+    assert(rows.map(_.getLong(1)).sum === Tables.documents(spark, sf).count())
+    assert(rows.map(_.getLong(4)).sum > 0L)
+  }
+
   // ------------------------------------------------------------ events cross-forms
 
   test("changelog compaction equals the row_number formulation") {
