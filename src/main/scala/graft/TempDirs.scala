@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Per-invocation staging directories for operators that must execute a
+  * physical write to prove their claim (compaction, epoch-shard writes,
+  * stream restart). Two requirements drive the shape:
+  *
+  *  - UNIQUENESS: a fixed path keyed by `dataDir.hashCode` lets two
+  *    concurrent drivers on the same dataset stomp each other's staging
+  *    files mid-read (and hashCode can alias across different dirs), so
+  *    every invocation gets a fresh `Files.createTempDirectory` under an
+  *    operator-named prefix.
+  *  - CLEANUP: the frames these operators return are often lazy reads
+  *    over the staged files, so deleting eagerly would break the caller's
+  *    action. Instead each root is registered with ONE JVM shutdown hook
+  *    that deletes recursively — bench loops and test suites stop
+  *    accumulating unbounded tmp litter without racing live readers.
+  *    Operators that materialize their result eagerly may also call
+  *    [[delete]] themselves the moment the files are no longer needed.
+  */
+object TempDirs {
+
+  private val registered = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      registered.forEach(p => delete(p))
+    }, "graft-tempdirs-cleanup"))
+
+  /** Fresh unique directory under java.io.tmpdir, deleted at JVM exit. */
+  def scratch(prefix: String): Path = {
+    hookInstalled
+    val p = Files.createTempDirectory(Paths.get(sys.props("java.io.tmpdir")), prefix)
+    registered.add(p)
+    p
+  }
+
+  /** Best-effort recursive delete (exit hook + eager callers). */
+  def delete(root: Path): Unit =
+    if (Files.exists(root)) {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+      finally s.close()
+    }
+}

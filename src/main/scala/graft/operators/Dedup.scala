@@ -45,9 +45,17 @@ object Dedup {
     * explode-×8 + two-level SQL agg was whole-stage codegen but still 3×
     * this path's cost at sf0.1 — same hash family throughout, so the
     * oracle never moved.) */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    signaturesOf(documents(s, d))
+
+  /** Signature derivation over ANY (doc_id, text) frame — factored out so
+    * the incremental path can derive signatures for a delta batch ALONE
+    * (signatures are per-row functions of the document, so filtering the
+    * input first yields bit-identical signatures to filtering after). */
+  private def signaturesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    documents(s, d)
+    docs
       .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("t"))
       .as[(Long, String)]
       .groupByKey(_._1)
@@ -127,8 +135,17 @@ object Dedup {
     val sigs = graft.CacheScope.track(signatures(s, d).persist())
     sigs.count()
     val bands = bandsOf(sigs)
-    val base = bands.filter(col("doc_id") % 10 < 8)
-    val delta = bands.filter(col("doc_id") % 10 >= 8)
+    incrementalMatch(
+      bands.filter(col("doc_id") % 10 < 8),
+      bands.filter(col("doc_id") % 10 >= 8),
+      documents(s, d).filter(col("doc_id") % 10 >= 8).select(col("doc_id")))
+  }
+
+  /** The delta-vs-base match/report stage shared by [[dedupIncremental]]
+    * (both sides derived in-query, oracle-replayable) and
+    * [[dedupIncrementalFromIndex]] (base read from a persisted index). */
+  private def incrementalMatch(base: DataFrame, delta: DataFrame,
+      deltaIds: DataFrame): DataFrame = {
     // same minimal-band exactly-once emission as minhashPairs, so the
     // per-delta-doc match COUNT needs no distinct
     val matched = base.as("x").join(broadcast(delta.as("y")),
@@ -140,12 +157,46 @@ object Dedup {
       .groupBy(col("delta_doc"))
       .agg(min(col("base_doc")).as("matched_base"),
         count(lit(1)).as("n_base_dups"))
-    documents(s, d).filter(col("doc_id") % 10 >= 8).select(col("doc_id"))
+    deltaIds
       .join(matched, col("doc_id") === col("delta_doc"), "left")
       .select(col("doc_id"), col("matched_base"),
         coalesce(col("n_base_dups"), lit(0L)).as("n_base_dups"),
         col("matched_base").isNull.as("is_new"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Persist a signature/band INDEX for a standing corpus slice: one row
+    * per (doc_id, band) carrying the full signature and the band bucket —
+    * exactly the frame [[incrementalMatch]] joins against. At 100 TB this
+    * is written ONCE at ingest and appended per batch; every later delta
+    * dedups against the files without recomputing a single base
+    * signature. (Parquet here; the graft-bucket DSv2 table works the same
+    * way for the object-store deployment.) */
+  def writeSignatureIndex(docs: DataFrame, path: String): Unit =
+    bandsOf(signaturesOf(docs)).write.mode("overwrite").parquet(path)
+
+  /** [[dedupIncremental]]'s production shape: the base side comes from a
+    * [[writeSignatureIndex]] table on disk; only the DELTA batch's
+    * signatures are derived in-query. Bit-equal to [[dedupIncremental]]
+    * (DedupSpec asserts it): signatures are per-row functions, so
+    * deriving the delta's alone changes nothing, and the stored base
+    * bands are the same rows the in-query derivation would build. */
+  def dedupIncrementalFromIndex(s: SparkSession, d: String,
+      indexPath: String): DataFrame = {
+    val base = s.read.parquet(indexPath)
+    val deltaDocs = documents(s, d).filter(col("doc_id") % 10 >= 8)
+    incrementalMatch(base, bandsOf(signaturesOf(deltaDocs)),
+      deltaDocs.select(col("doc_id")))
+  }
+
+  /** Catalog wrapper proving the index round trip end-to-end: write the
+    * base slice's index to a scratch dir, then dedup the delta against
+    * the FILES. Same oracle as `q_dedup_incremental` — the persisted hop
+    * must be invisible in the result. */
+  def dedupIncrementalIndexed(s: SparkSession, d: String): DataFrame = {
+    val idx = graft.TempDirs.scratch("graft_sigindex_").resolve("base").toString
+    writeSignatureIndex(documents(s, d).filter(col("doc_id") % 10 < 8), idx)
+    dedupIncrementalFromIndex(s, d, idx)
   }
 
   /** Near-dup CLUSTERS from the LSH pair graph — the step that turns
@@ -205,30 +256,99 @@ object Dedup {
     * RDD blocks, so neither `CacheScope.releaseAll` nor
     * `catalog.clearCache` between queries evicts it) and is tiny:
     * pair-derived cluster labels, not corpus rows. Re-publishing
-    * unpersists the previous snapshot. Input mutated under the same dir
-    * ⇒ call again (producer recomputes) or leave the conf off. */
-  private val publishedClusters =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    * unpersists the previous snapshot.
+    *
+    * Staleness: each snapshot carries an input FINGERPRINT (file count +
+    * total length + max mtime of the documents table) captured at publish
+    * time; a consumer whose recomputed fingerprint mismatches treats the
+    * snapshot as absent (and the stale entry is dropped), so rewriting
+    * files under the same dir can no longer silently serve old labels.
+    *
+    * Lifecycle: snapshots are evicted when their session's SparkContext
+    * ends (a listener registered at first publish), and embedders can
+    * release explicitly via the public [[releaseSharedClusters]] — a
+    * long-lived multi-session JVM no longer accumulates dead
+    * SparkSession references and pinned checkpoint blocks. */
+  private val publishedClusters = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, DataFrame)]()
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
   /** Number of full pair-pipeline executions — lets the sharing spec
     * assert "computed once" without scraping the UI. */
   private[graft] val clusterPipelineRuns = new java.util.concurrent.atomic.AtomicLong(0)
-  private[graft] def clearPublishedClusters(): Unit = {
-    publishedClusters.values().forEach(df => df.unpersist(blocking = false))
+
+  /** Release every published snapshot (all sessions). Public: embedders
+    * of this library own their sessions' lifecycles, not graft. */
+  def releaseSharedClusters(): Unit = {
+    publishedClusters.values().forEach { case (_, df) =>
+      try df.unpersist(blocking = false) catch { case _: Exception => () }
+    }
     publishedClusters.clear()
   }
+
+  /** Release the snapshots one session published. */
+  def releaseSharedClusters(s: SparkSession): Unit =
+    publishedClusters.keySet().forEach { k =>
+      if (k._1 eq s)
+        Option(publishedClusters.remove(k)).foreach { case (_, df) =>
+          try df.unpersist(blocking = false) catch { case _: Exception => () }
+        }
+    }
+
+  private[graft] def clearPublishedClusters(): Unit = releaseSharedClusters()
+
   private def shareOn(s: SparkSession): Boolean =
     s.conf.getOption("spark.graft.dedup.shareClusters").exists(_.toBoolean)
-  /** The published snapshot for (s, d), if sharing is on and one exists. */
+
+  /** Cheap input fingerprint of the documents table under `d`: file
+    * count, total bytes, max mtime — enough to catch a rewrite without
+    * reading data. */
+  private def inputFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(d, "documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      // the table may be a single file or a directory of part files
+      val stats =
+        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+        else Seq(fs.getFileStatus(p))
+      s"${stats.length}:${stats.map(_.getLen).sum}:" +
+        s"${stats.map(_.getModificationTime).max}"
+    }
+  }
+
+  /** The published snapshot for (s, d), if sharing is on, one exists,
+    * and its input fingerprint still matches the files on disk. */
   private[graft] def sharedClusters(s: SparkSession, d: String): Option[DataFrame] =
-    if (shareOn(s)) Option(publishedClusters.get((s, d))) else None
+    if (!shareOn(s)) None
+    else Option(publishedClusters.get((s, d))).flatMap { case (fp, df) =>
+      if (fp == inputFingerprint(s, d)) Some(df)
+      else { // stale: input rewritten since publish — drop, force recompute
+        Option(publishedClusters.remove((s, d)))
+          .foreach(e => e._2.unpersist(blocking = false))
+        None
+      }
+    }
 
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val table = clusterTable(s, d)
     val out =
       if (shareOn(s)) {
+        // fingerprint BEFORE computing: a write racing the pipeline makes
+        // the snapshot look stale (safe) rather than fresh (wrong)
+        val fp = inputFingerprint(s, d)
         val snap = truncateLineage(table) // eager + self-contained
-        Option(publishedClusters.put((s, d), snap))
-          .foreach(_.unpersist(blocking = false))
+        if (evictionHooked.add(s))
+          s.sparkContext.addSparkListener(
+            new org.apache.spark.scheduler.SparkListener {
+              override def onApplicationEnd(
+                  e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+                releaseSharedClusters(s)
+                evictionHooked.remove(s)
+              }
+            })
+        Option(publishedClusters.put((s, d), (fp, snap)))
+          .foreach(_._2.unpersist(blocking = false))
         snap
       } else table
     out.orderBy(col("doc_id"))
@@ -573,10 +693,43 @@ object Dedup {
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_incremental" -> (dedupIncremental _),
+    "q_dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_simhash" -> (dedupSimhash _)
   )
+
+  /** Shared by `q_dedup_incremental` and `q_dedup_incremental_indexed`:
+    * the persisted-index hop must be bit-invisible in the result. */
+  private val incrementalOracleSql =
+    """WITH sig AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 8), h ->
+      |      list_min(list_transform(list_distinct(string_split(text, ' ')),
+      |        t -> md5(t || '#' || CAST(h AS VARCHAR))))) AS s
+      |  FROM documents),
+      |bands AS (
+      |  SELECT doc_id, b,
+      |    md5(s[4*b+1] || s[4*b+2] || s[4*b+3] || s[4*b+4]) AS bucket
+      |  FROM sig, range(0, 2) r(b)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS base_doc, y.doc_id AS delta_doc
+      |  FROM bands x JOIN bands y ON x.b = y.b AND x.bucket = y.bucket
+      |  WHERE x.doc_id % 10 < 8 AND y.doc_id % 10 >= 8),
+      |m AS (
+      |  SELECT base_doc, delta_doc,
+      |    list_sum(list_transform(range(0, 8),
+      |      i -> CASE WHEN x.s[i+1] = y.s[i+1] THEN 1 ELSE 0 END)) AS mm
+      |  FROM cand JOIN sig x ON base_doc = x.doc_id JOIN sig y ON delta_doc = y.doc_id),
+      |best AS (
+      |  SELECT delta_doc, MIN(base_doc) AS matched_base, COUNT(*) AS n_base_dups
+      |  FROM m WHERE mm >= 6 GROUP BY delta_doc)
+      |SELECT d.doc_id, best.matched_base,
+      |  COALESCE(best.n_base_dups, 0) AS n_base_dups,
+      |  best.matched_base IS NULL AS is_new
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+      |LEFT JOIN best ON d.doc_id = best.delta_doc
+      |ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // brute-force directed containment over the same shingle sets — the
@@ -672,35 +825,11 @@ object Dedup {
 
     // same sig/band pipeline; base = doc_id%10<8, delta = the rest; the
     // oracle's DISTINCT equals the engine's minimal-band exactly-once trick
-    "q_dedup_incremental" ->
-      """WITH sig AS (
-        |  SELECT doc_id,
-        |    list_transform(range(0, 8), h ->
-        |      list_min(list_transform(list_distinct(string_split(text, ' ')),
-        |        t -> md5(t || '#' || CAST(h AS VARCHAR))))) AS s
-        |  FROM documents),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |    md5(s[4*b+1] || s[4*b+2] || s[4*b+3] || s[4*b+4]) AS bucket
-        |  FROM sig, range(0, 2) r(b)),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS base_doc, y.doc_id AS delta_doc
-        |  FROM bands x JOIN bands y ON x.b = y.b AND x.bucket = y.bucket
-        |  WHERE x.doc_id % 10 < 8 AND y.doc_id % 10 >= 8),
-        |m AS (
-        |  SELECT base_doc, delta_doc,
-        |    list_sum(list_transform(range(0, 8),
-        |      i -> CASE WHEN x.s[i+1] = y.s[i+1] THEN 1 ELSE 0 END)) AS mm
-        |  FROM cand JOIN sig x ON base_doc = x.doc_id JOIN sig y ON delta_doc = y.doc_id),
-        |best AS (
-        |  SELECT delta_doc, MIN(base_doc) AS matched_base, COUNT(*) AS n_base_dups
-        |  FROM m WHERE mm >= 6 GROUP BY delta_doc)
-        |SELECT d.doc_id, best.matched_base,
-        |  COALESCE(best.n_base_dups, 0) AS n_base_dups,
-        |  best.matched_base IS NULL AS is_new
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
-        |LEFT JOIN best ON d.doc_id = best.delta_doc
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_incremental" -> incrementalOracleSql,
+
+    // the persisted-index variant must be bit-invisible vs the in-query
+    // derivation, so it shares the oracle verbatim
+    "q_dedup_incremental_indexed" -> incrementalOracleSql,
 
     // same sig/band/estimate pipeline as q_dedup_minhash, then connected
     // components as a recursive reachability CTE (min reachable id = the

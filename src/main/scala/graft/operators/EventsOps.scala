@@ -170,8 +170,14 @@ object EventsOps {
     *
     * Scale shape: three whole-frame window aggregates over the SAME
     * `user_id` partitioning — ONE exchange, no sort (unordered frames),
-    * then a global single-row aggregate. The alternative (per-step
-    * aggregate + join back per step) pays a shuffle per funnel step. */
+    * then a collapse to one row per user (t1/t2/t3 are per-user constants
+    * after the windows, and the groupBy rides the window's hash
+    * partitioning — no new exchange) and a global single-row COUNT over
+    * the per-user rows. The collapse is why the final aggregate is plain
+    * `count`, not `countDistinct`: four multi-distincts over the windowed
+    * stream would plan an Expand that quadruples the rows into the final
+    * exchange (EventsSpec pins the Expand-free plan). The alternative
+    * (per-step aggregate + join back per step) pays a shuffle per step. */
   def funnel(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
     events(s, d)
@@ -184,11 +190,14 @@ object EventsOps {
       .withColumn("t3",
         min(when(col("event_type") === "purchase" && col("ms") > col("t2"),
           col("ms"))).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
       .agg(
-        countDistinct(col("user_id")).as("n_users"),
-        countDistinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
-        countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_click"),
-        countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_purchase"))
+        count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_click"),
+        count(col("t3")).as("n_purchase"))
   }
 
   /** COHORT RETENTION matrix: cohort = a user's first active day; cell
@@ -245,7 +254,17 @@ object EventsOps {
     * `(c·n − s)² > 4·(q·n − s²)` with s=Σc, q=Σc² — bit-identical in any
     * engine with exact wide integers (decimal(38) here, HUGEINT in the
     * oracle). Per-type stats are a 5-row partial-agg broadcast back onto
-    * the stream: one scan, one tiny exchange, no window over the table. */
+    * the stream: one scan, one tiny exchange, no window over the table.
+    *
+    * Overflow stance: every product is capped at Spark's decimal(38), so
+    * the identity holds only while |c·n|, |q·n| and (c·n−s)² fit 38
+    * digits — roughly |value| · n_type < 10¹⁷ cents. Inside that bound
+    * the arithmetic is exact; beyond it non-ANSI Spark would yield NULL
+    * and a bare filter would SILENTLY drop true anomalies, so the
+    * predicate routes any NULL product through `raise_error` — an
+    * out-of-range run fails loudly instead of under-reporting (the
+    * DuckDB oracle's HUGEINT has no such cliff, which is why silence
+    * here would also be a cross-engine divergence). */
   def anomalyZscore(s: SparkSession, d: String): DataFrame = {
     val DEC = DecimalType(19, 0)
     val e = events(s, d)
@@ -256,8 +275,14 @@ object EventsOps {
       sum(col("c")).as("s"),
       sum(col("c") * col("c")).as("q"))
     val dev = col("c") * col("n") - col("s")
+    val lhs = dev * dev
+    val rhs = lit(4) * (col("q") * col("n") - col("s") * col("s"))
     e.join(broadcast(stats), "event_type")
-      .filter(dev * dev > lit(4) * (col("q") * col("n") - col("s") * col("s")))
+      .filter(when(col("c").isNotNull && (lhs.isNull || rhs.isNull),
+          expr("raise_error('anomalyZscore: decimal(38) overflow — " +
+            "|value|·n exceeds the exact-arithmetic bound; rerun with " +
+            "rescaled cents')").cast("boolean"))
+        .otherwise(lhs > rhs))
       .select(col("event_id"), col("event_type"), col("value"),
         when(dev > 0, "high").otherwise("low").as("side"))
       .orderBy(col("event_id"))

@@ -25,44 +25,94 @@ object GraphOps {
     * part↔supplier graph induced by lineitem: nodes are parts (even ids,
     * `2·partkey`) and suppliers (odd ids, `2·suppkey+1`), edges are the
     * DISTINCT (part, supplier) pairs that ever shipped together, taken in
-    * both directions. Every node has degree ≥ 1 by construction, so
-    * there are no dangling-mass corrections.
-    *
-    * Scale shape: the edge list is built once (one distinct = one
-    * shuffle) and cached; each iteration is one join of the ~|V|-row rank
-    * table onto the edge list plus one partial-aggregated sum per
-    * destination — the classic Pregel superstep expressed relationally.
-    * Three iterations = three shuffles of |V| rows each riding the
-    * edges' partitioning; lineage stays 3 deep, no checkpoint needed.
-    * (The graph's |V| count is one scalar job up front — the same
-    * pattern GraphX's `numVertices` uses.) */
+    * both directions. The symmetric union gives every node out-degree
+    * ≥ 1 by construction — and [[pagerankOnEdges]] now VERIFIES that
+    * precondition loudly (one anti-join count) instead of assuming it;
+    * graphs with genuine sinks run with
+    * `spark.graft.pagerank.dangling=true`, which redistributes dangling
+    * mass uniformly each superstep (GraphOpsSpec exercises both paths —
+    * the oracle covers this no-dangling graph). */
   def pagerank(s: SparkSession, d: String): DataFrame = {
     val e0 = lineitem(s, d)
       .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    val edges = graft.CacheScope.track(
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).persist())
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .select(col("src").as("node"), col("deg"))
-    val n = deg.count()
-    val rInit = SCALE / n
-    val base = 15L * rInit / 100L
-    var ranks = deg.select(col("node"), lit(rInit).as("rank"))
-    for (_ <- 1 to 3) {
-      val shares = ranks.join(deg, "node")
-        .select(col("node"), expr("rank div deg").as("share"))
-      ranks = edges.join(shares, edges("src") === shares("node"))
-        .groupBy(col("dst"))
-        .agg(sum(col("share")).as("insum"))
-        .select(col("dst").as("node"),
-          (lit(base) + expr("(85 * insum) div 100")).as("rank"))
-    }
-    ranks
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val dangling = s.conf.getOption("spark.graft.pagerank.dangling")
+      .exists(_.toBoolean)
+    pagerankOnEdges(edges, iters = 3, redistributeDangling = dangling)
       .select(
         when(col("node") % 2 === 0, "part").otherwise("supplier").as("node_type"),
         expr("node div 2").as("node_id"),
         col("rank").as("rank_fp"))
       .orderBy(col("node_type"), col("node_id"))
+  }
+
+  /** Fixed-point PageRank over ANY (src, dst) long edge list.
+    *
+    * Dangling nodes (in the node set via an in-edge, but no out-edges)
+    * either fail fast — `redistributeDangling=false` throws with the
+    * dangling count, never silently leaking their mass — or have their
+    * rank mass redistributed uniformly across all nodes each superstep
+    * (`dmass div n` added to every node's in-sum before damping), the
+    * standard teleport treatment, still in order-independent integer
+    * arithmetic so results stay bit-deterministic.
+    *
+    * Scale shape: the edge list is cached once; each iteration is one
+    * join of the ~|V|-row rank table onto the edge list plus one
+    * partial-aggregated sum per destination — the classic Pregel
+    * superstep expressed relationally. The dangling mass is a ONE-ROW
+    * aggregate cross-joined back (broadcast, no shuffle); the |V| and
+    * dangling counts are two scalar jobs up front — the same pattern
+    * GraphX's `numVertices` uses. Lineage stays `iters` deep, no
+    * checkpoint needed at 3 iterations. */
+  private[graft] def pagerankOnEdges(edges0: DataFrame, iters: Int,
+      redistributeDangling: Boolean): DataFrame = {
+    val edges = graft.CacheScope.track(
+      edges0.select(col("src"), col("dst")).persist())
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+    val nodes = graft.CacheScope.track(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct().persist())
+    val n = nodes.count()
+    require(n > 0, "pagerank: empty edge list")
+    val nDangling = nodes.join(deg, Seq("node"), "left_anti").count()
+    require(redistributeDangling || nDangling == 0,
+      s"pagerank: $nDangling dangling node(s) (no out-edges) — their rank " +
+        "mass would silently vanish; set spark.graft.pagerank.dangling=true " +
+        "to redistribute it uniformly, or repair the edge list")
+    val rInit = SCALE / n
+    val base = 15L * rInit / 100L
+    var ranks = nodes.select(col("node"), lit(rInit).as("rank"))
+    for (_ <- 1 to iters) {
+      val shares = ranks.join(deg, Seq("node"))
+        .select(col("node"), expr("rank div deg").as("share"))
+      val insums = edges.join(shares, edges("src") === shares("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("share")).as("insum"))
+        .select(col("dst").as("node"), col("insum"))
+      ranks =
+        if (nDangling == 0) {
+          // no left-join/coalesce needed: every node has an in-edge source
+          // in a symmetric graph iff it has out-edges, but in a general
+          // no-dangling graph a node may still RECEIVE nothing — keep the
+          // left join for generality, coalescing absent in-sums to 0
+          nodes.join(insums, Seq("node"), "left")
+            .select(col("node"),
+              (lit(base) +
+                expr("(85 * coalesce(insum, 0L)) div 100")).as("rank"))
+        } else {
+          val dmass = ranks.join(deg, Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
+          nodes.join(insums, Seq("node"), "left")
+            .crossJoin(broadcast(dmass))
+            .select(col("node"),
+              (lit(base) +
+                expr(s"(85 * (coalesce(insum, 0L) + dmass div $n)) div 100"))
+                .as("rank"))
+        }
+    }
+    ranks
   }
 
   // --------------------------------------------------------------- wiring

@@ -113,8 +113,11 @@ object Layout {
     val target = s.conf.get("spark.graft.layout.compactTargetBytes",
       (4L * 1024 * 1024).toString).toLong
     require(target > 0, "compactTargetBytes must be positive")
-    val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_compact", s"d_${math.abs(d.hashCode)}")
+    // per-invocation unique staging (deleted at JVM exit): a fixed
+    // hashCode-keyed path would let two concurrent drivers on the same
+    // dataset overwrite each other's stage mid-read — see graft.TempDirs
+    val base = graft.TempDirs.scratch("graft_compact_")
+    lastCompactBase = base
     val frag = new org.apache.hadoop.fs.Path(base.resolve("frag").toString)
     val tight = new org.apache.hadoop.fs.Path(base.resolve("compact").toString)
     documents(s, d).repartition(64)
@@ -134,12 +137,14 @@ object Layout {
       .orderBy(col("source"))
   }
 
-  /** Physical file count under a compaction stage dir — LayoutSpec's
-    * probe for the before/after assertion. */
+  /** Staging root of the most recent [[compactFiles]] invocation in this
+    * JVM — the spec's probe handle now that staging dirs are unique. */
+  @volatile private[graft] var lastCompactBase: java.nio.file.Path = _
+
+  /** Physical file count under the LAST compaction's stage dir —
+    * LayoutSpec's probe for the before/after assertion. */
   private[graft] def partFileCount(s: SparkSession, d: String, sub: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_compact", s"d_${math.abs(d.hashCode)}",
-      sub).toString)
+    val p = new org.apache.hadoop.fs.Path(lastCompactBase.resolve(sub).toString)
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
       .listStatus(p).count(f => f.getPath.getName.startsWith("part-"))
   }

@@ -525,12 +525,21 @@ object Similarity {
     * over. Every vector appears in the output (singletons are their own
     * kept cluster), so `keep` IS the dedup decision column.
     *
-    * Scale shape: pair generation is [[embedNearDup]]'s blocked kernel
-    * (swap in [[embedNearDupLsh]] for the sub-quadratic path at real
-    * corpus sizes — same columns, same CC downstream); CC runs on the
+    * Scale shape: pair generation defaults to [[embedNearDup]]'s exact
+    * blocked kernel (what the oracle replays); set
+    * `spark.graft.semdedup.lsh=true` to take the pairs from
+    * [[embedNearDupLsh]] instead — the sub-quadratic path a real corpus
+    * runs, same (v1, v2) columns, same CC downstream. LSH recall at this
+    * corpus's adversarial 0.35 threshold is low (SimilaritySpec measures
+    * the cluster-level gap; at the 0.9-sim regime of true duplicates the
+    * banding recovers ≈93% — see RecallProbe), so the conf trades
+    * completeness for the n² → n·candidates collapse exactly like the
+    * `q_dedup_minhash`/`q_dedup_ngram` split. CC runs on the
     * pair-derived graph, orders of magnitude smaller than the corpus. */
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
-    val pairs = embedNearDup(s, d).select(col("v1").as("d1"), col("v2").as("d2"))
+    val useLsh = s.conf.getOption("spark.graft.semdedup.lsh").exists(_.toBoolean)
+    val pairGen = if (useLsh) embedNearDupLsh _ else embedNearDup _
+    val pairs = pairGen(s, d).select(col("v1").as("d1"), col("v2").as("d2"))
     val labels = Dedup.connectedComponents(pairs)
     val lab = embeddings(s, d).select(col("vec_id"))
       .join(labels.select(col("node").as("vec_id"), col("lbl")), Seq("vec_id"), "left")

@@ -63,8 +63,11 @@ object Streaming {
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // keyed by the SANITIZED FULL PATH, not d.hashCode: hashCode can
+    // alias two different sf dirs into one stage (the symlink check below
+    // would then thrash between targets under concurrent drivers)
     val stage = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_events_${math.abs(d.hashCode)}")
+      "graft_stream_events_" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
     Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
     val target = Paths.get(d, "events.parquet")
@@ -288,11 +291,14 @@ object Streaming {
     * keys, which is exactly what the WithinWatermark eviction bounds in
     * the 24/7 variant ([[dedupStream]]). */
   def streamRestart(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Paths
+    val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // fresh dirs per invocation: the restart must recover from the
-    // CHECKPOINT, never from leftovers of a previous run
-    val root = Files.createTempDirectory("graft_stream_restart")
+    // CHECKPOINT, never from leftovers of a previous run; the root is
+    // registered for JVM-exit deletion (three bench reps per run used to
+    // leave three landing+sink+RocksDB trees behind)
+    val root = graft.TempDirs.scratch("graft_stream_restart")
     val landing = root.resolve("in").toString
     val sinkDir = root.resolve("out").toString
     val ckpt = root.resolve("ckpt").toString
@@ -300,8 +306,11 @@ object Streaming {
       .parquet(Paths.get(d, "events.parquet").toString)
     raw.repartitionByRange(6, col("event_id"))
       .write.mode("append").parquet(landing)
+    // 2 files/trigger: 6 landing files = batches 0..2, so the ≥2-commit
+    // kill window still has a batch left to crash out of, at half the
+    // trigger count of the 1-file-per-trigger original (bench time)
     def start() = s.readStream.schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1").parquet(landing)
+      .option("maxFilesPerTrigger", "2").parquet(landing)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "768 hours")
       .dropDuplicatesWithinWatermark("event_id")
@@ -332,6 +341,13 @@ object Streaming {
           s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None =>
           s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      // the streaming reads (which need nanosAsLong for the raw-nanos
+      // landing files) all happened inside this block; the sink read
+      // below is plain micros parquet, so the conf can be restored here
+      prevNanos match {
+        case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
       }
     }
     s.read.parquet(sinkDir)

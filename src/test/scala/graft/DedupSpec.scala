@@ -111,6 +111,27 @@ class DedupSpec extends SparkFunSuite {
     assert(udaf(1L) === graft.functions.MinHashAggregator.finish(sig))
   }
 
+  test("persisted signature index: delta dedups against the FILES, bit-equal to in-query") {
+    import org.apache.spark.sql.functions.col
+    val idx = TempDirs.scratch("graft_sigindex_spec_").resolve("base").toString
+    // ingest: the standing corpus's signatures/bands land on disk ONCE
+    Dedup.writeSignatureIndex(
+      Tables.documents(spark, sf).filter(col("doc_id") % 10 < 8), idx)
+    // a delta batch arrives later: dedup it against the stored index
+    val indexed = Dedup.dedupIncrementalFromIndex(spark, sf, idx)
+    // the base side must come from the index files, not a recomputation —
+    // the plan's input files include the parquet we just wrote, and the
+    // only documents scan left is the (pre-filtered) delta derivation
+    val inputs = indexed.inputFiles
+    assert(inputs.exists(_.contains("graft_sigindex_spec_")),
+      s"plan does not read the index: ${inputs.mkString(", ")}")
+    val viaIndex = indexed.collect().map(_.toString)
+    val inQuery = Dedup.dedupIncremental(spark, sf).collect().map(_.toString)
+    CacheScope.releaseAll()
+    assert(viaIndex === inQuery, "persisted-index path diverged from in-query")
+    assert(viaIndex.nonEmpty)
+  }
+
   test("span profile: position conservation, dup bounds, run length sanity") {
     try {
       val out = Dedup.spanDedup(spark, sf).collect()

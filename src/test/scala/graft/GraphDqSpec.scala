@@ -28,6 +28,34 @@ class GraphDqSpec extends SparkFunSuite {
     } finally CacheScope.releaseAll()
   }
 
+  test("pagerank refuses dangling nodes loudly; redistribution conserves mass") {
+    import spark.implicits._
+    val SCALE = 1000000000000L
+    // node 4 is a genuine sink: reachable (1→4) but no out-edges
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.pagerankOnEdges(edges, iters = 2, redistributeDangling = false)
+    }
+    CacheScope.releaseAll()
+    assert(ex.getMessage.contains("dangling"), ex.getMessage)
+    assert(ex.getMessage.contains("spark.graft.pagerank.dangling"))
+    // with redistribution on, the sink's mass is teleported uniformly —
+    // total mass stays within integer-truncation loss of SCALE, which
+    // without the correction would leak ~rank(4) ≈ SCALE/4 per iteration
+    val ranks = GraphOps.pagerankOnEdges(
+      edges, iters = 2, redistributeDangling = true).collect()
+    CacheScope.releaseAll()
+    assert(ranks.length === 4)
+    val total = ranks.map(_.getLong(1)).sum
+    assert(total <= SCALE && total > SCALE * 99 / 100,
+      s"dangling mass leaked: total $total vs scale $SCALE")
+    // determinism: the integer arithmetic reproduces bit-for-bit
+    val again = GraphOps.pagerankOnEdges(
+      edges, iters = 2, redistributeDangling = true).collect()
+    CacheScope.releaseAll()
+    assert(ranks.map(_.toString).sorted === again.map(_.toString).sorted)
+  }
+
   // ------------------------------------------------------------ containment
 
   test("containment prefix filter is completeness-preserving vs brute force") {

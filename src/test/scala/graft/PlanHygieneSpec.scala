@@ -167,4 +167,23 @@ class PlanHygieneSpec extends AnyFunSuite {
       }
     assert(bad.isEmpty, s"unintended join strategies:\n${bad.mkString("\n")}")
   }
+
+  test("funnel plans without an Expand (no multi-distinct row multiplication)") {
+    // four countDistincts over the windowed stream would plan an Expand
+    // that quadruples the rows into the final exchange; the per-user
+    // collapse makes every final count a plain count — assert the Expand
+    // never comes back
+    def expands(p: SparkPlan): Int = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      (if (p.isInstanceOf[org.apache.spark.sql.execution.ExpandExec]) 1 else 0) +
+        kids.map(expands).sum
+    }
+    val plan = operators.EventsOps.funnel(spark, SparkSpecBase.sf)
+      .queryExecution.executedPlan
+    assert(expands(plan) === 0, s"funnel re-grew an Expand:\n$plan")
+  }
 }

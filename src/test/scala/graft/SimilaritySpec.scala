@@ -52,4 +52,39 @@ class SimilaritySpec extends SparkFunSuite {
       assert(pairs.nonEmpty, "fixture has no near-dup pairs — test vacuous")
     } finally CacheScope.releaseAll()
   }
+
+  test("semantic dedup: spark.graft.semdedup.lsh swaps in the sub-quadratic pair path") {
+    try {
+      val exact = Similarity.semanticDedup(spark, sf).collect()
+      CacheScope.releaseAll()
+      val lsh =
+        try {
+          spark.conf.set("spark.graft.semdedup.lsh", "true")
+          Similarity.semanticDedup(spark, sf).collect()
+        } finally spark.conf.unset("spark.graft.semdedup.lsh")
+      // same shape contract: every vector present, one keeper per cluster
+      assert(lsh.length === exact.length)
+      lsh.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+        assert(members.count(_.getAs[Boolean]("keep")) === 1,
+          s"lsh cluster $cid keeper count off")
+      }
+      // every LSH-discovered pair is a true pair (precision 1: candidates
+      // are verified exactly), so LSH clusters only ever MERGE a subset of
+      // the exact edges — each LSH cluster must sit inside one exact cluster
+      val exactOf = exact.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      lsh.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+        val parents = members.map(m => exactOf(m.getLong(0))).distinct
+        assert(parents.length === 1,
+          s"lsh cluster $cid spans exact clusters $parents — invented an edge")
+      }
+      // recall gap measured, not hidden: the 0.35 threshold is adversarial
+      // for 8×8 sign-LSH (see scaladoc); log how many merges LSH kept
+      val exactMerged = exact.count(r => !r.getAs[Boolean]("keep"))
+      val lshMerged = lsh.count(r => !r.getAs[Boolean]("keep"))
+      info(s"merged-away vectors: exact=$exactMerged lsh=$lshMerged " +
+        f"(recall ${lshMerged.toDouble / math.max(1, exactMerged)}%.2f)")
+      assert(lshMerged <= exactMerged)
+      assert(lshMerged > 0, "LSH path found nothing — conf swap is vacuous")
+    } finally CacheScope.releaseAll()
+  }
 }
