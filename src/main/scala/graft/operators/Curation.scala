@@ -332,8 +332,44 @@ object Curation {
       .withColumn("shard",
         expr("CAST(CAST(conv(substring(h, 1, 1), 16, 10) AS INT) div 2 AS INT)"))
 
+  /** EXECUTE the epoch-shuffle write [[epochShuffle]]'s scaladoc
+    * promises: one hash exchange into per-shard directories, rows sorted
+    * by the epoch hash within each shard file (the in-shard read order a
+    * trainer consumes). `repartition(col("shard"))` routes every row of
+    * a shard to one task, so each `shard=K/` directory holds exactly one
+    * file — CurationSpec audits the 8 files and the in-file `h` order,
+    * the same executed-proof discipline as `compactFiles`/`boxScanRows`. */
+  private[graft] def writeEpochShards(docs: DataFrame, seed: String,
+      path: String): Unit =
+    epochShuffleAssign(docs, seed)
+      .repartition(col("shard"))
+      // shard leads the sort so FileFormatWriter's required
+      // partition-column ordering is already satisfied — otherwise it
+      // injects its own (unstable) sort on `shard` and scrambles `h`
+      .sortWithinPartitions(col("shard"), col("h"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
+  /** Catalog proof of the executed epoch write: shard the corpus to
+    * disk, read the FILES back, and report the same per-shard audit as
+    * [[epochShuffle]] — the oracle (which replays the assignment from
+    * the original table) gates that the physical write moved every row
+    * to its assigned shard and lost/duplicated nothing. */
+  def epochWrite(s: SparkSession, d: String): DataFrame = {
+    val out = graft.TempDirs.scratch("graft_epoch_").resolve("ep1").toString
+    writeEpochShards(documents(s, d), "ep1", out)
+    s.read.parquet(out)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("doc_id")).as("id_sum"),
+        min(col("h")).as("h_min"),
+        max(col("h")).as("h_max"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_epoch_shuffle" -> (epochShuffle _),
+    "q_epoch_write" -> (epochWrite _),
     "q_token_budget" -> (tokenBudget _),
     "q_domain_cap" -> (domainCap _),
     "q_sample_weighted" -> (sampleWeighted _),
@@ -348,20 +384,26 @@ object Curation {
       |        / len(string_split(text, ' ')) * 0.5, 6) AS quality
       |  FROM documents""".stripMargin
 
+  /** Shared by `q_epoch_shuffle` (assignment audit) and `q_epoch_write`
+    * (the same audit read back from the physically written shard files —
+    * any row the write lost, duplicated, or misrouted flips a column). */
+  private val epochOracleSql =
+    """WITH a AS (
+      |  SELECT doc_id, source, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |b AS (
+      |  SELECT *, CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) // 2
+      |    AS INTEGER) AS shard FROM a)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT source) AS n_sources,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |  MIN(h) AS h_min, MAX(h) AS h_max
+      |FROM b GROUP BY shard ORDER BY shard""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // replay the epoch hash and nibble-shard assignment verbatim
-    "q_epoch_shuffle" ->
-      """WITH a AS (
-        |  SELECT doc_id, source, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS h
-        |  FROM documents),
-        |b AS (
-        |  SELECT *, CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) // 2
-        |    AS INTEGER) AS shard FROM a)
-        |SELECT shard, COUNT(*) AS n_docs,
-        |  COUNT(DISTINCT source) AS n_sources,
-        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
-        |  MIN(h) AS h_min, MAX(h) AS h_max
-        |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_epoch_shuffle" -> epochOracleSql,
+    "q_epoch_write" -> epochOracleSql,
 
     // single global window — semantically what the engine's two-phase
     // bucket prefix sum computes distributed

@@ -328,9 +328,8 @@ object TextAnalysis {
 
   /** BPE-style vocabulary induction, the data-side step: count adjacent
     * token pairs across the corpus and rank the top merge candidates —
-    * exactly what each round of byte-pair-encoding training computes
-    * (the trainer then applies the best merge and re-counts; the loop is
-    * a driver iteration over THIS operator with a broadcast merge map).
+    * exactly what each round of byte-pair-encoding training computes.
+    * [[bpeMerges]] is the trainer loop built on this counting shape.
     * Ties break on the pair string, fully deterministic.
     *
     * Scale shape: one explode (n−1 pairs per doc) into one
@@ -349,6 +348,63 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
+
+  /** BPE TRAINER loop — 5 driver-iterated merge rounds. Each round:
+    * count adjacent token pairs (one explode + one partial-agg shuffle,
+    * the [[vocabPairs]] shape), pick the most frequent pair (ties on the
+    * pair string — one 1-row driver action, the same scalar-fixpoint
+    * pattern as connected components), then APPLY the merge corpus-wide
+    * and re-count. The applied merge is a literal broadcast into a
+    * codegen'd `replace` — the "broadcast merge map" of a real BPE
+    * trainer, one entry per round.
+    *
+    * Merge application must be identical in both engines, so tokens ride
+    * a delimited wire form: `|tok₁||tok₂||…|`. The winning pair (a, b)
+    * is the substring `|a||b|`, replaced by `|a_b|`; leftmost
+    * non-overlapping greedy replacement is exactly what SQL `replace`
+    * does everywhere, and the shared `|` delimiter between adjacent
+    * pair occurrences means "a a a" merges to "a_a a" in both engines —
+    * the true BPE greedy-scan semantics, no regex, no UDF.
+    *
+    * Scale shape: each round is one narrow `replace` map over the
+    * corpus plus the pair-count exchange over the pair vocabulary; 5
+    * rounds chain 5 codegen'd replaces — no corpus-sized sort, no
+    * window, nothing driver-side but the 1-row argmax. Output: the 5
+    * merge rules in training order with their support counts — the
+    * vocabulary head a tokenizer trainer would persist. */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rounds = 5
+    var wire = documents(s, d)
+      .select(concat(lit("|"), expr("replace(text, ' ', '||')"), lit("|")).as("w"))
+    val merges = collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (r <- 1 to rounds) {
+      val toks = wire
+        .select(expr(
+          "split(substring(w, 2, length(w) - 2), '\\\\|\\\\|')").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val best = toks
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+            .stripMargin)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (pair, n) = (best(0).getString(0), best(0).getLong(1))
+        merges += ((r.toLong, pair, n))
+        val search = "|" + pair.replace(" ", "||") + "|"
+        val target = "|" + pair.replace(" ", "_") + "|"
+        // lit() columns, not SQL literal splicing: token text never has
+        // to survive a second trip through the SQL parser
+        wire = wire.select(
+          org.apache.spark.sql.functions.replace(
+            col("w"), lit(search), lit(target)).as("w"))
+      }
+    }
+    merges.toSeq.toDF("round", "pair", "n").orderBy(col("round"))
+  }
 
   /** Gopher-style heuristic quality rules (Rae et al. 2021 §A.1.1, the
     * standard pre-model filter battery), adapted to the single-line
@@ -397,6 +453,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gopher_filter" -> (gopherFilter _),
     "q_vocab_pairs" -> (vocabPairs _),
+    "q_bpe_merges" -> (bpeMerges _),
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_udtf_shingles" -> (udtfShingles _),
     "q_repetition_filter" -> (repetitionFilter _),
@@ -410,6 +467,42 @@ object TextAnalysis {
     "q_token_count" -> (tokenCount _),
     "q_heavy_hitters_cms" -> (heavyHittersCms _)
   )
+
+  // the wire delimiter, isolated so no generated line can start with a
+  // bare '|' and trip a stripMargin (and initialized BEFORE the oracle
+  // builder below — object vals initialize in source order)
+  private val PIPE = "|"
+
+  /** The [[bpeMerges]] oracle, generated (not hand-copied ×5): per round
+    * k, `p_k` counts pairs over wire `w_k`, `b_k` is the deterministic
+    * argmax, `w_{k+1}` applies the merge. Scalar subqueries stand in for
+    * the engine's driver-collected literal. */
+  private val bpeOracleSql: String = {
+    val rounds = 5
+    def pairCtes(k: Int) =
+      s"""p$k AS (
+         |  SELECT p, COUNT(*) AS n FROM (
+         |    SELECT unnest(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS p
+         |    FROM (SELECT string_split(trim(w, '$PIPE'), '$PIPE$PIPE') AS toks
+         |          FROM w$k) t) u
+         |  GROUP BY p),
+         |b$k AS (SELECT p, n FROM p$k ORDER BY n DESC, p LIMIT 1)""".stripMargin
+    def nextW(k: Int) =
+      s"""w${k + 1} AS (
+         |  SELECT replace(w,
+         |    '$PIPE' || replace((SELECT p FROM b$k), ' ', '$PIPE$PIPE') || '$PIPE',
+         |    '$PIPE' || replace((SELECT p FROM b$k), ' ', '_') || '$PIPE') AS w
+         |  FROM w$k)""".stripMargin
+    val ctes = (0 until rounds).map(k =>
+      pairCtes(k) + (if (k < rounds - 1) ",\n" + nextW(k) else "")).mkString(",\n")
+    val union = (0 until rounds).map(k =>
+      if (k == 0)
+        "SELECT CAST(1 AS BIGINT) AS round, p AS pair, CAST(n AS BIGINT) AS n FROM b0"
+      else s"SELECT ${k + 1}, p, n FROM b$k").mkString("\nUNION ALL ")
+    s"WITH w0 AS (SELECT '$PIPE' || replace(text, ' ', '$PIPE$PIPE') || '$PIPE' AS w" +
+      s" FROM documents),\n$ctes\nSELECT * FROM (\n$union\n) ORDER BY round"
+  }
 
   val oracle: Map[String, String] = Map(
     "q_gopher_filter" ->
@@ -437,6 +530,11 @@ object TextAnalysis {
         |  CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
         |  CAST(SUM(CASE WHEN NOT r_rep THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // the same 5 merge rounds unrolled: each round's argmax pair is a
+    // scalar subquery, merge application is the same leftmost greedy
+    // replace over the |tok₁||tok₂| wire form the engine uses
+    "q_bpe_merges" -> bpeOracleSql,
 
     "q_vocab_pairs" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),

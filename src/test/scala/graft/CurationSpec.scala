@@ -18,6 +18,34 @@ class CurationSpec extends SparkFunSuite {
     p +: kids.flatMap(nodes)
   }
 
+  test("epoch-shuffle write: 8 one-file shards, hash-sorted in-file, assignment preserved") {
+    val root = TempDirs.scratch("graft_epoch_spec_")
+    val out = root.resolve("ep1").toString
+    val docs = Tables.documents(spark, sf)
+    Curation.writeEpochShards(docs, "ep1", out)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length === 8, s"expected 8 shard dirs, got ${shardDirs.length}")
+    // repartition(col) routes each whole shard to one task → ONE file each
+    val partFiles = shardDirs.map(_.listFiles().count(_.getName.startsWith("part-")))
+    assert(partFiles.forall(_ === 1), s"files per shard: ${partFiles.mkString(",")}")
+    // in-file order is the epoch hash — a single-file read preserves row
+    // order, so collecting h must come back already sorted
+    shardDirs.foreach { sd =>
+      val hs = spark.read.parquet(sd.getAbsolutePath)
+        .select(col("h")).collect().map(_.getString(0))
+      assert(hs.sameElements(hs.sorted), s"${sd.getName} not hash-sorted in file")
+    }
+    // physical files carry exactly the logical assignment (count + id sum)
+    val back = spark.read.parquet(out).groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("ids"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    val assigned = Curation.epochShuffleAssign(docs, "ep1").groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("ids"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(back === assigned, "written shards diverge from the assignment")
+  }
+
   test("bloom-pruned contamination is bit-identical to the exact operator") {
     val exact = Corpus.contamination(spark, sf).collect().map(_.toString).toSeq
     val bloom = Curation.contaminationBloom(spark, sf).collect().map(_.toString).toSeq
