@@ -189,6 +189,20 @@ object Dedup {
       deltaDocs.select(col("doc_id")))
   }
 
+  /** Micro-batch face of the persisted index: dedup ONE arriving batch
+    * of (doc_id, text) documents against a [[writeSignatureIndex]]
+    * table — the `foreachBatch` body of a streaming ingest pipeline
+    * (StreamingSpec drives it under a real stream and checks the union
+    * of batch outputs equals the one-shot answer). State lives in the
+    * index FILES, not the stream: a restart re-reads the index and
+    * loses nothing, and appending accepted docs' bands back to the
+    * index between batches is the compaction-free growth path. */
+  def dedupBatchAgainstIndex(batch: DataFrame, indexPath: String): DataFrame = {
+    val s = batch.sparkSession
+    incrementalMatch(s.read.parquet(indexPath),
+      bandsOf(signaturesOf(batch)), batch.select(col("doc_id")))
+  }
+
   /** Catalog wrapper proving the index round trip end-to-end: write the
     * base slice's index to a scratch dir, then dedup the delta against
     * the FILES. Same oracle as `q_dedup_incremental` — the persisted hop

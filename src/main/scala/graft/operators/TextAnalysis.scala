@@ -374,9 +374,16 @@ object TextAnalysis {
     * vocabulary head a tokenizer trainer would persist. */
   def bpeMerges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rounds = 5
+    bpeTrain(s, d, rounds = 5)._2.toDF("round", "pair", "n").orderBy(col("round"))
+  }
+
+  /** The shared trainer: returns (final encoded wire frame keyed by
+    * doc_id, the merge table in training order). */
+  private def bpeTrain(s: SparkSession, d: String,
+      rounds: Int): (DataFrame, Seq[(Long, String, Long)]) = {
     var wire = documents(s, d)
-      .select(concat(lit("|"), expr("replace(text, ' ', '||')"), lit("|")).as("w"))
+      .select(col("doc_id"),
+        concat(lit("|"), expr("replace(text, ' ', '||')"), lit("|")).as("w"))
     val merges = collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     for (r <- 1 to rounds) {
       val toks = wire
@@ -398,12 +405,33 @@ object TextAnalysis {
         val target = "|" + pair.replace(" ", "_") + "|"
         // lit() columns, not SQL literal splicing: token text never has
         // to survive a second trip through the SQL parser
-        wire = wire.select(
+        wire = wire.select(col("doc_id"),
           org.apache.spark.sql.functions.replace(
             col("w"), lit(search), lit(target)).as("w"))
       }
     }
-    merges.toSeq.toDF("round", "pair", "n").orderBy(col("round"))
+    (wire, merges.toSeq)
+  }
+
+  /** BPE ENCODE — apply the trained merge table to the corpus and report
+    * the per-document compression: token count before/after and the
+    * first encoded token (a cheap witness that merges actually landed
+    * where they should). This is the tokenizer-application half of the
+    * [[bpeMerges]] trainer: at 100 TB the merge table is the broadcast
+    * artifact and encoding is a pure per-row map at scan speed — no
+    * shuffle at all beyond the trainer's own counting rounds. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val (wire, _) = bpeTrain(s, d, rounds = 5)
+    documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens_raw"))
+      .join(wire, "doc_id")
+      .withColumn("toks",
+        expr("split(substring(w, 2, length(w) - 2), '\\\\|\\\\|')"))
+      .select(col("doc_id"), col("n_tokens_raw"),
+        size(col("toks")).cast("long").as("n_tokens_bpe"),
+        element_at(col("toks"), 1).as("first_token"))
+      .orderBy(col("doc_id"))
   }
 
   /** Gopher-style heuristic quality rules (Rae et al. 2021 §A.1.1, the
@@ -454,6 +482,7 @@ object TextAnalysis {
     "q_gopher_filter" -> (gopherFilter _),
     "q_vocab_pairs" -> (vocabPairs _),
     "q_bpe_merges" -> (bpeMerges _),
+    "q_bpe_encode" -> (bpeEncode _),
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_udtf_shingles" -> (udtfShingles _),
     "q_repetition_filter" -> (repetitionFilter _),
@@ -473,12 +502,13 @@ object TextAnalysis {
   // builder below — object vals initialize in source order)
   private val PIPE = "|"
 
-  /** The [[bpeMerges]] oracle, generated (not hand-copied ×5): per round
-    * k, `p_k` counts pairs over wire `w_k`, `b_k` is the deterministic
-    * argmax, `w_{k+1}` applies the merge. Scalar subqueries stand in for
-    * the engine's driver-collected literal. */
-  private val bpeOracleSql: String = {
-    val rounds = 5
+  /** The [[bpeMerges]]/[[bpeEncode]] oracle CTE chain, generated (not
+    * hand-copied ×5): per round k, `p_k` counts pairs over wire `w_k`,
+    * `b_k` is the deterministic argmax, `w_{k+1}` applies the merge.
+    * Scalar subqueries stand in for the engine's driver-collected
+    * literal; `doc_id` rides the wire frames so the encode query can
+    * join the final wire back to the corpus. */
+  private def bpeCtes(rounds: Int): String = {
     def pairCtes(k: Int) =
       s"""p$k AS (
          |  SELECT p, COUNT(*) AS n FROM (
@@ -490,19 +520,33 @@ object TextAnalysis {
          |b$k AS (SELECT p, n FROM p$k ORDER BY n DESC, p LIMIT 1)""".stripMargin
     def nextW(k: Int) =
       s"""w${k + 1} AS (
-         |  SELECT replace(w,
+         |  SELECT doc_id, replace(w,
          |    '$PIPE' || replace((SELECT p FROM b$k), ' ', '$PIPE$PIPE') || '$PIPE',
          |    '$PIPE' || replace((SELECT p FROM b$k), ' ', '_') || '$PIPE') AS w
          |  FROM w$k)""".stripMargin
-    val ctes = (0 until rounds).map(k =>
-      pairCtes(k) + (if (k < rounds - 1) ",\n" + nextW(k) else "")).mkString(",\n")
-    val union = (0 until rounds).map(k =>
+    val chain = (0 until rounds).map(k =>
+      pairCtes(k) + ",\n" + nextW(k)).mkString(",\n")
+    s"WITH w0 AS (SELECT doc_id, '$PIPE' || replace(text, ' ', '$PIPE$PIPE') ||" +
+      s" '$PIPE' AS w FROM documents),\n$chain"
+  }
+
+  private val bpeOracleSql: String = {
+    val union = (0 until 5).map(k =>
       if (k == 0)
         "SELECT CAST(1 AS BIGINT) AS round, p AS pair, CAST(n AS BIGINT) AS n FROM b0"
       else s"SELECT ${k + 1}, p, n FROM b$k").mkString("\nUNION ALL ")
-    s"WITH w0 AS (SELECT '$PIPE' || replace(text, ' ', '$PIPE$PIPE') || '$PIPE' AS w" +
-      s" FROM documents),\n$ctes\nSELECT * FROM (\n$union\n) ORDER BY round"
+    s"${bpeCtes(5)}\nSELECT * FROM (\n$union\n) ORDER BY round"
   }
+
+  private val bpeEncodeOracleSql: String =
+    s"""${bpeCtes(5)}
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_raw,
+       |  CAST(len(string_split(trim(w.w, '$PIPE'), '$PIPE$PIPE')) AS BIGINT)
+       |    AS n_tokens_bpe,
+       |  string_split(trim(w.w, '$PIPE'), '$PIPE$PIPE')[1] AS first_token
+       |FROM documents d JOIN w5 w ON d.doc_id = w.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_gopher_filter" ->
@@ -535,6 +579,10 @@ object TextAnalysis {
     // scalar subquery, merge application is the same leftmost greedy
     // replace over the |tok₁||tok₂| wire form the engine uses
     "q_bpe_merges" -> bpeOracleSql,
+
+    // the same trained merges APPLIED: the final wire joined back to the
+    // corpus — token counts and the leading token must agree exactly
+    "q_bpe_encode" -> bpeEncodeOracleSql,
 
     "q_vocab_pairs" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),

@@ -153,6 +153,44 @@ class StreamingSpec extends SparkFunSuite {
     assert(got.getDouble(2) === 100.0)
   }
 
+  test("streaming ingest dedups micro-batches against the persisted signature index") {
+    // the production shape end-to-end: base corpus's signature index on
+    // disk ONCE; delta docs arrive as a stream in two micro-batches; each
+    // foreachBatch dedups against the FILES — union of batch outputs must
+    // equal the one-shot incremental answer (state is the index, not the
+    // stream, so batch boundaries are invisible)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val idx = TempDirs.scratch("graft_sigindex_stream_").resolve("base").toString
+    operators.Dedup.writeSignatureIndex(
+      Tables.documents(spark, sf).filter(col("doc_id") % 10 < 8), idx)
+    val delta = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val (b1, b2) = delta.splitAt(delta.length / 2)
+    val ms = MemoryStream[(Long, String)]
+    val results = collection.mutable.ArrayBuffer.empty[String]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        results ++= operators.Dedup.dedupBatchAgainstIndex(b.toDF(), idx)
+          .collect().map(_.toString)
+        ()
+      }
+      .start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = operators.Dedup.dedupIncremental(spark, sf)
+      .collect().map(_.toString)
+    CacheScope.releaseAll()
+    assert(results.sorted.toSeq === oneShot.sorted.toSeq,
+      "streamed batch dedup diverged from the one-shot incremental answer")
+    assert(results.nonEmpty)
+  }
+
   test("stream-stream FULL outer null-extends BOTH sides on watermark expiry") {
     val rows = Streaming.streamStreamFullJoin(spark, sf).collect()
     val nullPurchase = rows.count(_.isNullAt(1)) // unmatched click, expired
