@@ -61,31 +61,49 @@ object GraphOps {
     * join of the ~|V|-row rank table onto the edge list plus one
     * partial-aggregated sum per destination — the classic Pregel
     * superstep expressed relationally. The dangling mass is a ONE-ROW
-    * aggregate cross-joined back (broadcast, no shuffle); the |V| and
-    * dangling counts are two scalar jobs up front — the same pattern
-    * GraphX's `numVertices` uses. Lineage stays `iters` deep, no
-    * checkpoint needed at 3 iterations. */
+    * aggregate cross-joined back (broadcast, no shuffle); |V| and the
+    * dangling count come from ONE scalar job over the cached
+    * node-degree frame (degree 0 ⇔ dangling), the same pattern GraphX's
+    * `numVertices` uses. Lineage stays `iters` deep, no checkpoint
+    * needed at 3 iterations. */
   private[graft] def pagerankOnEdges(edges0: DataFrame, iters: Int,
       redistributeDangling: Boolean): DataFrame = {
+    // Edges are shuffled ONCE, to hash(dst) — the message-aggregation
+    // key. Every superstep then joins the (tiny, |V|-row) share table
+    // onto the cached edge list and aggregates messages per dst: when
+    // the share side broadcasts (AQE converts it at runtime; any sane
+    // |V| ≪ |E| graph), the join preserves the cached dst-partitioning
+    // and the per-iteration groupBy(dst) needs NO exchange — the
+    // Pregel "partition edges once, aggregate messages in place" shape.
     val edges = graft.CacheScope.track(
-      edges0.select(col("src"), col("dst")).persist())
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .select(col("src").as("node"), col("deg"))
-    val nodes = graft.CacheScope.track(
-      edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node"))).distinct().persist())
-    val n = nodes.count()
+      edges0.select(col("src"), col("dst")).repartition(col("dst")).persist())
+    // ONE shuffle derives the node set AND the out-degrees together:
+    // every src endpoint contributes weight 1, every dst endpoint
+    // weight 0 (membership only) — deg == 0 IS the dangling marker, so
+    // |V| and the dangling count come from a single scalar job instead
+    // of a distinct + count + anti-join count trio.
+    val nodeDeg = graft.CacheScope.track(
+      edges.select(col("src").as("node"), lit(1L).as("out"))
+        .union(edges.select(col("dst").as("node"), lit(0L).as("out")))
+        .groupBy(col("node")).agg(sum(col("out")).as("deg")).persist())
+    val counts = nodeDeg.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("deg") === 0L, 1L).otherwise(0L)).as("nd")).head()
+    val n = counts.getLong(0)
     require(n > 0, "pagerank: empty edge list")
-    val nDangling = nodes.join(deg, Seq("node"), "left_anti").count()
+    val nDangling = counts.getLong(1)
     require(redistributeDangling || nDangling == 0,
       s"pagerank: $nDangling dangling node(s) (no out-edges) — their rank " +
         "mass would silently vanish; set spark.graft.pagerank.dangling=true " +
         "to redistribute it uniformly, or repair the edge list")
     val rInit = SCALE / n
     val base = 15L * rInit / 100L
-    var ranks = nodes.select(col("node"), lit(rInit).as("rank"))
+    // deg rides inside the rank frame, so a superstep never re-joins a
+    // separate degree table: share = rank div deg needs no join at all,
+    // and the in-sum lands back on the cached nodeDeg frame directly.
+    var ranks = nodeDeg.select(col("node"), col("deg"), lit(rInit).as("rank"))
     for (_ <- 1 to iters) {
-      val shares = ranks.join(deg, Seq("node"))
+      val shares = ranks.filter(col("deg") > 0L)
         .select(col("node"), expr("rank div deg").as("share"))
       val insums = edges.join(shares, edges("src") === shares("node"))
         .groupBy(col("dst"))
@@ -93,26 +111,24 @@ object GraphOps {
         .select(col("dst").as("node"), col("insum"))
       ranks =
         if (nDangling == 0) {
-          // no left-join/coalesce needed: every node has an in-edge source
-          // in a symmetric graph iff it has out-edges, but in a general
-          // no-dangling graph a node may still RECEIVE nothing — keep the
-          // left join for generality, coalescing absent in-sums to 0
-          nodes.join(insums, Seq("node"), "left")
-            .select(col("node"),
+          // left join for generality: a node in a no-dangling graph may
+          // still RECEIVE nothing — coalesce absent in-sums to 0
+          nodeDeg.join(insums, Seq("node"), "left")
+            .select(col("node"), col("deg"),
               (lit(base) +
                 expr("(85 * coalesce(insum, 0L)) div 100")).as("rank"))
         } else {
-          val dmass = ranks.join(deg, Seq("node"), "left_anti")
+          val dmass = ranks.filter(col("deg") === 0L)
             .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
-          nodes.join(insums, Seq("node"), "left")
+          nodeDeg.join(insums, Seq("node"), "left")
             .crossJoin(broadcast(dmass))
-            .select(col("node"),
+            .select(col("node"), col("deg"),
               (lit(base) +
                 expr(s"(85 * (coalesce(insum, 0L) + dmass div $n)) div 100"))
                 .as("rank"))
         }
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   // --------------------------------------------------------------- wiring
