@@ -367,7 +367,52 @@ object Curation {
       .orderBy(col("shard"))
   }
 
+  /** Per-source quality CALIBRATION — map every doc's quality score to
+    * its percent-rank WITHIN its source, so one keep-threshold means the
+    * same thing for every source. Raw quality scores are not comparable
+    * across sources (a web crawl's median differs from curated text);
+    * thresholding the raw score over- or under-selects whole sources,
+    * while thresholding the within-source quantile keeps the same
+    * FRACTION of every source — the mixture-preserving cut a curation
+    * pipeline actually wants (keep-fraction conf
+    * `spark.graft.curation.calibrateKeep`, default top half).
+    *
+    * Scale shape — the reason this is not one `percent_rank()` window:
+    * a per-source window sorts each source in ONE partition, and at
+    * 100 TB a dominant source serializes the job. Same two-phase
+    * distributed-rank trick as [[tokenBudgetFrom]]: quality is monotone
+    * in `floor(quality·256)`, so a ≤257-row-per-source bucket table
+    * (broadcast) carries the strictly-below-bucket counts, and each doc
+    * pays only a row_number window partitioned by (source, bucket) —
+    * parallel across 256·|sources| slices, bit-exact against the
+    * oracle's single percent_rank window. */
+  def qualityCalibrate(s: SparkSession, d: String): DataFrame = {
+    val cut = confDouble(s, "spark.graft.curation.calibrateKeep", 0.5)
+    val docs = withQuality(documents(s, d))
+      .select(col("doc_id"), col("source"), col("quality"))
+      .withColumn("bucket", floor(col("quality") * 256).cast("int"))
+    val buckets = docs.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("below_b", coalesce(
+        sum(col("bn")).over(Window.partitionBy(col("source"))
+          .orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_src",
+        sum(col("bn")).over(Window.partitionBy(col("source"))))
+    docs.join(broadcast(buckets), Seq("source", "bucket"))
+      .withColumn("rk", col("below_b") + row_number().over(
+        Window.partitionBy(col("source"), col("bucket"))
+          .orderBy(col("quality"), col("doc_id"))))
+      .withColumn("pr",
+        when(col("n_src") === 1, lit(0.0)).otherwise(
+          (col("rk") - 1).cast("double") / (col("n_src") - 1)))
+      .select(col("doc_id"), col("source"), col("quality"), col("pr"),
+        (col("pr") >= cut).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_calibrate" -> (qualityCalibrate _),
     "q_epoch_shuffle" -> (epochShuffle _),
     "q_epoch_write" -> (epochWrite _),
     "q_token_budget" -> (tokenBudget _),
@@ -438,6 +483,16 @@ object Curation {
         |  FROM t)
         |SELECT source, doc_id, n_tokens FROM w
         |WHERE tok_before < 300 ORDER BY source, doc_id""".stripMargin,
+
+    "q_quality_calibrate" ->
+      s"""WITH q AS (
+        |  $qualitySql)
+        |SELECT doc_id, source, quality,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id)
+        |    AS pr,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id)
+        |    >= 0.5 AS kept
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     "q_sample_weighted" ->
       s"""WITH q AS (

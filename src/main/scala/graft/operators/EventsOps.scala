@@ -328,9 +328,52 @@ object EventsOps {
       .orderBy(col("hour"))
   }
 
+  /** Time-series RESAMPLE + GAP FILL — regularize each user's event
+    * stream onto an hourly grid from their first to last active hour,
+    * carrying the last observed purchase value forward across silent
+    * hours (`last_value IGNORE NULLS`). This is the
+    * missing-observation repair every downstream window/asof consumer
+    * assumes has happened: gaps become explicit rows (`is_gap`), and
+    * the carried metric is well-defined at every grid point.
+    *
+    * Determinism: hours are epoch-ms longs; the per-hour carried metric
+    * is `max(value)` (order-independent — a float SUM here would be
+    * partition-order-dependent), and the fill is a deterministic
+    * per-user scan in hour order.
+    *
+    * Scale shape: one partial-aggregated exchange onto (user, hour) —
+    * already ~|active hours| ≪ |events| — then the grid explodes from a
+    * 2-row-per-user span frame (never from raw events), and the fill
+    * window partitions per user: parallel across users, each partition
+    * bounded by the user's span in hours. No global window, no
+    * events-sized sort. */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .select(col("user_id"),
+        (expr(s"unix_millis(ts) div $HOUR_MS") * HOUR_MS).as("h"),
+        col("event_type"), col("value"))
+      .groupBy(col("user_id"), col("h"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("event_type") === "purchase", col("value"))).as("v"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(expr(s"sequence(h0, h1, $HOUR_MS)")).as("h"))
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h").as("hour_ms"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true).over(
+          Window.partitionBy(col("user_id")).orderBy(col("h"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("v_fill"),
+        col("n").isNull.as("is_gap"))
+      .orderBy(col("user_id"), col("hour_ms"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill" -> (gapFill _),
     "q_rolling_distinct" -> (rollingDistinct _),
     "q_events_funnel" -> (funnel _),
     "q_retention_cohort" -> (retention _),
@@ -355,6 +398,26 @@ object EventsOps {
       |ORDER BY window_start_ms, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_gap_fill" ->
+      s"""WITH hourly AS (
+        |  SELECT user_id, (epoch_ms(ts) // $HOUR_MS) * $HOUR_MS AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN value END) AS v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(range(h0, h1 + $HOUR_MS, $HOUR_MS)) AS h
+        |  FROM span)
+        |SELECT g.user_id, g.h AS hour_ms,
+        |  COALESCE(n, CAST(0 AS BIGINT)) AS n_events,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v_fill,
+        |  n IS NULL AS is_gap
+        |FROM grid g LEFT JOIN hourly t ON g.user_id = t.user_id AND g.h = t.h
+        |ORDER BY user_id, hour_ms""".stripMargin,
+
     // exact expansion replayed; the sketch-band boolean pinned TRUE
     "q_rolling_distinct" ->
       s"""WITH e AS (

@@ -131,13 +131,70 @@ object GraphOps {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** HITS (hubs & authorities, Kleinberg 1999) on the DIRECTED
+    * part→supplier graph induced by lineitem: a part is a hub (it
+    * "points at" every supplier that ever shipped it), a supplier is an
+    * authority. Two unnormalized iterations:
+    * auth₁ = in-degree, hub₁ = Σ auth₁ over out-edges,
+    * auth₂ = Σ hub₁ over in-edges.
+    *
+    * Determinism stance (same as [[pagerank]]): HITS normalization is a
+    * global positive scalar per iteration — it rescales, never reorders
+    * — so skipping it keeps every operation an order-independent
+    * integer SUM, bit-identical across engines and partitionings, with
+    * no fixed-point division at all. Magnitudes grow like deg per
+    * iteration (score ≤ maxdeg²·maxdeg after these two), so int64 holds
+    * through billion-edge graphs with degree ≤ ~10⁶; more iterations at
+    * that scale would re-introduce per-round max-normalization (integer
+    * div, still deterministic).
+    *
+    * Scale shape: the distinct edge list is cached once; each half-step
+    * is one join of a |V|-row score table onto the edges (AQE
+    * broadcasts it) plus one partial-aggregated sum — two Pregel
+    * supersteps, no global sort, lineage depth 2. */
+  def hits(s: SparkSession, d: String): DataFrame = {
+    val edges = graft.CacheScope.track(
+      lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+        .distinct().persist())
+    val auth1 = edges.groupBy(col("sup")).agg(count(lit(1)).as("auth1"))
+    val hub1 = edges.join(auth1, "sup")
+      .groupBy(col("p")).agg(sum(col("auth1")).as("hub1"))
+    val auth2 = edges.join(hub1, "p")
+      .groupBy(col("sup")).agg(sum(col("hub1")).as("auth2"))
+    hub1.select(lit("part").as("node_type"), col("p").as("node_id"),
+        col("hub1").as("score"))
+      .unionByName(auth2.select(lit("supplier").as("node_type"),
+        col("sup").as("node_id"), col("auth2").as("score")))
+      .orderBy(col("node_type"), col("node_id"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> (pagerank _)
+    "q_pagerank" -> (pagerank _),
+    "q_hits" -> (hits _)
   )
 
   val oracle: Map[String, String] = Map(
+    // the same two unnormalized iterations — pure integer sums, so the
+    // only cross-engine care is DuckDB's SUM(BIGINT) → HUGEINT cast back
+    "q_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sup FROM lineitem),
+        |a1 AS (
+        |  SELECT sup, CAST(COUNT(*) AS BIGINT) AS auth1 FROM e GROUP BY sup),
+        |h1 AS (
+        |  SELECT p, CAST(SUM(auth1) AS BIGINT) AS hub1
+        |  FROM e JOIN a1 USING (sup) GROUP BY p),
+        |a2 AS (
+        |  SELECT sup, CAST(SUM(hub1) AS BIGINT) AS auth2
+        |  FROM e JOIN h1 USING (p) GROUP BY sup)
+        |SELECT 'part' AS node_type, p AS node_id, hub1 AS score FROM h1
+        |UNION ALL
+        |SELECT 'supplier' AS node_type, sup AS node_id, auth2 AS score FROM a2
+        |ORDER BY node_type, node_id""".stripMargin,
+
     // the same three fixed-point iterations unrolled — `//` is the same
     // floor division `div` is, and all sums are integer sums
     "q_pagerank" ->

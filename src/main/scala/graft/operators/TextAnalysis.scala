@@ -476,9 +476,49 @@ object TextAnalysis {
         sum(when(!col("r_rep"), 1L).otherwise(0L)).as("fail_rep"))
       .orderBy(col("source"))
 
+  /** N-gram NOVELTY score — the share of a document's distinct word
+    * trigrams that appear in NO other document (corpus document
+    * frequency 1). High novelty = fresh content; low novelty = the doc
+    * is assembled from phrases the corpus already contains — the
+    * cheap count-based complement to the MinHash/SimHash dedup family
+    * (those find WHO you overlap with; this scores HOW MUCH of you is
+    * boilerplate-by-phrase). Used as a curation signal in dedup-aware
+    * sampling (keep novel docs at higher rates).
+    *
+    * Determinism: counts are integers end-to-end; the only float is the
+    * final `n_unique / n_grams` — one IEEE division of two exact longs,
+    * identical in any engine.
+    *
+    * Scale shape: distinct trigrams explode per doc (bounded by doc
+    * length), then ONE exchange on the gram hash where a whole-partition
+    * window counts document frequency in place — no gram-table self-join,
+    * no second corpus scan — and one partial-aggregated exchange back on
+    * doc_id. Gram groups are per-phrase (tiny), so the window
+    * parallelizes across the gram space; this is the inverted-index
+    * shuffle shape that survives a 100 TB corpus. */
+  def noveltyScore(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+          |    ' ', element_at(toks, i + 2)))""".stripMargin))).as("gram"))
+    sh.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gram"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_grams")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_novelty" -> (noveltyScore _),
     "q_gopher_filter" -> (gopherFilter _),
     "q_vocab_pairs" -> (vocabPairs _),
     "q_bpe_merges" -> (bpeMerges _),
@@ -549,6 +589,21 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gram
+        |  FROM t WHERE len(toks) >= 3),
+        |w AS (
+        |  SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS df FROM sh)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |    AS novelty
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_gopher_filter" ->
       """WITH t AS (
         |  SELECT source, text, string_split(text, ' ') AS toks FROM documents),
