@@ -20,15 +20,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright. Read it as raw nanos (legacy long mode) and convert
-    * with *integer* division — `DIV 1000` keeps full precision where a
-    * double round-trip would corrupt epoch-nanos (~1.7e18 > 2^53). DuckDB
-    * truncates ns→µs the same way, so oracle comparisons line up. */
+  /** events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS, naive) across testdata generations, so the loader
+    * adapts to the footer schema instead of assuming one encoding:
+    *
+    *  - NANOS: Spark's vectorized reader rejects it outright. Read raw
+    *    nanos (legacy long mode) and convert with *integer* division —
+    *    `DIV 1000` keeps full precision where a double round-trip would
+    *    corrupt epoch-nanos (~1.7e18 > 2^53). DuckDB truncates ns→µs the
+    *    same way, so oracle comparisons line up.
+    *  - MICROS (naive): Spark reads TIMESTAMP_NTZ; cast to session-local
+    *    TIMESTAMP (session tz is pinned UTC) — the same instant DuckDB's
+    *    `epoch_ms` assigns a naive timestamp.
+    * Either way callers see one `ts: TIMESTAMP` column. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

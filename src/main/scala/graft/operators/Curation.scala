@@ -386,8 +386,20 @@ object Curation {
     * pays only a row_number window partitioned by (source, bucket) —
     * parallel across 256·|sources| slices, bit-exact against the
     * oracle's single percent_rank window. */
-  def qualityCalibrate(s: SparkSession, d: String): DataFrame = {
-    val cut = confDouble(s, "spark.graft.curation.calibrateKeep", 0.5)
+  def qualityCalibrate(s: SparkSession, d: String): DataFrame =
+    qualityCalibrateAt(s, d,
+      confDouble(s, "spark.graft.curation.calibrateKeep", 0.5))
+
+  /** Catalog entry: keep-threshold PINNED to the oracle's literal 0.5.
+    * The conf-driven [[qualityCalibrate]] stays the library entry point,
+    * but the oracle SQL hardcodes `>= 0.5`, so the correctness-checked
+    * query must not drift with `spark.graft.curation.calibrateKeep` —
+    * a non-default conf would silently diverge on `kept`. */
+  def qualityCalibrateOracle(s: SparkSession, d: String): DataFrame =
+    qualityCalibrateAt(s, d, 0.5)
+
+  private def qualityCalibrateAt(
+      s: SparkSession, d: String, cut: Double): DataFrame = {
     val docs = withQuality(documents(s, d))
       .select(col("doc_id"), col("source"), col("quality"))
       .withColumn("bucket", floor(col("quality") * 256).cast("int"))
@@ -412,7 +424,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_quality_calibrate" -> (qualityCalibrate _),
+    "q_quality_calibrate" -> (qualityCalibrateOracle _),
     "q_epoch_shuffle" -> (epochShuffle _),
     "q_epoch_write" -> (epochWrite _),
     "q_token_budget" -> (tokenBudget _),

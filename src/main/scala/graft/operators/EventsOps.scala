@@ -348,9 +348,14 @@ object EventsOps {
     * bounded by the user's span in hours. No global window, no
     * events-sized sort. */
   def gapFill(s: SparkSession, d: String): DataFrame = {
+    // Floor bucketing via `ms - mod-floor(ms)`, not `div`: Spark's `div`
+    // truncates toward zero while the oracle's `//` floors, and the two
+    // diverge on pre-1970 (negative epoch-ms) timestamps. The mod-floor
+    // form is exact on longs for any sign.
     val hourly = events(s, d)
       .select(col("user_id"),
-        (expr(s"unix_millis(ts) div $HOUR_MS") * HOUR_MS).as("h"),
+        expr(s"unix_millis(ts) - ((unix_millis(ts) % $HOUR_MS + $HOUR_MS) % $HOUR_MS)")
+          .as("h"),
         col("event_type"), col("value"))
       .groupBy(col("user_id"), col("h"))
       .agg(count(lit(1)).as("n"),
@@ -416,7 +421,7 @@ object EventsOps {
         |    AS v_fill,
         |  n IS NULL AS is_gap
         |FROM grid g LEFT JOIN hourly t ON g.user_id = t.user_id AND g.h = t.h
-        |ORDER BY user_id, hour_ms""".stripMargin,
+        |ORDER BY g.user_id, hour_ms""".stripMargin,
 
     // exact expansion replayed; the sketch-band boolean pinned TRUE
     "q_rolling_distinct" ->

@@ -46,15 +46,26 @@ case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   */
 object Streaming {
 
-  /** events schema for the file streaming source (ts = raw parquet nanos,
-    * read as long via nanosAsLong — see graft.Tables.events). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Footer-probed raw schema of an events parquet plus the
+    * ts-normalizing projection for that encoding. The testdata has
+    * shipped events.ts as both TIMESTAMP(NANOS) (read as raw longs via
+    * nanosAsLong) and naive TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ),
+    * and a file streaming source needs the schema pinned up front — so
+    * probe the footer with a one-file batch read and pick the matching
+    * conversion (see graft.Tables.events for the precision rationale). */
+  private def eventsRaw(
+      s: SparkSession, path: String): (StructType, DataFrame => DataFrame) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(path).schema
+    val conv: DataFrame => DataFrame = sch("ts").dataType match {
+      case LongType =>
+        _.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        _.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => identity
+    }
+    (sch, conv)
+  }
 
   /** File streaming source over the events table, nanos → timestamp.
     * The file source wants a directory files arrive in (the realistic
@@ -77,8 +88,8 @@ object Streaming {
       Files.delete(link)
     if (!Files.exists(link))
       Files.createSymbolicLink(link, target)
-    s.readStream.schema(eventsSchema).parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val (sch, conv) = eventsRaw(s, target.toString)
+    conv(s.readStream.schema(sch).parquet(stage.toString))
   }
 
   /** Tumbling 1-hour counts per event type, with a watermark — the
@@ -302,16 +313,16 @@ object Streaming {
     val landing = root.resolve("in").toString
     val sinkDir = root.resolve("out").toString
     val ckpt = root.resolve("ckpt").toString
-    val raw = s.read.schema(eventsSchema)
+    val (sch, conv) = eventsRaw(s, Paths.get(d, "events.parquet").toString)
+    val raw = s.read.schema(sch)
       .parquet(Paths.get(d, "events.parquet").toString)
     raw.repartitionByRange(6, col("event_id"))
       .write.mode("append").parquet(landing)
     // 2 files/trigger: 6 landing files = batches 0..2, so the ≥2-commit
     // kill window still has a batch left to crash out of, at half the
     // trigger count of the 1-file-per-trigger original (bench time)
-    def start() = s.readStream.schema(eventsSchema)
-      .option("maxFilesPerTrigger", "2").parquet(landing)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def start() = conv(s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "2").parquet(landing))
       .withWatermark("ts", "768 hours")
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream.outputMode("append").format("parquet")
@@ -639,10 +650,10 @@ object Streaming {
     * read back and aggregated; oracle = the same aggregation on the
     * source table, so lost/duplicated batches would fail the gate. */
   def streamForeachBatch(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.Paths
-    val out = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_febatch_${math.abs(d.hashCode)}").toString
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(out))
+    // Per-invocation scratch dir (TempDirs), not a hashCode-keyed fixed
+    // path: two concurrent drivers on the same data dir would append into
+    // one landing dir and double-count the aggregate.
+    val out = graft.TempDirs.scratch("graft_febatch_").toString
     val q = eventsStream(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
       .writeStream
