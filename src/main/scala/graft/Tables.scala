@@ -34,14 +34,34 @@ object Tables {
     *    `epoch_ms` assigns a naive timestamp.
     * Either way callers see one `ts: TIMESTAMP` column. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = s.conf.getOption(key)
+    def restore(): Unit = prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+    s.conf.set(key, "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
+        // NANOS encoding: the parquet reader re-reads this conf at every
+        // action's physical planning, so it must REMAIN set for the
+        // lifetime of any execution over this frame — intentionally left
+        // sticky on this branch only.
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
+      case TimestampNTZType =>
+        restore()
         raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      case TimestampType =>
+        restore()
+        raw
+      case other =>
+        restore()
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet timestamp encoding $other — " +
+            "expected TIMESTAMP(NANOS) (read as long), TIMESTAMP(MICROS, " +
+            "naive) (TIMESTAMP_NTZ), or plain TIMESTAMP")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -26,6 +26,18 @@ object EventsOps {
   private val HOUR_MS = 3600000L
   private val HALF_HOUR_MS = 1800000L
 
+  /** Sign-correct FLOOR division of epoch-ms into `unit`-sized buckets.
+    * Spark's `div` truncates toward zero while the oracle's `//` floors —
+    * the two diverge on pre-1970 (negative epoch-ms) timestamps. The
+    * floor-mod numerator is an exact multiple of `unit`, so the final
+    * `div` is exact for any sign. Bucket INDEX (e.g. hour number). */
+  private def floorBucket(msExpr: String, unit: Long) =
+    expr(s"(($msExpr) - ((($msExpr) % $unit + $unit) % $unit)) div $unit")
+
+  /** Same floor bucketing, but returning the bucket START in epoch-ms. */
+  private def floorBucketMs(msExpr: String, unit: Long) =
+    expr(s"($msExpr) - ((($msExpr) % $unit + $unit) % $unit)")
+
   /** Tumbling 1-hour windows per event type. */
   def tumbling(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -212,7 +224,7 @@ object EventsOps {
     val DAY_MS = 86400000L
     events(s, d)
       .select(col("user_id"), unix_millis(col("ts")).as("ms"))
-      .select(col("user_id"), expr(s"ms div $DAY_MS").as("day"))
+      .select(col("user_id"), floorBucket("ms", DAY_MS).as("day"))
       .distinct()
       .withColumn("cohort_day",
         min(col("day")).over(Window.partitionBy(col("user_id"))))
@@ -305,7 +317,7 @@ object EventsOps {
   def rollingDistinct(s: SparkSession, d: String): DataFrame = {
     val targets = array(lit(0L), lit(1L), lit(2L))
     val e = events(s, d).select(
-      expr(s"unix_millis(ts) div $HOUR_MS").as("hour"), col("user_id"))
+      floorBucket("unix_millis(ts)", HOUR_MS).as("hour"), col("user_id"))
     val hourly = e.groupBy(col("hour")).agg(
       count(lit(1)).as("n_events"),
       expr("hll_sketch_agg(user_id)").as("sk"))
@@ -348,14 +360,9 @@ object EventsOps {
     * bounded by the user's span in hours. No global window, no
     * events-sized sort. */
   def gapFill(s: SparkSession, d: String): DataFrame = {
-    // Floor bucketing via `ms - mod-floor(ms)`, not `div`: Spark's `div`
-    // truncates toward zero while the oracle's `//` floors, and the two
-    // diverge on pre-1970 (negative epoch-ms) timestamps. The mod-floor
-    // form is exact on longs for any sign.
     val hourly = events(s, d)
       .select(col("user_id"),
-        expr(s"unix_millis(ts) - ((unix_millis(ts) % $HOUR_MS + $HOUR_MS) % $HOUR_MS)")
-          .as("h"),
+        floorBucketMs("unix_millis(ts)", HOUR_MS).as("h"),
         col("event_type"), col("value"))
       .groupBy(col("user_id"), col("h"))
       .agg(count(lit(1)).as("n"),

@@ -55,14 +55,30 @@ object Streaming {
     * conversion (see graft.Tables.events for the precision rationale). */
   private def eventsRaw(
       s: SparkSession, path: String): (StructType, DataFrame => DataFrame) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = s.conf.getOption(key)
+    def restore(): Unit = prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+    s.conf.set(key, "true")
     val sch = s.read.parquet(path).schema
     val conv: DataFrame => DataFrame = sch("ts").dataType match {
       case LongType =>
+        // NANOS: the conf is re-read at each micro-batch's planning, so it
+        // must stay set while this stream runs — sticky on this branch only.
         _.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType =>
+        restore()
         _.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => identity
+      case TimestampType =>
+        restore()
+        identity
+      case other =>
+        restore()
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet timestamp encoding $other — " +
+            "expected NANOS(long), MICROS-NTZ, or plain TIMESTAMP")
     }
     (sch, conv)
   }
@@ -73,7 +89,6 @@ object Streaming {
     * via symlink. */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // keyed by the SANITIZED FULL PATH, not d.hashCode: hashCode can
     // alias two different sf dirs into one stage (the symlink check below
     // would then thrash between targets under concurrent drivers)
