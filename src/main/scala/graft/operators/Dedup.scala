@@ -87,25 +87,93 @@ object Dedup {
     // registered with CacheScope; the consumer releases it after its action.
     val sigs = graft.CacheScope.track(signatures(s, d).persist())
     sigs.count()
-    // Signatures ride along with the band keys, so candidate match-counting
-    // happens INSIDE the band self-join — no join-back of two sig copies
-    // onto millions of candidate pairs (that was ~10 s of the 17 s round-1
-    // cost at sf0.1). matches is a function of (d1, d2), so the estimated-
-    // Jaccard filter runs BEFORE the distinct and prunes its shuffle.
-    val bands = bandsOf(sigs)
-    // A true near-dup usually collides in BOTH bands, so a distinct() here
-    // would shuffle ~2x the final rows just to drop the double-emissions.
-    // Instead each pair is emitted exactly once, from its minimal matching
-    // band: band 1 emits only if band 0's four slots don't all match
-    // (both signatures are already on the joined row — pure codegen, no
-    // extra exchange).
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .filter(col("x.band") === 0 || !(0 until 4).map(slotEq).reduce(_ && _))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        (0 until 8).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _).as("matches"))
-      .filter(col("matches") >= 6)
+    pairsFromBands(bandsOf(sigs), lshMaxBucket(s))
+  }
+
+  /** Conf-gated LSH hot-bucket cap (`spark.graft.lsh.maxBucket`); 0
+    * (default) = unguarded. Shared by the MinHash band join here and
+    * [[Similarity.embedNearDupLsh]]'s sign-LSH band join. */
+  private[operators] def lshMaxBucket(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.lsh.maxBucket").map(_.toInt).getOrElse(0)
+
+  /** Test seam: guarded pair generation over an arbitrary (doc_id, text)
+    * frame (DedupSpec drives it with an adversarial hot-bucket corpus). */
+  private[graft] def minhashPairsGuarded(docs: DataFrame, cap: Int): DataFrame =
+    pairsFromBands(bandsOf(signaturesOf(docs)), cap)
+
+  private val N_BANDS = 2
+
+  /** Candidate/match pairs from a band frame.
+    *
+    * cap <= 0 (the default, what the oracle replays): plain band
+    * self-join. A true near-dup usually collides in BOTH bands, so a
+    * distinct() would shuffle ~2x the final rows just to drop the
+    * double-emissions; instead each pair is emitted exactly once, from
+    * its minimal matching band: band 1 emits only if band 0's four slots
+    * don't all match (both signatures are already on the joined row —
+    * pure codegen, no extra exchange). Signatures ride along with the
+    * band keys, so candidate match-counting happens INSIDE the band
+    * self-join — no join-back of two sig copies onto millions of
+    * candidate pairs (that was ~10 s of the 17 s round-1 cost at sf0.1),
+    * and the match filter prunes before any later shuffle.
+    *
+    * cap > 0: the DEGENERATE-BUCKET guard — the one input-shape hazard
+    * of banded LSH at 100 TB. Real web corpora have hot buckets
+    * (empty/boilerplate docs collapsing to one band key); an m-doc
+    * bucket emits m²/2 candidates, so one 10⁶-doc bucket is 5·10¹¹
+    * pairs — the job that never finishes. The guard counts docs per
+    * (band, bucket), BROADCASTS the (tiny, ≤ corpus/cap rows) hot-key
+    * set, and:
+    *  - joins only COLD bucket rows pairwise (per-bucket cost ≤ cap²,
+    *    total ≤ cap · |rows| — linear in the corpus). Cross-band
+    *    double-emissions are dropped by an explicit pair-level
+    *    dropDuplicates (the minimal-band trick is unsound once a
+    *    band's bucket can be missing from the join);
+    *  - routes docs whose EVERY band bucket is hot to the exact
+    *    md5-equality path: group by the full-signature hash and emit a
+    *    STAR to the group's min doc (g−1 edges instead of g²/2 — the
+    *    same connectivity for [[dedupClusters]], and no true-duplicate
+    *    recall loss, since a fully-identical group bigger than cap is
+    *    necessarily hot in every band). Hot-bucket pairs that are NOT
+    *    exact duplicates are dropped — the documented recall trade for
+    *    never going quadratic on boilerplate.
+    */
+  private def pairsFromBands(bands: DataFrame, cap: Int): DataFrame = {
+    if (cap <= 0)
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .filter(col("x.band") === 0 || !(0 until 4).map(slotEq).reduce(_ && _))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          (0 until 8).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _).as("matches"))
+        .filter(col("matches") >= 6)
+    else {
+      val hot = bands.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") > cap)
+        .select(col("band"), col("bucket"))
+      val cold = bands.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      val coldPairs = cold.as("x").join(cold.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          (0 until 8).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _).as("matches"))
+        .filter(col("matches") >= 6)
+        .dropDuplicates("d1", "d2")
+      val allHotIds = bands
+        .join(broadcast(hot), Seq("band", "bucket"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
+        .filter(col("nh") === N_BANDS)
+        .select(col("doc_id"))
+      val keyed = bands.filter(col("band") === 0)
+        .join(allHotIds, "doc_id")
+        .select(col("doc_id"), md5(concat_ws("", col("sig"))).as("k"))
+      val stars = keyed
+        .join(keyed.groupBy(col("k")).agg(min(col("doc_id")).as("rep")), "k")
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("d1"), col("doc_id").as("d2"),
+          lit(8).as("matches"))
+      coldPairs.unionByName(stars)
+    }
   }
 
   /** (band, bucket) keys per signature — 2 bands × 4 rows. */

@@ -489,7 +489,24 @@ object Similarity {
     * gate stays exact. */
   def embedNearDupLsh(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val e = embeddings(s, d)
+    embedNearDupLshOf(embeddings(s, d), Dedup.lshMaxBucket(s))
+  }
+
+  /** [[embedNearDupLsh]] over an arbitrary (vec_id, embedding) frame with
+    * an explicit hot-bucket cap — the seam SimilaritySpec's adversarial
+    * fixture drives. cap <= 0 = unguarded (the oracle's semantics);
+    * cap > 0 applies the same degenerate-bucket guard as
+    * [[Dedup]]'s MinHash band join: per-(band, bucket) counts, hot keys
+    * broadcast, cold rows joined pairwise (per-bucket ≤ cap² — linear in
+    * the corpus), and vectors hot in ALL 8 bands routed to the exact
+    * md5-equality path as a STAR to each identical-vector group's min id
+    * (identical vectors share every bucket, so a group bigger than cap
+    * is hot everywhere and keeps full recall; non-identical hot-bucket
+    * pairs are the documented recall trade). Star candidates still flow
+    * through the exact cosine verification below, so emitted sims are
+    * computed, never assumed. */
+  private[graft] def embedNearDupLshOf(e: DataFrame, cap: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(e.sparkSession)
     val bucketExprs = (0 until 8).map { t =>
       val bits = (1 to 8).map(i =>
         s"CASE WHEN element_at(embedding, ${t * 8 + i}) >= 0F THEN '1' ELSE '0' END")
@@ -497,12 +514,39 @@ object Similarity {
     }
     val bands = e.select(col("vec_id"), explode(array(bucketExprs: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cands = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
-      .distinct()
+    val rawCands =
+      if (cap <= 0)
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      else {
+        val hot = bands.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("bn")).filter(col("bn") > cap)
+          .select(col("band"), col("bucket"))
+        val cold = bands.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+        val coldCands = cold.as("a")
+          .join(cold.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+        val allHotIds = bands
+          .join(broadcast(hot), Seq("band", "bucket"), "left_semi")
+          .groupBy(col("vec_id")).agg(count(lit(1)).as("nh"))
+          .filter(col("nh") === 8)
+          .select(col("vec_id"))
+        val keyed = allHotIds.join(e, "vec_id")
+          .select(col("vec_id"),
+            md5(expr("concat_ws(',', transform(embedding, x -> CAST(x AS STRING)))"))
+              .as("k"))
+        val stars = keyed
+          .join(keyed.groupBy(col("k")).agg(min(col("vec_id")).as("rep")), "k")
+          .filter(col("vec_id") =!= col("rep"))
+          .select(col("rep").as("v1"), col("vec_id").as("v2"))
+        coldCands.unionByName(stars)
+      }
+    val cands = rawCands.distinct()
     val withVec = cands
       .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
         sqrt(expr("vec_dot(embedding, embedding)")).as("n1")), "v1")
