@@ -310,7 +310,7 @@ object Dedup {
     * dir, or a temp dir in local mode): recomputation after executor loss
     * then restarts from the last round's HDFS/object-store files instead
     * of from the raw corpus. */
-  private def truncateLineage(df: DataFrame): DataFrame = {
+  private[operators] def truncateLineage(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     val reliable =
       s.conf.getOption("spark.graft.dedup.reliableCheckpoint").exists(_.toBoolean)

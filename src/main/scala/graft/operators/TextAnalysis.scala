@@ -349,28 +349,19 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
 
-  /** BPE TRAINER loop — 5 driver-iterated merge rounds. Each round:
-    * count adjacent token pairs (one explode + one partial-agg shuffle,
-    * the [[vocabPairs]] shape), pick the most frequent pair (ties on the
+  /** BPE TRAINER — 5 merge rounds over a one-pass distinct-document
+    * HISTOGRAM (see [[bpeTrain]] for the Sennrich et al. shape). Each
+    * round: count adjacent token pairs over the histogram weighted by
+    * multiplicity (one explode + one partial-agg shuffle, the
+    * [[vocabPairs]] shape), pick the most frequent pair (ties on the
     * pair string — one 1-row driver action, the same scalar-fixpoint
-    * pattern as connected components), then APPLY the merge corpus-wide
-    * and re-count. The applied merge is a literal broadcast into a
-    * codegen'd `replace` — the "broadcast merge map" of a real BPE
-    * trainer, one entry per round.
+    * pattern as connected components), then apply the merge to the
+    * HISTOGRAM only — the corpus is never rewritten during training.
     *
     * Merge application must be identical in both engines, so tokens ride
-    * a delimited wire form: `|tok₁||tok₂||…|`. The winning pair (a, b)
-    * is the substring `|a||b|`, replaced by `|a_b|`; leftmost
-    * non-overlapping greedy replacement is exactly what SQL `replace`
-    * does everywhere, and the shared `|` delimiter between adjacent
-    * pair occurrences means "a a a" merges to "a_a a" in both engines —
-    * the true BPE greedy-scan semantics, no regex, no UDF.
-    *
-    * Scale shape: each round is one narrow `replace` map over the
-    * corpus plus the pair-count exchange over the pair vocabulary; 5
-    * rounds chain 5 codegen'd replaces — no corpus-sized sort, no
-    * window, nothing driver-side but the 1-row argmax. Output: the 5
-    * merge rules in training order with their support counts — the
+    * a delimited wire form: `|tok₁||tok₂||…|` (see [[wireSearch]]) — no
+    * regex, no UDF. Nothing driver-side but the 1-row argmax. Output:
+    * the 5 merge rules in training order with their support counts — the
     * vocabulary head a tokenizer trainer would persist. */
   def bpeMerges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -378,40 +369,82 @@ object TextAnalysis {
   }
 
   /** The shared trainer: returns (final encoded wire frame keyed by
-    * doc_id, the merge table in training order). */
+    * doc_id, the merge table in training order).
+    *
+    * HISTOGRAM formulation (Sennrich et al. 2016's scalable shape): the
+    * corpus is read ONCE into a (wire, cnt) histogram over distinct
+    * documents, and every training round — pair counting, argmax, merge
+    * application — runs over the histogram alone, weighting pair counts
+    * by cnt. Merges can cross any within-document token boundary, so the
+    * document is the merge-boundary unit here, exactly as the word is in
+    * char-level BPE — the histogram is the corpus' distinct-document
+    * table, and per-round cost is proportional to IT, not to the corpus
+    * (on web-scale data with heavy duplication that is the difference
+    * between 32k merge rounds × corpus rewrites and 32k rounds × a
+    * dedup-sized frame). Identical merge table to the naive per-corpus
+    * loop: summing per-wire pair counts weighted by multiplicity is the
+    * same total as counting per document.
+    *
+    * Each round's histogram is lineage-truncated ([[Dedup.
+    * truncateLineage]] — eager localCheckpoint, or reliable checkpoint
+    * under `spark.graft.dedup.reliableCheckpoint`): the round-N plan
+    * would otherwise embed every prior round's replace+regroup and
+    * Catalyst analysis cost would grow per round. The merged wires are
+    * re-grouped after each replace (two previously-distinct wires can
+    * collapse once a pair is fused), so the histogram only ever shrinks.
+    *
+    * The corpus itself is rewritten exactly ONCE, after training: the
+    * full merge table is applied as a chain of codegen'd replaces in a
+    * single narrow pass (the broadcast-merge-map shape of a real
+    * tokenizer trainer). */
   private def bpeTrain(s: SparkSession, d: String,
       rounds: Int): (DataFrame, Seq[(Long, String, Long)]) = {
-    var wire = documents(s, d)
+    val corpusWire = documents(s, d)
       .select(col("doc_id"),
         concat(lit("|"), expr("replace(text, ' ', '||')"), lit("|")).as("w"))
+    var hist = graft.operators.Dedup.truncateLineage(
+      corpusWire.groupBy(col("w")).agg(count(lit(1)).as("cnt")))
     val merges = collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     for (r <- 1 to rounds) {
-      val toks = wire
-        .select(expr(
+      val best = hist
+        .select(col("cnt"), expr(
           "split(substring(w, 2, length(w) - 2), '\\\\|\\\\|')").as("toks"))
         .filter(size(col("toks")) >= 2)
-      val best = toks
-        .select(explode(expr(
+        .select(col("cnt"), explode(expr(
           """transform(sequence(1, size(toks) - 1),
             |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
             .stripMargin)).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(1).collect()
       if (best.nonEmpty) {
         val (pair, n) = (best(0).getString(0), best(0).getLong(1))
         merges += ((r.toLong, pair, n))
-        val search = "|" + pair.replace(" ", "||") + "|"
-        val target = "|" + pair.replace(" ", "_") + "|"
         // lit() columns, not SQL literal splicing: token text never has
         // to survive a second trip through the SQL parser
-        wire = wire.select(col("doc_id"),
-          org.apache.spark.sql.functions.replace(
-            col("w"), lit(search), lit(target)).as("w"))
+        hist = graft.operators.Dedup.truncateLineage(
+          hist.select(
+              org.apache.spark.sql.functions.replace(
+                col("w"), lit(wireSearch(pair)), lit(wireTarget(pair))).as("w"),
+              col("cnt"))
+            .groupBy(col("w")).agg(sum(col("cnt")).as("cnt")))
       }
+    }
+    val wire = merges.foldLeft(corpusWire) { case (df, (_, pair, _)) =>
+      df.select(col("doc_id"),
+        org.apache.spark.sql.functions.replace(
+          col("w"), lit(wireSearch(pair)), lit(wireTarget(pair))).as("w"))
     }
     (wire, merges.toSeq)
   }
+
+  /** The winning pair (a, b) as its wire-form search/replacement strings:
+    * `|a||b|` → `|a_b|`. Leftmost non-overlapping greedy replacement is
+    * exactly what SQL `replace` does everywhere, and the shared `|`
+    * delimiter between adjacent occurrences means "a a a" merges to
+    * "a_a a" in both engines — true BPE greedy-scan semantics. */
+  private def wireSearch(pair: String): String = "|" + pair.replace(" ", "||") + "|"
+  private def wireTarget(pair: String): String = "|" + pair.replace(" ", "_") + "|"
 
   /** BPE ENCODE — apply the trained merge table to the corpus and report
     * the per-document compression: token count before/after and the
