@@ -582,6 +582,21 @@ object Similarity {
     * pair-derived graph, orders of magnitude smaller than the corpus. */
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
     val useLsh = s.conf.getOption("spark.graft.semdedup.lsh").exists(_.toBoolean)
+    semanticDedupFrom(s, d, useLsh)
+  }
+
+  /** [[semanticDedup]] pinned to the SUB-QUADRATIC banded-LSH pair source
+    * — the path a real 100 TB corpus runs, surfaced as its own catalog
+    * entry (`q_semantic_dedup_lsh`) so it sits inside the DuckDB hash
+    * gate instead of only behind the conf: the oracle replays the banding
+    * (the `q_embed_neardup_lsh` CTE) and the same recursive min-label CC,
+    * so any drift in the banding, the candidate join, or the clustering
+    * over LSH pairs fails the gate. */
+  def semanticDedupLsh(s: SparkSession, d: String): DataFrame =
+    semanticDedupFrom(s, d, useLsh = true)
+
+  private def semanticDedupFrom(
+      s: SparkSession, d: String, useLsh: Boolean): DataFrame = {
     val pairGen = if (useLsh) embedNearDupLsh _ else embedNearDup _
     val pairs = pairGen(s, d).select(col("v1").as("d1"), col("v2").as("d2"))
     val labels = Dedup.connectedComponents(pairs)
@@ -723,7 +738,8 @@ object Similarity {
     "q_knn_ivfpq" -> (knnIvfPq _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_embed_neardup_lsh" -> (embedNearDupLsh _),
-    "q_semantic_dedup" -> (semanticDedup _)
+    "q_semantic_dedup" -> (semanticDedup _),
+    "q_semantic_dedup_lsh" -> (semanticDedupLsh _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -981,6 +997,46 @@ object Similarity {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.35
         |ORDER BY v1, v2""".stripMargin,
+
+    // the LSH banding CTE verbatim as the pair source, then the same
+    // recursive min-label reach + singleton fill as q_semantic_dedup —
+    // the sub-quadratic scale path, itself hash-gated
+    "q_semantic_dedup_lsh" -> {
+      val bucketSql = (1 to 8)
+        .map(i => s"CASE WHEN a.embedding[t.band * 8 + $i] >= 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH RECURSIVE bands AS (
+        |  SELECT a.vec_id, t.band, $bucketSql AS bucket
+        |  FROM embeddings a, (SELECT unnest(range(8)) AS band) t),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        |p AS (
+        |  SELECT c.v1 AS d1, c.v2 AS d2
+        |  FROM cand c
+        |    JOIN embeddings a ON a.vec_id = c.v1
+        |    JOIN embeddings b ON b.vec_id = c.v2
+        |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.35),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM p
+        |  UNION ALL SELECT d2, d1 FROM p),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach(node, lbl) AS (
+        |  SELECT node, node AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        |cc AS (SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+        |allv AS (
+        |  SELECT e.vec_id, COALESCE(cc.cluster_id, e.vec_id) AS cluster_id
+        |  FROM embeddings e LEFT JOIN cc USING (vec_id)),
+        |sizes AS (
+        |  SELECT cluster_id, COUNT(*) AS cluster_size FROM allv GROUP BY cluster_id)
+        |SELECT allv.vec_id, allv.cluster_id, sizes.cluster_size,
+        |  (allv.vec_id = allv.cluster_id) AS keep
+        |FROM allv JOIN sizes USING (cluster_id)
+        |ORDER BY allv.vec_id""".stripMargin
+    },
 
     "q_embed_neardup_lsh" -> {
       val bucketSql = (1 to 8)
