@@ -271,6 +271,37 @@ object Dedup {
       bandsOf(signaturesOf(batch)), batch.select(col("doc_id")))
   }
 
+  /** Index GROWTH step: append a set of accepted (doc_id, text) docs'
+    * band rows to a [[writeSignatureIndex]] table. Parquet append — one
+    * new file per batch, no compaction needed (the band join reads all
+    * index files; run [[q_compact_files]]-style bin-packing offline when
+    * small files accumulate). */
+  def appendToSignatureIndex(acceptedDocs: DataFrame, path: String): Unit =
+    bandsOf(signaturesOf(acceptedDocs)).write.mode("append").parquet(path)
+
+  /** The full streaming-ingest micro-batch body: dedup one arriving
+    * (doc_id, text) batch against the index, then GROW the index with the
+    * batch's accepted docs (is_new — no base near-dup), so the NEXT batch
+    * detects duplicates of this batch's novelties too. The corpus policy
+    * this encodes is keep-one-representative: only novel docs enter the
+    * index, duplicates point at the standing representative forever.
+    *
+    * The result is eagerly materialized (lineage-truncated) BEFORE the
+    * append: the dedup plan reads the index files, so appending first
+    * would let a doc match its own just-written bands. Intra-batch
+    * duplicates are out of scope by design (both are novel vs the index
+    * and both enter it) — pre-collapse the batch with [[dedupExact]]
+    * semantics upstream if the transport can replay within a batch.
+    * StreamingSpec drives this under a real stream: batch-N accepts →
+    * batch-N+1 detects, with the grown index equal to base ∪ accepted. */
+  def dedupBatchAndGrowIndex(batch: DataFrame, indexPath: String): DataFrame = {
+    val result = truncateLineage(dedupBatchAgainstIndex(batch, indexPath))
+    val accepted = batch.join(
+      result.filter(col("is_new")).select(col("doc_id")), "doc_id")
+    appendToSignatureIndex(accepted.select(col("doc_id"), col("text")), indexPath)
+    result
+  }
+
   /** Catalog wrapper proving the index round trip end-to-end: write the
     * base slice's index to a scratch dir, then dedup the delta against
     * the FILES. Same oracle as `q_dedup_incremental` — the persisted hop

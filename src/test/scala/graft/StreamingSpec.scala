@@ -191,6 +191,49 @@ class StreamingSpec extends SparkFunSuite {
     assert(results.nonEmpty)
   }
 
+  test("index growth: batch-N accepted docs are detected by batch N+1") {
+    // the append path of the streaming ingest: each micro-batch dedups
+    // against the index AND appends its accepted (novel) docs' bands, so
+    // a later batch's duplicate of an earlier batch's novelty is caught —
+    // state lives in the index files across batches
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val idx = TempDirs.scratch("graft_sigindex_grow_").resolve("base").toString
+    val base = (0L until 5L).map(i =>
+      (i, s"base${i}a base${i}b base${i}c base${i}d base${i}e base${i}f"))
+    operators.Dedup.writeSignatureIndex(base.toDF("doc_id", "text"), idx)
+    val novel = (100L, "novel100a novel100b novel100c novel100d novel100e novel100f")
+    val dupOfBase = (101L, base(0)._2)
+    val dupOfNovel = (200L, novel._2) // same text as batch 1's accepted doc
+    val fresh = (201L, "fresh201a fresh201b fresh201c fresh201d fresh201e fresh201f")
+    val ms = MemoryStream[(Long, String)]
+    val results = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        results ++= operators.Dedup.dedupBatchAndGrowIndex(b.toDF(), idx).collect()
+        ()
+      }
+      .start()
+    try {
+      ms.addData(Seq(novel, dupOfBase)); q.processAllAvailable()
+      ms.addData(Seq(dupOfNovel, fresh)); q.processAllAvailable()
+    } finally q.stop()
+    val byId = results.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(100L).getAs[Boolean]("is_new"), "novel batch-1 doc not accepted")
+    assert(!byId(101L).getAs[Boolean]("is_new") &&
+      byId(101L).getAs[Long]("matched_base") === 0L, "base dup missed")
+    // THE growth property: batch 2's duplicate of batch 1's accepted doc
+    assert(!byId(200L).getAs[Boolean]("is_new"),
+      "batch-2 dup of batch-1 novelty not detected — index did not grow")
+    assert(byId(200L).getAs[Long]("matched_base") === 100L)
+    assert(byId(201L).getAs[Boolean]("is_new"))
+    // grown index = base ∪ accepted (novel docs only; duplicates never enter)
+    val ids = s.read.parquet(idx).select(col("doc_id")).distinct()
+      .as[Long].collect().toSet
+    assert(ids === (0L until 5L).toSet ++ Set(100L, 201L))
+  }
+
   test("stream-stream FULL outer null-extends BOTH sides on watermark expiry") {
     val rows = Streaming.streamStreamFullJoin(spark, sf).collect()
     val nullPurchase = rows.count(_.isNullAt(1)) // unmatched click, expired
