@@ -60,7 +60,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"failures":${failures.length}}""")
+    val fullLine =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"failures":${failures.length}}"""
+    println(fullLine)
+    // The driver's BENCH capture stores only a bounded stdout TAIL, so the
+    // per-query map above can be truncated away in the round artifacts —
+    // also persist it as a repo file so every query's timing is auditable
+    // across rounds (best-effort: an unwritable cwd must not fail the run).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_full_latest.json"), fullLine + "\n")
+    catch { case _: Throwable => () }
     // short summary LAST: the bounded tail always keeps this line whole
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"failures":${failures.length}}""")
     spark.stop()

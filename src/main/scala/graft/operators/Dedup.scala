@@ -485,7 +485,15 @@ object Dedup {
     * embedding similarity pairs ([[Similarity.semanticDedup]]) — reuses
     * the same two-level contraction + fixpoint machinery and its
     * convergence guarantee. */
-  private[operators] def connectedComponents(pairsIn: DataFrame): DataFrame = {
+  private[operators] def connectedComponents(pairsIn: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairsIn)._1
+
+  /** [[connectedComponents]] plus the number of fixpoint rounds the
+    * contracted loop ran — the observable CcSpec pins the O(log diameter)
+    * convergence claim on (a 2⁵-round cap would otherwise silently rest
+    * on the dense-graph assumption). */
+  private[graft] def connectedComponentsWithRounds(
+      pairsIn: DataFrame): (DataFrame, Int) = {
     val pairs = graft.CacheScope.track(
       pairsIn.select(col("d1"), col("d2")).persist())
     pairs.count()
@@ -524,12 +532,30 @@ object Dedup {
     var converged = labels.isEmpty // fully contracted already
     var iter = 0
     while (!converged && iter < 25) {
+      // One HOP of neighbor-min (the Pregel superstep) ...
       val minNbr = cBoth.join(labels, cBoth("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.as("l")
+      val hop = labels.as("l")
         .join(minNbr, col("l.node") === minNbr("dst"), "left")
         .select(col("l.node").as("node"),
           least(col("l.lbl"), coalesce(col("nlbl"), col("l.lbl"))).as("lbl"))
+        .transform(truncateLineage) // eager: the self-join below reads it twice
+      // ... then POINTER DOUBLING (path halving): every node also takes
+      // its label's own label. A label is always a same-component node id
+      // and only ever decreases, so correctness is untouched — but the
+      // distance-to-minimum composes through the jump and the loop
+      // converges in O(log diameter) rounds instead of O(diameter): the
+      // star-contraction guarantee (Kiveris et al. SoCC'14) in label
+      // form. Dense near-dup graphs converge in the same 2-4 rounds as
+      // before (the jump is a no-op once labels are minima); adversarial
+      // CHAIN graphs — span-dedup chains, transitive paraphrase chains —
+      // drop from diameter-many rounds (a loud abort at the 25-round cap)
+      // to ≤ ~2·log₂(diameter). CcSpec measures both shapes.
+      val next = hop.as("a")
+        .join(hop.select(col("node").as("pn"), col("lbl").as("plbl")),
+          col("a.lbl") === col("pn"), "left")
+        .select(col("a.node").as("node"),
+          least(col("a.lbl"), coalesce(col("plbl"), col("a.lbl"))).as("lbl"))
         .transform(truncateLineage) // eager: materializes AND truncates lineage
       val newSum = next.agg(sum(col("lbl"))).head().getLong(0)
       labels = next
@@ -537,17 +563,19 @@ object Dedup {
       prevSum = newSum
       iter += 1
     }
-    // Loudly fail rather than emit partial labels: the dense-corpus
-    // assumption (diameter ≤ a handful) holds here, but an adversarial
-    // chain graph could exhaust the round cap with labels still moving —
-    // silently-wrong cluster ids are worse than an aborted job.
+    // Loudly fail rather than emit partial labels: with path halving the
+    // 25-round cap covers diameters past 2²⁰ — exhausting it means the
+    // input violates the pair contract (e.g. labels oscillating on
+    // non-numeric ids), and silently-wrong cluster ids are worse than an
+    // aborted job.
     require(converged, s"label propagation did not converge in $iter rounds")
     // Map level-1 labels through the contracted components; labels that
     // never appeared in a contracted edge are already component minima.
-    l1.as("a")
+    (l1.as("a")
       .join(labels.select(col("node").as("n2"), col("lbl").as("l2")),
         col("a.lbl") === col("n2"), "left")
-      .select(col("a.node").as("node"), coalesce(col("l2"), col("a.lbl")).as("lbl"))
+      .select(col("a.node").as("node"), coalesce(col("l2"), col("a.lbl")).as("lbl")),
+      iter)
   }
 
   /** Shingle sets as sorted 64-bit hash arrays, one row per doc. Guarded
