@@ -211,17 +211,55 @@ object Dedup {
 
   /** The delta-vs-base match/report stage shared by [[dedupIncremental]]
     * (both sides derived in-query, oracle-replayable) and
-    * [[dedupIncrementalFromIndex]] (base read from a persisted index). */
+    * [[dedupIncrementalFromIndex]] (base read from a persisted index).
+    *
+    * Honors the same `spark.graft.lsh.maxBucket` degenerate-bucket guard
+    * as [[pairsFromBands]] — this is the PRODUCTION ingest join, and a
+    * boilerplate bucket in the standing index (say 10⁶ rows) crossed
+    * with a matching delta bucket would multiply executor-side even
+    * though the delta broadcast is small. Guarded: base rows in hot
+    * buckets leave the band join; delta docs still find EXACT duplicates
+    * among them via an md5(signature)-equality join against the (band-0
+    * rows of) all-bands-hot base docs — so matched_base/n_base_dups keep
+    * full fidelity on true duplicates, and only non-identical hot-bucket
+    * near-dups are traded away (documented; they're boilerplate). */
   private def incrementalMatch(base: DataFrame, delta: DataFrame,
       deltaIds: DataFrame): DataFrame = {
-    // same minimal-band exactly-once emission as minhashPairs, so the
-    // per-delta-doc match COUNT needs no distinct
-    val matched = base.as("x").join(broadcast(delta.as("y")),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
-      .filter(col("x.band") === 0 || !(0 until 4).map(slotEq).reduce(_ && _))
-      .select(col("x.doc_id").as("base_doc"), col("y.doc_id").as("delta_doc"),
-        (0 until 8).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _).as("matches"))
-      .filter(col("matches") >= 6)
+    val cap = lshMaxBucket(base.sparkSession)
+    val pairs =
+      if (cap <= 0)
+        // same minimal-band exactly-once emission as pairsFromBands, so
+        // the per-delta-doc match COUNT needs no distinct
+        base.as("x").join(broadcast(delta.as("y")),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+          .filter(col("x.band") === 0 || !(0 until 4).map(slotEq).reduce(_ && _))
+          .select(col("x.doc_id").as("base_doc"), col("y.doc_id").as("delta_doc"),
+            (0 until 8).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _).as("matches"))
+          .filter(col("matches") >= 6)
+      else {
+        val hot = base.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("bn")).filter(col("bn") > cap)
+          .select(col("band"), col("bucket"))
+        val coldBase = base.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+        val coldPairs = coldBase.as("x").join(broadcast(delta.as("y")),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+          .select(col("x.doc_id").as("base_doc"), col("y.doc_id").as("delta_doc"),
+            (0 until 8).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _).as("matches"))
+          .filter(col("matches") >= 6)
+          .dropDuplicates("base_doc", "delta_doc")
+        val hotIds = base.join(broadcast(hot), Seq("band", "bucket"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
+          .filter(col("nh") === N_BANDS)
+          .select(col("doc_id"))
+        val hotKeyed = base.filter(col("band") === 0).join(hotIds, "doc_id")
+          .select(col("doc_id").as("base_doc"), md5(concat_ws("", col("sig"))).as("k"))
+        val deltaKeyed = delta.filter(col("band") === 0)
+          .select(col("doc_id").as("delta_doc"), md5(concat_ws("", col("sig"))).as("k"))
+        val hotPairs = hotKeyed.join(broadcast(deltaKeyed), "k")
+          .select(col("base_doc"), col("delta_doc"), lit(8).as("matches"))
+        coldPairs.unionByName(hotPairs)
+      }
+    val matched = pairs
       .groupBy(col("delta_doc"))
       .agg(min(col("base_doc")).as("matched_base"),
         count(lit(1)).as("n_base_dups"))

@@ -65,6 +65,45 @@ class LshGuardSpec extends SparkFunSuite {
     assert(asSet(1000000) === unguarded)
   }
 
+  test("incremental guard: delta finds exact dups inside a hot base bucket") {
+    // the production ingest shape: the standing index holds a degenerate
+    // boilerplate group; an arriving batch must still match its exact
+    // duplicates (md5-equality path) without the band join fanning out
+    val boilerText = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val base = docsDf((0L until 150L).map(i => i -> boilerText)
+      ++ Seq(500L -> "regular500a regular500b regular500c regular500d regular500e"))
+    val idx = TempDirs.scratch("graft_guard_idx_").resolve("base").toString
+    operators.Dedup.writeSignatureIndex(base, idx)
+    val batch = docsDf(Seq(
+      9000L -> boilerText,                                              // exact dup of the hot group
+      9001L -> "regular500a regular500b regular500c regular500d regular500e", // dup of the cold doc
+      9002L -> "fresh9002a fresh9002b fresh9002c fresh9002d fresh9002e"))     // novel
+    spark.conf.set("spark.graft.lsh.maxBucket", "50")
+    try {
+      val got = operators.Dedup.dedupBatchAgainstIndex(batch, idx).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[java.lang.Long]("matched_base"), r.getAs[Long]("n_base_dups"),
+            r.getAs[Boolean]("is_new"))).toMap
+      // hot-group dup: canonical match is the group min, ALL 150 counted
+      assert(got(9000L) === ((java.lang.Long.valueOf(0L), 150L, false)),
+        s"hot exact dup mishandled: ${got(9000L)}")
+      // cold near-dup path untouched
+      assert(got(9001L) === ((java.lang.Long.valueOf(500L), 1L, false)))
+      assert(got(9002L)._3, "novel doc not accepted")
+    } finally spark.conf.unset("spark.graft.lsh.maxBucket")
+  }
+
+  test("incremental guard: cap above every bucket equals unguarded on the real corpus") {
+    val unguarded = Dedup.dedupIncremental(spark, sf).collect().map(_.toString).sorted.toSeq
+    CacheScope.releaseAll()
+    spark.conf.set("spark.graft.lsh.maxBucket", "1000000")
+    try {
+      val big = Dedup.dedupIncremental(spark, sf).collect().map(_.toString).sorted.toSeq
+      assert(big === unguarded)
+    } finally spark.conf.unset("spark.graft.lsh.maxBucket")
+    CacheScope.releaseAll()
+  }
+
   test("sign-LSH guard: identical-vector hot group stars to its min id at sim 1.0") {
     import spark.implicits._
     val dims = 64
