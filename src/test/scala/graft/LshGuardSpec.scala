@@ -126,6 +126,29 @@ class LshGuardSpec extends SparkFunSuite {
     assert(unguardedHotPairs === 120L * 119 / 2)
   }
 
+  test("guarded plans stay hash-join only: no nested loop, no cartesian") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def offenders(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case _: BroadcastNestedLoopJoinExec => Seq("BroadcastNestedLoopJoin")
+        case _: CartesianProductExec => Seq("CartesianProduct")
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(offenders)
+    }
+    val g = Dedup.minhashPairsGuarded(hotCorpus, cap = 50)
+    g.collect() // finalize AQE so the inspected plan is the executed one
+    assert(offenders(g.queryExecution.executedPlan).isEmpty,
+      "guard introduced a nested-loop/cartesian join")
+  }
+
   test("sign-LSH guard: big cap equals unguarded on the real corpus") {
     val e = Tables.embeddings(spark, sf)
     def asSet(cap: Int) = Similarity.embedNearDupLshOf(e, cap).collect()
