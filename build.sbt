@@ -34,3 +34,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forward engine/SQL confs given to sbt (`sbt -Dspark.graft.x=y ...`) into
+// the forked run JVM — SparkConf picks up `spark.*` system properties, so
+// conf-gated paths (hot-bucket guard, LSH semdedup, ...) can be
+// benchmarked without code changes.
+run / javaOptions ++= sys.props.toSeq.collect {
+  case (k, v) if k.startsWith("spark.graft.") || k.startsWith("spark.sql.") =>
+    s"-D$k=$v"
+}

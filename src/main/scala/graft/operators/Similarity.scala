@@ -514,17 +514,20 @@ object Similarity {
     }
     val bands = e.select(col("vec_id"), explode(array(bucketExprs: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    def unguardedCands =
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
     val rawCands =
-      if (cap <= 0)
-        bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      if (cap <= 0) unguardedCands
       else {
         val hot = bands.groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("bn")).filter(col("bn") > cap)
           .select(col("band"), col("bucket"))
+        if (hot.isEmpty) unguardedCands // adaptive — see Dedup.pairsFromBands
+        else {
         val cold = bands.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
         val coldCands = cold.as("a")
           .join(cold.as("b"),
@@ -545,6 +548,7 @@ object Similarity {
           .filter(col("vec_id") =!= col("rep"))
           .select(col("rep").as("v1"), col("vec_id").as("v2"))
         coldCands.unionByName(stars)
+        }
       }
     val cands = rawCands.distinct()
     val withVec = cands
