@@ -505,15 +505,29 @@ object Similarity {
     * pairs are the documented recall trade). Star candidates still flow
     * through the exact cosine verification below, so emitted sims are
     * computed, never assumed. */
-  private[graft] def embedNearDupLshOf(e: DataFrame, cap: Int): DataFrame = {
-    graft.functions.VectorFunctions.register(e.sparkSession)
+  /** 8-band × 8-bit sign-LSH band keys for a (vec_id, embedding) frame —
+    * one row per (vec_id, band). Shared by the self-join
+    * ([[embedNearDupLshOf]]), the incremental base-vs-delta join
+    * ([[incrementalNearDup]]) and the persisted vector index
+    * ([[writeVectorBandIndex]]). */
+  private def signBands(e: DataFrame): DataFrame = {
     val bucketExprs = (0 until 8).map { t =>
       val bits = (1 to 8).map(i =>
         s"CASE WHEN element_at(embedding, ${t * 8 + i}) >= 0F THEN '1' ELSE '0' END")
       struct(lit(t).as("band"), expr(bits.mkString("concat(", ", ", ")")).as("bucket"))
     }
-    val bands = e.select(col("vec_id"), explode(array(bucketExprs: _*)).as("bb"))
+    e.select(col("vec_id"), explode(array(bucketExprs: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Exact-identity key of an embedding (md5 over the delimited float
+    * renders) — the hot-bucket guard's equality-path key. */
+  private val embedKey =
+    expr("md5(concat_ws(',', transform(embedding, x -> CAST(x AS STRING))))")
+
+  private[graft] def embedNearDupLshOf(e: DataFrame, cap: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(e.sparkSession)
+    val bands = signBands(e)
     def unguardedCands =
       bands.as("a")
         .join(bands.as("b"),
@@ -540,9 +554,7 @@ object Similarity {
           .filter(col("nh") === 8)
           .select(col("vec_id"))
         val keyed = allHotIds.join(e, "vec_id")
-          .select(col("vec_id"),
-            md5(expr("concat_ws(',', transform(embedding, x -> CAST(x AS STRING)))"))
-              .as("k"))
+          .select(col("vec_id"), embedKey.as("k"))
         val stars = keyed
           .join(keyed.groupBy(col("k")).agg(min(col("vec_id")).as("rep")), "k")
           .filter(col("vec_id") =!= col("rep"))
@@ -561,6 +573,113 @@ object Similarity {
       .filter(col("sim") >= 0.35)
       .select(col("v1"), col("v2"), col("sim"))
       .orderBy(col("v1"), col("v2"))
+  }
+
+  /** INCREMENTAL embedding near-dup — the ANN twin of
+    * [[Dedup.dedupIncremental]]: a small arriving batch (delta) is
+    * matched against the standing corpus (base) without ever re-running
+    * base×base. The delta's sign-LSH band keys are BROADCAST against the
+    * base bands, so the exchange cost is O(delta), not O(corpus);
+    * candidates are verified with the exact cosine (computed, never
+    * assumed), and each delta vector reports its canonical base match
+    * (min vec_id at sim ≥ 0.35), its base near-dup count, the best
+    * similarity, and an is_new flag — the admission decision of a
+    * vector-dedup ingest pipeline. Honors the same adaptive
+    * `spark.graft.lsh.maxBucket` hot-bucket guard as every other band
+    * join (hot base buckets leave the join; delta vectors still find
+    * exact-identical base vectors through the md5-equality path). */
+  def embedNearDupIncremental(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = embeddings(s, d)
+    incrementalNearDup(e.filter(col("vec_id") % 10 < 8),
+      e.filter(col("vec_id") % 10 >= 8))
+  }
+
+  private[graft] def incrementalNearDup(
+      base: DataFrame, delta: DataFrame): DataFrame =
+    incrementalNearDupBands(signBands(base), base, delta)
+
+  /** The match stage shared by [[embedNearDupIncremental]] (bands derived
+    * in-query, oracle-replayable) and [[nearDupFromVectorIndex]] (bands +
+    * vectors read from a persisted index). `baseVecs` must carry
+    * (vec_id, embedding) for every id appearing in `baseBands`. */
+  private def incrementalNearDupBands(baseBands: DataFrame,
+      baseVecs: DataFrame, delta: DataFrame): DataFrame = {
+    val s = baseVecs.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    val cap = Dedup.lshMaxBucket(s)
+    val db = signBands(delta)
+    def unguardedCands =
+      baseBands.as("a").join(broadcast(db.as("b")),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .select(col("a.vec_id").as("bv"), col("b.vec_id").as("dv"))
+    val rawCands =
+      if (cap <= 0) unguardedCands
+      else {
+        val hot = baseBands.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("bn")).filter(col("bn") > cap)
+          .select(col("band"), col("bucket"))
+        if (hot.isEmpty) unguardedCands // adaptive — see Dedup.pairsFromBands
+        else {
+          val cold = baseBands.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+          val coldCands = cold.as("a").join(broadcast(db.as("b")),
+              col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+            .select(col("a.vec_id").as("bv"), col("b.vec_id").as("dv"))
+          val allHotIds = baseBands
+            .join(broadcast(hot), Seq("band", "bucket"), "left_semi")
+            .groupBy(col("vec_id")).agg(count(lit(1)).as("nh"))
+            .filter(col("nh") === 8).select(col("vec_id"))
+          val hotKeyed = allHotIds.join(baseVecs, "vec_id")
+            .select(col("vec_id").as("bv"), embedKey.as("k"))
+          val deltaKeyed = delta.select(col("vec_id").as("dv"), embedKey.as("k"))
+          val hotCands = hotKeyed.join(broadcast(deltaKeyed), "k")
+            .select(col("bv"), col("dv"))
+          coldCands.unionByName(hotCands)
+        }
+      }
+    val withVec = rawCands.distinct()
+      .join(baseVecs.select(col("vec_id").as("bv"), col("embedding").as("e1"),
+        sqrt(expr("vec_dot(embedding, embedding)")).as("n1")), "bv")
+      .join(broadcast(delta.select(col("vec_id").as("dv"),
+        col("embedding").as("e2"),
+        sqrt(expr("vec_dot(embedding, embedding)")).as("n2"))), "dv")
+      .withColumn("sim", round(expr("vec_dot(e1, e2)") / (col("n1") * col("n2")), 6))
+      .filter(col("sim") >= 0.35)
+    val matched = withVec.groupBy(col("dv"))
+      .agg(min(col("bv")).as("matched_base"), count(lit(1)).as("n_base_dups"),
+        max(col("sim")).as("best_sim"))
+    delta.select(col("vec_id"))
+      .join(matched, col("vec_id") === col("dv"), "left")
+      .select(col("vec_id"), col("matched_base"),
+        coalesce(col("n_base_dups"), lit(0L)).as("n_base_dups"),
+        col("best_sim"),
+        col("matched_base").isNull.as("is_new"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Persist a VECTOR band index for a standing corpus: one row per
+    * (vec_id, band) carrying the sign-LSH bucket AND the embedding. The
+    * 8× embedding duplication trades storage for a self-contained index —
+    * no join back to a vectors table at ingest time, and parquet column
+    * pruning means the band-key scan never materializes the embedding
+    * column until candidates exist. Appended per batch like
+    * [[Dedup.appendToSignatureIndex]]. */
+  def writeVectorBandIndex(e: DataFrame, path: String): Unit =
+    signBands(e).join(e, "vec_id")
+      .select(col("vec_id"), col("band"), col("bucket"), col("embedding"))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[embedNearDupIncremental]]'s production face: base bands + vectors
+    * come from a [[writeVectorBandIndex]] table on disk; only the delta's
+    * bands are derived in-query. Bit-equal to the in-query derivation —
+    * band keys and cosines are per-row functions of the stored vectors
+    * (SimilaritySpec asserts the equality). */
+  def nearDupFromVectorIndex(delta: DataFrame, indexPath: String): DataFrame = {
+    val idx = delta.sparkSession.read.parquet(indexPath)
+    incrementalNearDupBands(
+      idx.select(col("vec_id"), col("band"), col("bucket")),
+      idx.filter(col("band") === 0).select(col("vec_id"), col("embedding")),
+      delta)
   }
 
   /** SemDeDup-style SEMANTIC dedup: connected components over the
@@ -742,6 +861,7 @@ object Similarity {
     "q_knn_ivfpq" -> (knnIvfPq _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_embed_neardup_lsh" -> (embedNearDupLsh _),
+    "q_embed_neardup_incremental" -> (embedNearDupIncremental _),
     "q_semantic_dedup" -> (semanticDedup _),
     "q_semantic_dedup_lsh" -> (semanticDedupLsh _)
   )
@@ -1040,6 +1160,37 @@ object Similarity {
         |  (allv.vec_id = allv.cluster_id) AS keep
         |FROM allv JOIN sizes USING (cluster_id)
         |ORDER BY allv.vec_id""".stripMargin
+    },
+
+    // base-vs-delta banding + exact cosine verification + per-delta-vector
+    // report — the ANN twin of q_dedup_incremental's oracle
+    "q_embed_neardup_incremental" -> {
+      val bucketSql = (1 to 8)
+        .map(i => s"CASE WHEN a.embedding[t.band * 8 + $i] >= 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH bands AS (
+        |  SELECT a.vec_id, t.band, $bucketSql AS bucket
+        |  FROM embeddings a, (SELECT unnest(range(8)) AS band) t),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS bv, y.vec_id AS dv
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+        |  WHERE x.vec_id % 10 < 8 AND y.vec_id % 10 >= 8),
+        |p AS (
+        |  SELECT c.bv, c.dv, round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+        |  FROM cand c
+        |    JOIN embeddings a ON a.vec_id = c.bv
+        |    JOIN embeddings b ON b.vec_id = c.dv
+        |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.35),
+        |m AS (
+        |  SELECT dv, MIN(bv) AS matched_base, COUNT(*) AS n_base_dups,
+        |    MAX(sim) AS best_sim
+        |  FROM p GROUP BY dv)
+        |SELECT e.vec_id, m.matched_base,
+        |  COALESCE(m.n_base_dups, 0) AS n_base_dups, m.best_sim,
+        |  (m.matched_base IS NULL) AS is_new
+        |FROM embeddings e LEFT JOIN m ON m.dv = e.vec_id
+        |WHERE e.vec_id % 10 >= 8
+        |ORDER BY e.vec_id""".stripMargin
     },
 
     "q_embed_neardup_lsh" -> {

@@ -149,6 +149,32 @@ class LshGuardSpec extends SparkFunSuite {
       "guard introduced a nested-loop/cartesian join")
   }
 
+  test("vector incremental guard: delta finds exact dups in a hot base bucket") {
+    import spark.implicits._
+    val dims = 64
+    val hotBase = (0L until 150L).map(i => i -> Array.fill(dims)(1.0f))
+    val coldBase = (0 until 5).map { j =>
+      (500L + j) -> Array.tabulate(dims)(k => if ((k + j) % (j + 2) == 0) -1.0f else 1.0f)
+    }
+    val base = (hotBase ++ coldBase).toDF("vec_id", "embedding")
+    val delta = Seq(
+      9000L -> Array.fill(dims)(1.0f),     // exact dup of the hot group
+      9001L -> coldBase.head._2,           // dup of a cold base vector
+      9002L -> Array.fill(dims)(-1.0f)) // anti-aligned: no bucket, cos < 0
+      .toDF("vec_id", "embedding")
+    spark.conf.set("spark.graft.lsh.maxBucket", "50")
+    try {
+      val got = Similarity.incrementalNearDup(base, delta).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[java.lang.Long]("matched_base"), r.getAs[Long]("n_base_dups"),
+            r.getAs[Boolean]("is_new"))).toMap
+      assert(got(9000L) === ((java.lang.Long.valueOf(0L), 150L, false)),
+        s"hot exact dup mishandled: ${got(9000L)}")
+      assert(got(9001L)._1 === 500L && !got(9001L)._3)
+      assert(got(9002L)._3, "novel vector not flagged new")
+    } finally spark.conf.unset("spark.graft.lsh.maxBucket")
+  }
+
   test("sign-LSH guard: big cap equals unguarded on the real corpus") {
     val e = Tables.embeddings(spark, sf)
     def asSet(cap: Int) = Similarity.embedNearDupLshOf(e, cap).collect()

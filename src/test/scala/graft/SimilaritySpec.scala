@@ -87,4 +87,25 @@ class SimilaritySpec extends SparkFunSuite {
       assert(lshMerged > 0, "LSH path found nothing — conf swap is vacuous")
     } finally CacheScope.releaseAll()
   }
+
+  test("vector band index round trip is bit-equal to the in-query derivation") {
+    // the ANN ingest production face: base bands + vectors persisted once,
+    // delta matched against the FILES — the hop must be invisible
+    val idx = TempDirs.scratch("graft_vecindex_").resolve("base").toString
+    val e = Tables.embeddings(spark, sf)
+    Similarity.writeVectorBandIndex(e.filter(col("vec_id") % 10 < 8), idx)
+    val fromIndex = Similarity
+      .nearDupFromVectorIndex(e.filter(col("vec_id") % 10 >= 8), idx)
+      .collect().map(_.toString).toSeq
+    val inQuery = Similarity.embedNearDupIncremental(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(fromIndex === inQuery)
+    assert(inQuery.nonEmpty)
+    // the report covers every delta vector and flags genuine novelty both ways
+    val rows = Similarity.embedNearDupIncremental(spark, sf).collect()
+    assert(rows.forall(_.getLong(0) % 10 >= 8))
+    assert(rows.exists(_.getAs[Boolean]("is_new")))
+    assert(rows.exists(r => !r.getAs[Boolean]("is_new")),
+      "no delta vector matched the base — fixture vacuous")
+  }
 }
