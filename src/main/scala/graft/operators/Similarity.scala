@@ -682,6 +682,31 @@ object Similarity {
       delta)
   }
 
+  /** Vector-index GROWTH step (the ANN twin of
+    * [[Dedup.appendToSignatureIndex]]): append accepted vectors' band
+    * rows as one parquet file per batch. */
+  def appendToVectorBandIndex(accepted: DataFrame, path: String): Unit =
+    signBands(accepted).join(accepted, "vec_id")
+      .select(col("vec_id"), col("band"), col("bucket"), col("embedding"))
+      .write.mode("append").parquet(path)
+
+  /** Full ANN-ingest micro-batch body (the vector twin of
+    * [[Dedup.dedupBatchAndGrowIndex]]): match one arriving
+    * (vec_id, embedding) batch against the index, then GROW the index
+    * with the batch's accepted (is_new) vectors so the next batch
+    * detects near-dups of this batch's novelties. The result is eagerly
+    * materialized before the append (the match plan reads the index
+    * files); keep-one-representative policy; intra-batch duplicates are
+    * out of scope by design, as on the text side. */
+  def nearDupBatchAndGrowIndex(batch: DataFrame, indexPath: String): DataFrame = {
+    val result = Dedup.truncateLineage(nearDupFromVectorIndex(batch, indexPath))
+    val accepted = batch.join(
+      result.filter(col("is_new")).select(col("vec_id")), "vec_id")
+    appendToVectorBandIndex(
+      accepted.select(col("vec_id"), col("embedding")), indexPath)
+    result
+  }
+
   /** SemDeDup-style SEMANTIC dedup: connected components over the
     * embedding near-dup graph, keep each component's minimum-id vector.
     * Where [[Dedup.dedupClusters]] clusters by TEXT overlap (MinHash),

@@ -234,6 +234,46 @@ class StreamingSpec extends SparkFunSuite {
     assert(ids === (0L until 5L).toSet ++ Set(100L, 201L))
   }
 
+  test("vector index growth: batch-N accepted vectors detected by batch N+1") {
+    // the ANN twin of the signature-index growth test: embeddings arrive
+    // as micro-batches, each matched against the vector band index and
+    // the accepted (novel) ones appended
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dims = 64
+    val idx = TempDirs.scratch("graft_vecindex_grow_").resolve("base").toString
+    // orthogonal-ish base: one-hot-block sign patterns
+    val base = (0 until 4).map(j =>
+      (j.toLong, Array.tabulate(dims)(k => if (k / 16 == j) 1.0f else -1.0f)))
+    operators.Similarity.writeVectorBandIndex(base.toDF("vec_id", "embedding"), idx)
+    val novel = (100L, Array.fill(dims)(1.0f))
+    val dupOfBase = (101L, base.head._2)
+    val dupOfNovel = (200L, Array.fill(dims)(1.0f))
+    val ms = MemoryStream[(Long, Array[Float])]
+    val results = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = ms.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        results ++= operators.Similarity.nearDupBatchAndGrowIndex(b.toDF(), idx).collect()
+        ()
+      }
+      .start()
+    try {
+      ms.addData(Seq(novel, dupOfBase)); q.processAllAvailable()
+      ms.addData(Seq(dupOfNovel)); q.processAllAvailable()
+    } finally q.stop()
+    val byId = results.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(byId(100L).getAs[Boolean]("is_new"), "novel vector not accepted")
+    assert(!byId(101L).getAs[Boolean]("is_new") &&
+      byId(101L).getAs[Long]("matched_base") === 0L, "base dup missed")
+    assert(!byId(200L).getAs[Boolean]("is_new"),
+      "batch-2 dup of batch-1 novelty not detected — vector index did not grow")
+    assert(byId(200L).getAs[Long]("matched_base") === 100L)
+    val ids = s.read.parquet(idx).select(col("vec_id")).distinct()
+      .as[Long].collect().toSet
+    assert(ids === Set(0L, 1L, 2L, 3L, 100L))
+  }
+
   test("stream-stream FULL outer null-extends BOTH sides on watermark expiry") {
     val rows = Streaming.streamStreamFullJoin(spark, sf).collect()
     val nullPurchase = rows.count(_.isNullAt(1)) // unmatched click, expired
