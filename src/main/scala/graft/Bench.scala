@@ -66,10 +66,13 @@ object Bench {
     // The driver's BENCH capture stores only a bounded stdout TAIL, so the
     // per-query map above can be truncated away in the round artifacts —
     // also persist it as a repo file so every query's timing is auditable
-    // across rounds (best-effort: an unwritable cwd must not fail the run).
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_full_latest.json"), fullLine + "\n")
-    catch { case _: Throwable => () }
+    // across rounds (best-effort: an unwritable cwd must not fail the
+    // run). FULL runs only: a targeted `runMain graft.Bench q_x q_y`
+    // experiment must not clobber the catalog-wide profile.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_full_latest.json"), fullLine + "\n")
+      catch { case _: Throwable => () }
     // short summary LAST: the bounded tail always keeps this line whole
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"failures":${failures.length}}""")
     spark.stop()
