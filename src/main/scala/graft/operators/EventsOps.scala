@@ -31,11 +31,11 @@ object EventsOps {
     * the two diverge on pre-1970 (negative epoch-ms) timestamps. The
     * floor-mod numerator is an exact multiple of `unit`, so the final
     * `div` is exact for any sign. Bucket INDEX (e.g. hour number). */
-  private def floorBucket(msExpr: String, unit: Long) =
+  private[graft] def floorBucket(msExpr: String, unit: Long) =
     expr(s"(($msExpr) - ((($msExpr) % $unit + $unit) % $unit)) div $unit")
 
   /** Same floor bucketing, but returning the bucket START in epoch-ms. */
-  private def floorBucketMs(msExpr: String, unit: Long) =
+  private[graft] def floorBucketMs(msExpr: String, unit: Long) =
     expr(s"($msExpr) - ((($msExpr) % $unit + $unit) % $unit)")
 
   /** Tumbling 1-hour windows per event type. */
