@@ -149,9 +149,12 @@ object Dedup {
         .filter(col("matches") >= 6)
     if (cap <= 0) unguarded
     else {
-      val hot = bands.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("bn")).filter(col("bn") > cap)
-        .select(col("band"), col("bucket"))
+      // cached: the probe below plus the anti/semi broadcasts all read the
+      // (tiny — at most corpus/cap rows) hot-key frame
+      val hot = graft.CacheScope.track(
+        bands.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("bn")).filter(col("bn") > cap)
+          .select(col("band"), col("bucket")).persist())
       // ADAPTIVE: one cheap scalar probe (limit-1 under the hood), and the
       // healthy-input case — no degenerate bucket — runs the exact
       // unguarded plan, which is SOUND precisely because nothing was
@@ -236,10 +239,17 @@ object Dedup {
       deltaIds: DataFrame): DataFrame = {
     val cap = lshMaxBucket(base.sparkSession)
     // same minimal-band exactly-once emission as pairsFromBands, so
-    // the per-delta-doc match COUNT needs no distinct
+    // the per-delta-doc match COUNT needs no distinct. The
+    // base_doc != delta_doc guard makes a replayed micro-batch (an
+    // at-least-once foreachBatch re-run whose accepted docs already
+    // reached the index) report its own prior append as a SELF-match —
+    // without it, a replay would flip every accepted doc to
+    // is_new=false with matched_base = itself and the
+    // keep-one-representative policy would drop the only copy.
     def unguardedPairs =
       base.as("x").join(broadcast(delta.as("y")),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") =!= col("y.doc_id"))
         .filter(col("x.band") === 0 || !(0 until 4).map(slotEq).reduce(_ && _))
         .select(col("x.doc_id").as("base_doc"), col("y.doc_id").as("delta_doc"),
           (0 until 8).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _).as("matches"))
@@ -247,14 +257,19 @@ object Dedup {
     val pairs =
       if (cap <= 0) unguardedPairs
       else {
-        val hot = base.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("bn")).filter(col("bn") > cap)
-          .select(col("band"), col("bucket"))
+        // hot cached: the probe + both broadcasts share it. The counting
+        // pass over the base/index itself is the guard's documented
+        // steady-state cost (one column-pruned scan per call).
+        val hot = graft.CacheScope.track(
+          base.groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("bn")).filter(col("bn") > cap)
+            .select(col("band"), col("bucket")).persist())
         if (hot.isEmpty) unguardedPairs // adaptive — see pairsFromBands
         else {
         val coldBase = base.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
         val coldPairs = coldBase.as("x").join(broadcast(delta.as("y")),
-            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") =!= col("y.doc_id")) // replay self-match guard
           .select(col("x.doc_id").as("base_doc"), col("y.doc_id").as("delta_doc"),
             (0 until 8).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _).as("matches"))
           .filter(col("matches") >= 6)
@@ -268,6 +283,7 @@ object Dedup {
         val deltaKeyed = delta.filter(col("band") === 0)
           .select(col("doc_id").as("delta_doc"), md5(concat_ws("", col("sig"))).as("k"))
         val hotPairs = hotKeyed.join(broadcast(deltaKeyed), "k")
+          .filter(col("base_doc") =!= col("delta_doc")) // replay self-match guard
           .select(col("base_doc"), col("delta_doc"), lit(8).as("matches"))
         coldPairs.unionByName(hotPairs)
         }
@@ -337,19 +353,38 @@ object Dedup {
     * this encodes is keep-one-representative: only novel docs enter the
     * index, duplicates point at the standing representative forever.
     *
-    * The result is eagerly materialized (lineage-truncated) BEFORE the
+    * REPLAY-SAFE under at-least-once foreachBatch: a re-executed batch
+    * whose accepted docs already reached the index (driver died between
+    * the append and the streaming checkpoint commit) (a) does not
+    * self-match them — [[incrementalMatch]] excludes base_doc ==
+    * delta_doc, so the replay reports the same is_new verdicts — and
+    * (b) does not duplicate their band rows: the append anti-joins the
+    * accepted ids against the ids already present (a column-pruned
+    * doc_id scan of the index), so re-appending is a no-op.
+    *
+    * The batch's bands are derived ONCE (lineage-truncated — the match
+    * and the append both read them, and the MinHash aggregation is the
+    * expensive step), and the result is eagerly materialized BEFORE the
     * append: the dedup plan reads the index files, so appending first
     * would let a doc match its own just-written bands. Intra-batch
     * duplicates are out of scope by design (both are novel vs the index
     * and both enter it) — pre-collapse the batch with [[dedupExact]]
     * semantics upstream if the transport can replay within a batch.
     * StreamingSpec drives this under a real stream: batch-N accepts →
-    * batch-N+1 detects, with the grown index equal to base ∪ accepted. */
+    * batch-N+1 detects, with the grown index equal to base ∪ accepted,
+    * and replays a committed batch verbatim. */
   def dedupBatchAndGrowIndex(batch: DataFrame, indexPath: String): DataFrame = {
-    val result = truncateLineage(dedupBatchAgainstIndex(batch, indexPath))
-    val accepted = batch.join(
-      result.filter(col("is_new")).select(col("doc_id")), "doc_id")
-    appendToSignatureIndex(accepted.select(col("doc_id"), col("text")), indexPath)
+    val s = batch.sparkSession
+    val bands = truncateLineage(bandsOf(signaturesOf(batch)))
+    val result = truncateLineage(
+      incrementalMatch(s.read.parquet(indexPath), bands,
+        batch.select(col("doc_id"))))
+    val acceptedBands = bands
+      .join(result.filter(col("is_new")).select(col("doc_id")), "doc_id")
+      .join(s.read.parquet(indexPath).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    acceptedBands.select(col("doc_id"), col("sig"), col("band"), col("bucket"))
+      .write.mode("append").parquet(indexPath)
     result
   }
 

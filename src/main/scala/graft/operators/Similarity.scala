@@ -492,19 +492,6 @@ object Similarity {
     embedNearDupLshOf(embeddings(s, d), Dedup.lshMaxBucket(s))
   }
 
-  /** [[embedNearDupLsh]] over an arbitrary (vec_id, embedding) frame with
-    * an explicit hot-bucket cap — the seam SimilaritySpec's adversarial
-    * fixture drives. cap <= 0 = unguarded (the oracle's semantics);
-    * cap > 0 applies the same degenerate-bucket guard as
-    * [[Dedup]]'s MinHash band join: per-(band, bucket) counts, hot keys
-    * broadcast, cold rows joined pairwise (per-bucket ≤ cap² — linear in
-    * the corpus), and vectors hot in ALL 8 bands routed to the exact
-    * md5-equality path as a STAR to each identical-vector group's min id
-    * (identical vectors share every bucket, so a group bigger than cap
-    * is hot everywhere and keeps full recall; non-identical hot-bucket
-    * pairs are the documented recall trade). Star candidates still flow
-    * through the exact cosine verification below, so emitted sims are
-    * computed, never assumed. */
   /** 8-band × 8-bit sign-LSH band keys for a (vec_id, embedding) frame —
     * one row per (vec_id, band). Shared by the self-join
     * ([[embedNearDupLshOf]]), the incremental base-vs-delta join
@@ -525,22 +512,43 @@ object Similarity {
   private val embedKey =
     expr("md5(concat_ws(',', transform(embedding, x -> CAST(x AS STRING))))")
 
+  /** [[embedNearDupLsh]] over an arbitrary (vec_id, embedding) frame with
+    * an explicit hot-bucket cap — the seam SimilaritySpec's adversarial
+    * fixture drives. cap <= 0 = unguarded (the oracle's semantics);
+    * cap > 0 applies the same ADAPTIVE degenerate-bucket guard as
+    * [[Dedup]]'s MinHash band join: per-(band, bucket) counts, exact
+    * unguarded plan when nothing exceeds the cap, otherwise hot keys
+    * broadcast, cold rows joined pairwise (per-bucket ≤ cap² — linear in
+    * the corpus), and vectors hot in ALL 8 bands routed to the exact
+    * md5-equality path as a STAR to each identical-vector group's min id
+    * (identical vectors share every bucket, so a group bigger than cap
+    * is hot everywhere and keeps full recall; non-identical hot-bucket
+    * pairs are the documented recall trade). Star candidates still flow
+    * through the exact cosine verification below, so emitted sims are
+    * computed, never assumed. When the guard trips, `bands` and `hot`
+    * are cached (CacheScope) — the guarded plan reads them from 5
+    * branches, and this is exactly the huge-corpus case. */
   private[graft] def embedNearDupLshOf(e: DataFrame, cap: Int): DataFrame = {
     graft.functions.VectorFunctions.register(e.sparkSession)
-    val bands = signBands(e)
-    def unguardedCands =
+    val bands0 = signBands(e)
+    def unguardedCands(bands: DataFrame) =
       bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
     val rawCands =
-      if (cap <= 0) unguardedCands
+      if (cap <= 0) unguardedCands(bands0)
       else {
-        val hot = bands.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("bn")).filter(col("bn") > cap)
-          .select(col("band"), col("bucket"))
-        if (hot.isEmpty) unguardedCands // adaptive — see Dedup.pairsFromBands
+        // the guarded plan reads bands from up to 5 branches and the hot
+        // keys from 3 — cache both (tiny hot frame; bands = one explode
+        // over the corpus) instead of re-deriving per branch
+        val bands = graft.CacheScope.track(bands0.persist())
+        val hot = graft.CacheScope.track(
+          bands.groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("bn")).filter(col("bn") > cap)
+            .select(col("band"), col("bucket")).persist())
+        if (hot.isEmpty) unguardedCands(bands) // adaptive — see Dedup.pairsFromBands
         else {
         val cold = bands.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
         val coldCands = cold.as("a")
@@ -609,21 +617,27 @@ object Similarity {
     graft.functions.VectorFunctions.register(s)
     val cap = Dedup.lshMaxBucket(s)
     val db = signBands(delta)
+    // bv != dv: a replayed micro-batch (at-least-once foreachBatch) whose
+    // accepted vectors already reached the index must not self-match —
+    // see the same guard in Dedup.incrementalMatch.
     def unguardedCands =
       baseBands.as("a").join(broadcast(db.as("b")),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("bv"), col("b.vec_id").as("dv"))
     val rawCands =
       if (cap <= 0) unguardedCands
       else {
-        val hot = baseBands.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("bn")).filter(col("bn") > cap)
-          .select(col("band"), col("bucket"))
+        val hot = graft.CacheScope.track(
+          baseBands.groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("bn")).filter(col("bn") > cap)
+            .select(col("band"), col("bucket")).persist())
         if (hot.isEmpty) unguardedCands // adaptive — see Dedup.pairsFromBands
         else {
           val cold = baseBands.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
           val coldCands = cold.as("a").join(broadcast(db.as("b")),
-              col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+              col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+                col("a.vec_id") =!= col("b.vec_id"))
             .select(col("a.vec_id").as("bv"), col("b.vec_id").as("dv"))
           val allHotIds = baseBands
             .join(broadcast(hot), Seq("band", "bucket"), "left_semi")
@@ -633,6 +647,7 @@ object Similarity {
             .select(col("vec_id").as("bv"), embedKey.as("k"))
           val deltaKeyed = delta.select(col("vec_id").as("dv"), embedKey.as("k"))
           val hotCands = hotKeyed.join(broadcast(deltaKeyed), "k")
+            .filter(col("bv") =!= col("dv")) // replay self-match guard
             .select(col("bv"), col("dv"))
           coldCands.unionByName(hotCands)
         }
@@ -664,10 +679,15 @@ object Similarity {
     * pruning means the band-key scan never materializes the embedding
     * column until candidates exist. Appended per batch like
     * [[Dedup.appendToSignatureIndex]]. */
-  def writeVectorBandIndex(e: DataFrame, path: String): Unit =
+  /** One (vec_id, band, bucket, embedding) row per band — the single
+    * index projection both the overwrite and append writers share (a
+    * schema change here cannot diverge mixed-generation indexes). */
+  private def vectorBandRows(e: DataFrame): DataFrame =
     signBands(e).join(e, "vec_id")
       .select(col("vec_id"), col("band"), col("bucket"), col("embedding"))
-      .write.mode("overwrite").parquet(path)
+
+  def writeVectorBandIndex(e: DataFrame, path: String): Unit =
+    vectorBandRows(e).write.mode("overwrite").parquet(path)
 
   /** [[embedNearDupIncremental]]'s production face: base bands + vectors
     * come from a [[writeVectorBandIndex]] table on disk; only the delta's
@@ -686,22 +706,27 @@ object Similarity {
     * [[Dedup.appendToSignatureIndex]]): append accepted vectors' band
     * rows as one parquet file per batch. */
   def appendToVectorBandIndex(accepted: DataFrame, path: String): Unit =
-    signBands(accepted).join(accepted, "vec_id")
-      .select(col("vec_id"), col("band"), col("bucket"), col("embedding"))
-      .write.mode("append").parquet(path)
+    vectorBandRows(accepted).write.mode("append").parquet(path)
 
   /** Full ANN-ingest micro-batch body (the vector twin of
     * [[Dedup.dedupBatchAndGrowIndex]]): match one arriving
     * (vec_id, embedding) batch against the index, then GROW the index
     * with the batch's accepted (is_new) vectors so the next batch
-    * detects near-dups of this batch's novelties. The result is eagerly
-    * materialized before the append (the match plan reads the index
-    * files); keep-one-representative policy; intra-batch duplicates are
-    * out of scope by design, as on the text side. */
+    * detects near-dups of this batch's novelties. REPLAY-SAFE the same
+    * way as the text side: the match excludes bv == dv self-pairs, and
+    * the append anti-joins against ids already in the index, so an
+    * at-least-once foreachBatch re-run reports identical verdicts and
+    * appends nothing. The result is eagerly materialized before the
+    * append (the match plan reads the index files);
+    * keep-one-representative policy; intra-batch duplicates are out of
+    * scope by design, as on the text side. */
   def nearDupBatchAndGrowIndex(batch: DataFrame, indexPath: String): DataFrame = {
+    val s = batch.sparkSession
     val result = Dedup.truncateLineage(nearDupFromVectorIndex(batch, indexPath))
-    val accepted = batch.join(
-      result.filter(col("is_new")).select(col("vec_id")), "vec_id")
+    val accepted = batch
+      .join(result.filter(col("is_new")).select(col("vec_id")), "vec_id")
+      .join(s.read.parquet(indexPath).select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
     appendToVectorBandIndex(
       accepted.select(col("vec_id"), col("embedding")), indexPath)
     result

@@ -232,6 +232,20 @@ class StreamingSpec extends SparkFunSuite {
     val ids = s.read.parquet(idx).select(col("doc_id")).distinct()
       .as[Long].collect().toSet
     assert(ids === (0L until 5L).toSet ++ Set(100L, 201L))
+    // REPLAY SAFETY (at-least-once foreachBatch): re-running the last
+    // committed batch must report the same verdicts (no self-matching
+    // its own appended bands) and append nothing (anti-join against
+    // present ids)
+    val rowsBefore = s.read.parquet(idx).count()
+    val replay = operators.Dedup.dedupBatchAndGrowIndex(
+      Seq(dupOfNovel, fresh).toDF("doc_id", "text"), idx)
+      .collect().map(_.toString).sorted.toSeq
+    val expected = results
+      .filter(r => Set(200L, 201L)(r.getAs[Long]("doc_id")))
+      .map(_.toString).sorted.toSeq
+    assert(replay === expected, "replayed batch diverged from its first run")
+    assert(s.read.parquet(idx).count() === rowsBefore,
+      "replayed batch duplicated index rows")
   }
 
   test("vector index growth: batch-N accepted vectors detected by batch N+1") {
@@ -272,6 +286,16 @@ class StreamingSpec extends SparkFunSuite {
     val ids = s.read.parquet(idx).select(col("vec_id")).distinct()
       .as[Long].collect().toSet
     assert(ids === Set(0L, 1L, 2L, 3L, 100L))
+    // REPLAY SAFETY: re-running batch 1 (whose accepted vector 100 is now
+    // in the index) must not self-match it or duplicate its band rows
+    val rowsBefore = s.read.parquet(idx).count()
+    val replay = operators.Similarity.nearDupBatchAndGrowIndex(
+      Seq(novel, dupOfBase).toDF("vec_id", "embedding"), idx).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_new")).toMap
+    assert(replay(100L), "replayed accepted vector self-matched its own bands")
+    assert(!replay(101L))
+    assert(s.read.parquet(idx).count() === rowsBefore,
+      "replayed batch duplicated vector index rows")
   }
 
   test("stream-stream FULL outer null-extends BOTH sides on watermark expiry") {
