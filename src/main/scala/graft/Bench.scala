@@ -72,7 +72,7 @@ object Bench {
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_full_latest.json"), fullLine + "\n")
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () } // fatal errors propagate
     // short summary LAST: the bounded tail always keeps this line whole
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"failures":${failures.length}}""")
     spark.stop()

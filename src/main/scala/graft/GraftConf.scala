@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central accessor for the engine's `spark.graft.*` conf surface.
+  *
+  * Two jobs:
+  *
+  *  1. **Fail-fast parsing.** Every numeric/boolean conf read routes
+  *     through here, so a typo'd value fails immediately with the conf
+  *     NAME in the message — not as a bare `NumberFormatException`
+  *     surfacing from deep inside a running job hours later.
+  *
+  *  2. **The `scale` profile.** The scale-correct behaviors are
+  *     individually conf-gated and default OFF so the DuckDB oracle gate
+  *     stays bit-identical — but a real deployment should not have to
+  *     discover and flip four-plus confs. `spark.graft.profile=scale`
+  *     layers [[scaleDefaults]] UNDER any explicitly-set conf: an
+  *     explicit `spark.graft.*` value always wins, the profile fills the
+  *     rest, and with no profile the hard defaults apply. The preset
+  *     deliberately bundles only SAFETY/PERF switches:
+  *
+  *      - `spark.graft.lsh.maxBucket=10000` — degenerate-bucket guard on
+  *        all three LSH band joins. Result-identical on healthy input
+  *        (the adaptive probe runs the exact unguarded plan when no
+  *        bucket is hot); on pathological input it trades non-identical
+  *        hot-bucket near-dups for never going quadratic.
+  *      - `spark.graft.semdedup.lsh=true` — semantic dedup takes its
+  *        pairs from the sub-quadratic banded-LSH path (the documented
+  *        recall trade a real corpus runs; equals the oracle-gated
+  *        `q_semantic_dedup_lsh` entry exactly).
+  *      - `spark.graft.dedup.reliableCheckpoint=true` — CC/lineage
+  *        truncation via reliable `checkpoint()` instead of
+  *        `localCheckpoint()`: result-identical, survives executor loss.
+  *      - `spark.graft.dedup.shareClusters=true` — result-identical
+  *        cross-query reuse of the cluster pipeline's snapshot.
+  *      - `spark.graft.index.compactEvery=64` — bound the signature /
+  *        vector band index file counts under streaming ingest
+  *        (result-identical; pure layout maintenance).
+  *
+  *     The LSH band GEOMETRY (`spark.graft.lsh.bands` / `.rowsPerBand`)
+  *     is intentionally NOT in the preset: geometry is the recall DIAL
+  *     of MinHash dedup — changing it changes which near-dups are found,
+  *     a corpus-policy decision no profile should make implicitly.
+  *
+  * ProfileSpec pins the exact preset key set, the explicit-conf-wins
+  * layering, and fixture equivalence for every conf whose equivalence is
+  * claimed above.
+  */
+object GraftConf {
+
+  val ProfileKey = "spark.graft.profile"
+
+  /** Conf values `spark.graft.profile=scale` implies when the conf is
+    * not explicitly set. See the object doc for the per-key rationale. */
+  val scaleDefaults: Map[String, String] = Map(
+    "spark.graft.lsh.maxBucket" -> "10000",
+    "spark.graft.semdedup.lsh" -> "true",
+    "spark.graft.dedup.reliableCheckpoint" -> "true",
+    "spark.graft.dedup.shareClusters" -> "true",
+    "spark.graft.index.compactEvery" -> "64")
+
+  /** The layered string value for `key`: explicit conf > active profile
+    * preset > None. An unknown profile name fails fast. */
+  def get(s: SparkSession, key: String): Option[String] =
+    s.conf.getOption(key).orElse {
+      s.conf.getOption(ProfileKey) match {
+        case None          => None
+        case Some("scale") => scaleDefaults.get(key)
+        case Some(other) => throw new IllegalArgumentException(
+          s"$ProfileKey: unknown profile '$other' (supported: scale)")
+      }
+    }
+
+  /** Integer conf with fail-fast parsing naming the conf. */
+  def int(s: SparkSession, key: String, default: Int): Int =
+    get(s, key).map { v =>
+      try v.trim.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be an integer, got '$v'")
+      }
+    }.getOrElse(default)
+
+  /** Long conf with fail-fast parsing naming the conf. */
+  def long(s: SparkSession, key: String, default: Long): Long =
+    get(s, key).map { v =>
+      try v.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be an integer, got '$v'")
+      }
+    }.getOrElse(default)
+
+  /** Boolean conf with fail-fast parsing naming the conf. */
+  def bool(s: SparkSession, key: String, default: Boolean): Boolean =
+    get(s, key).map { v =>
+      v.trim.toLowerCase match {
+        case "true"  => true
+        case "false" => false
+        case _ => throw new IllegalArgumentException(
+          s"$key must be true or false, got '$v'")
+      }
+    }.getOrElse(default)
+}

@@ -37,9 +37,17 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = s.conf.getOption(key)
+    // A prior value of "true" is indistinguishable from an earlier NANOS
+    // load's intentional sticky setting (see the LongType branch below) —
+    // leave it in place rather than churn it through unset/set, so a
+    // still-live NANOS frame in the same session keeps planning
+    // correctly. (Restoring "true" to "true" would be a no-op anyway;
+    // skipping the write also avoids the race window where a concurrent
+    // NANOS load's sticky flag could be clobbered mid-action.)
     def restore(): Unit = prior match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
+      case Some("true") => ()
+      case Some(v)      => s.conf.set(key, v)
+      case None         => s.conf.unset(key)
     }
     s.conf.set(key, "true")
     val raw = table(s, d, "events")

@@ -92,9 +92,11 @@ object Dedup {
 
   /** Conf-gated LSH hot-bucket cap (`spark.graft.lsh.maxBucket`); 0
     * (default) = unguarded. Shared by the MinHash band join here and
-    * [[Similarity.embedNearDupLsh]]'s sign-LSH band join. */
+    * [[Similarity.embedNearDupLsh]]'s sign-LSH band join. A typo'd value
+    * fails fast naming the conf — not as a bare NumberFormatException
+    * from deep inside a job. */
   private[operators] def lshMaxBucket(s: SparkSession): Int =
-    s.conf.getOption("spark.graft.lsh.maxBucket").map(_.toInt).getOrElse(0)
+    graft.GraftConf.int(s, "spark.graft.lsh.maxBucket", 0)
 
   /** Test seam: guarded pair generation over an arbitrary (doc_id, text)
     * frame (DedupSpec drives it with an adversarial hot-bucket corpus). */
@@ -176,9 +178,12 @@ object Dedup {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
         .filter(col("nh") === N_BANDS)
         .select(col("doc_id"))
+      // ',' delimiter: slot boundaries must survive the concat, or two
+      // distinct signatures could alias (["1","23"] vs ["12","3"]) and
+      // emit a false exact-duplicate edge on the guarded path
       val keyed = bands.filter(col("band") === 0)
         .join(allHotIds, "doc_id")
-        .select(col("doc_id"), md5(concat_ws("", col("sig"))).as("k"))
+        .select(col("doc_id"), md5(concat_ws(",", col("sig"))).as("k"))
       val stars = keyed
         .join(keyed.groupBy(col("k")).agg(min(col("doc_id")).as("rep")), "k")
         .filter(col("doc_id") =!= col("rep"))
@@ -278,10 +283,12 @@ object Dedup {
           .groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
           .filter(col("nh") === N_BANDS)
           .select(col("doc_id"))
+        // ',' delimiter — see pairsFromBands: undelimited concat lets
+        // distinct signatures alias into one identity key
         val hotKeyed = base.filter(col("band") === 0).join(hotIds, "doc_id")
-          .select(col("doc_id").as("base_doc"), md5(concat_ws("", col("sig"))).as("k"))
+          .select(col("doc_id").as("base_doc"), md5(concat_ws(",", col("sig"))).as("k"))
         val deltaKeyed = delta.filter(col("band") === 0)
-          .select(col("doc_id").as("delta_doc"), md5(concat_ws("", col("sig"))).as("k"))
+          .select(col("doc_id").as("delta_doc"), md5(concat_ws(",", col("sig"))).as("k"))
         val hotPairs = hotKeyed.join(broadcast(deltaKeyed), "k")
           .filter(col("base_doc") =!= col("delta_doc")) // replay self-match guard
           .select(col("base_doc"), col("delta_doc"), lit(8).as("matches"))
@@ -355,12 +362,16 @@ object Dedup {
     *
     * REPLAY-SAFE under at-least-once foreachBatch: a re-executed batch
     * whose accepted docs already reached the index (driver died between
-    * the append and the streaming checkpoint commit) (a) does not
-    * self-match them — [[incrementalMatch]] excludes base_doc ==
-    * delta_doc, so the replay reports the same is_new verdicts — and
-    * (b) does not duplicate their band rows: the append anti-joins the
-    * accepted ids against the ids already present (a column-pruned
-    * doc_id scan of the index), so re-appending is a no-op.
+    * the append and the streaming checkpoint commit) (a) reports the
+    * SAME is_new verdicts — the batch's own doc_ids are anti-joined out
+    * of the base before matching (a broadcast against the small batch),
+    * so a doc can neither self-match its prior append nor match an
+    * accepted BATCH-MATE's prior append (without the exclusion, a batch
+    * carrying intra-batch near-dups would flip its second copy to
+    * is_new=false on replay) — and (b) does not duplicate their band
+    * rows: the append anti-joins the accepted ids against the ids
+    * already present (a column-pruned doc_id scan of the index), so
+    * re-appending is a no-op.
     *
     * The batch's bands are derived ONCE (lineage-truncated — the match
     * and the append both read them, and the MinHash aggregation is the
@@ -369,16 +380,18 @@ object Dedup {
     * would let a doc match its own just-written bands. Intra-batch
     * duplicates are out of scope by design (both are novel vs the index
     * and both enter it) — pre-collapse the batch with [[dedupExact]]
-    * semantics upstream if the transport can replay within a batch.
+    * semantics upstream if one representative per batch is wanted.
     * StreamingSpec drives this under a real stream: batch-N accepts →
     * batch-N+1 detects, with the grown index equal to base ∪ accepted,
-    * and replays a committed batch verbatim. */
+    * and replays a committed batch (including one with intra-batch
+    * near-dups) verbatim. */
   def dedupBatchAndGrowIndex(batch: DataFrame, indexPath: String): DataFrame = {
     val s = batch.sparkSession
     val bands = truncateLineage(bandsOf(signaturesOf(batch)))
+    val base = s.read.parquet(indexPath)
+      .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_anti")
     val result = truncateLineage(
-      incrementalMatch(s.read.parquet(indexPath), bands,
-        batch.select(col("doc_id"))))
+      incrementalMatch(base, bands, batch.select(col("doc_id"))))
     val acceptedBands = bands
       .join(result.filter(col("is_new")).select(col("doc_id")), "doc_id")
       .join(s.read.parquet(indexPath).select(col("doc_id")).distinct(),
@@ -430,7 +443,7 @@ object Dedup {
   private[operators] def truncateLineage(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     val reliable =
-      s.conf.getOption("spark.graft.dedup.reliableCheckpoint").exists(_.toBoolean)
+      graft.GraftConf.bool(s, "spark.graft.dedup.reliableCheckpoint", default = false)
     if (reliable) {
       if (s.sparkContext.getCheckpointDir.isEmpty) {
         val dir = s.conf.getOption("spark.graft.checkpointDir").getOrElse(
@@ -497,7 +510,7 @@ object Dedup {
   private[graft] def clearPublishedClusters(): Unit = releaseSharedClusters()
 
   private def shareOn(s: SparkSession): Boolean =
-    s.conf.getOption("spark.graft.dedup.shareClusters").exists(_.toBoolean)
+    graft.GraftConf.bool(s, "spark.graft.dedup.shareClusters", default = false)
 
   /** Cheap input fingerprint of the documents table under `d`: file
     * count, total bytes, max mtime — enough to catch a rewrite without

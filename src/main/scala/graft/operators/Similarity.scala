@@ -672,13 +672,6 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** Persist a VECTOR band index for a standing corpus: one row per
-    * (vec_id, band) carrying the sign-LSH bucket AND the embedding. The
-    * 8× embedding duplication trades storage for a self-contained index —
-    * no join back to a vectors table at ingest time, and parquet column
-    * pruning means the band-key scan never materializes the embedding
-    * column until candidates exist. Appended per batch like
-    * [[Dedup.appendToSignatureIndex]]. */
   /** One (vec_id, band, bucket, embedding) row per band — the single
     * index projection both the overwrite and append writers share (a
     * schema change here cannot diverge mixed-generation indexes). */
@@ -686,6 +679,13 @@ object Similarity {
     signBands(e).join(e, "vec_id")
       .select(col("vec_id"), col("band"), col("bucket"), col("embedding"))
 
+  /** Persist a VECTOR band index for a standing corpus: one row per
+    * (vec_id, band) carrying the sign-LSH bucket AND the embedding. The
+    * 8× embedding duplication trades storage for a self-contained index —
+    * no join back to a vectors table at ingest time, and parquet column
+    * pruning means the band-key scan never materializes the embedding
+    * column until candidates exist. Appended per batch like
+    * [[Dedup.appendToSignatureIndex]]. */
   def writeVectorBandIndex(e: DataFrame, path: String): Unit =
     vectorBandRows(e).write.mode("overwrite").parquet(path)
 
@@ -694,8 +694,18 @@ object Similarity {
     * bands are derived in-query. Bit-equal to the in-query derivation —
     * band keys and cosines are per-row functions of the stored vectors
     * (SimilaritySpec asserts the equality). */
-  def nearDupFromVectorIndex(delta: DataFrame, indexPath: String): DataFrame = {
-    val idx = delta.sparkSession.read.parquet(indexPath)
+  def nearDupFromVectorIndex(delta: DataFrame, indexPath: String): DataFrame =
+    nearDupAgainstIndex(delta, indexPath, excludeIds = None)
+
+  /** [[nearDupFromVectorIndex]] with an optional base-side id exclusion —
+    * the replay seam: [[nearDupBatchAndGrowIndex]] anti-joins the batch's
+    * own vec_ids out of the index so a replayed batch cannot match its
+    * own (or an accepted batch-mate's) prior append. */
+  private def nearDupAgainstIndex(delta: DataFrame, indexPath: String,
+      excludeIds: Option[DataFrame]): DataFrame = {
+    val idxAll = delta.sparkSession.read.parquet(indexPath)
+    val idx = excludeIds.fold(idxAll)(ex =>
+      idxAll.join(broadcast(ex), Seq("vec_id"), "left_anti"))
     incrementalNearDupBands(
       idx.select(col("vec_id"), col("band"), col("bucket")),
       idx.filter(col("band") === 0).select(col("vec_id"), col("embedding")),
@@ -713,16 +723,19 @@ object Similarity {
     * (vec_id, embedding) batch against the index, then GROW the index
     * with the batch's accepted (is_new) vectors so the next batch
     * detects near-dups of this batch's novelties. REPLAY-SAFE the same
-    * way as the text side: the match excludes bv == dv self-pairs, and
-    * the append anti-joins against ids already in the index, so an
-    * at-least-once foreachBatch re-run reports identical verdicts and
-    * appends nothing. The result is eagerly materialized before the
-    * append (the match plan reads the index files);
-    * keep-one-representative policy; intra-batch duplicates are out of
-    * scope by design, as on the text side. */
+    * way as the text side: the batch's own vec_ids are anti-joined out
+    * of the base before matching (so a replayed vector matches neither
+    * its own prior append nor an accepted batch-mate's), and the append
+    * anti-joins against ids already in the index — an at-least-once
+    * foreachBatch re-run reports identical verdicts, even for a batch
+    * carrying intra-batch near-dups, and appends nothing. The result is
+    * eagerly materialized before the append (the match plan reads the
+    * index files); keep-one-representative policy; intra-batch
+    * duplicates are out of scope by design, as on the text side. */
   def nearDupBatchAndGrowIndex(batch: DataFrame, indexPath: String): DataFrame = {
     val s = batch.sparkSession
-    val result = Dedup.truncateLineage(nearDupFromVectorIndex(batch, indexPath))
+    val result = Dedup.truncateLineage(nearDupAgainstIndex(
+      batch, indexPath, excludeIds = Some(batch.select(col("vec_id")))))
     val accepted = batch
       .join(result.filter(col("is_new")).select(col("vec_id")), "vec_id")
       .join(s.read.parquet(indexPath).select(col("vec_id")).distinct(),
@@ -754,7 +767,7 @@ object Similarity {
     * `q_dedup_minhash`/`q_dedup_ngram` split. CC runs on the
     * pair-derived graph, orders of magnitude smaller than the corpus. */
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
-    val useLsh = s.conf.getOption("spark.graft.semdedup.lsh").exists(_.toBoolean)
+    val useLsh = graft.GraftConf.bool(s, "spark.graft.semdedup.lsh", default = false)
     semanticDedupFrom(s, d, useLsh)
   }
 

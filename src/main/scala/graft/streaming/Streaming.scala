@@ -57,9 +57,12 @@ object Streaming {
       s: SparkSession, path: String): (StructType, DataFrame => DataFrame) = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = s.conf.getOption(key)
+    // prior "true" may be an earlier NANOS load's intentional sticky
+    // flag — leave it untouched (see graft.Tables.events)
     def restore(): Unit = prior match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
+      case Some("true") => ()
+      case Some(v)      => s.conf.set(key, v)
+      case None         => s.conf.unset(key)
     }
     s.conf.set(key, "true")
     val sch = s.read.parquet(path).schema

@@ -207,6 +207,11 @@ class StreamingSpec extends SparkFunSuite {
     val dupOfBase = (101L, base(0)._2)
     val dupOfNovel = (200L, novel._2) // same text as batch 1's accepted doc
     val fresh = (201L, "fresh201a fresh201b fresh201c fresh201d fresh201e fresh201f")
+    // INTRA-batch duplicate of fresh: both are novel vs the index, both
+    // enter it — and the replay below must still report both is_new
+    // (the batch's own ids are excluded from the base, so 202 must not
+    // match 201's by-then-appended bands on the re-run)
+    val freshTwin = (202L, fresh._2)
     val ms = MemoryStream[(Long, String)]
     val results = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     val q = ms.toDF().toDF("doc_id", "text").writeStream
@@ -217,7 +222,7 @@ class StreamingSpec extends SparkFunSuite {
       .start()
     try {
       ms.addData(Seq(novel, dupOfBase)); q.processAllAvailable()
-      ms.addData(Seq(dupOfNovel, fresh)); q.processAllAvailable()
+      ms.addData(Seq(dupOfNovel, fresh, freshTwin)); q.processAllAvailable()
     } finally q.stop()
     val byId = results.map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(byId(100L).getAs[Boolean]("is_new"), "novel batch-1 doc not accepted")
@@ -228,20 +233,24 @@ class StreamingSpec extends SparkFunSuite {
       "batch-2 dup of batch-1 novelty not detected — index did not grow")
     assert(byId(200L).getAs[Long]("matched_base") === 100L)
     assert(byId(201L).getAs[Boolean]("is_new"))
+    assert(byId(202L).getAs[Boolean]("is_new"),
+      "intra-batch duplicate should be novel vs the index (out of scope by design)")
     // grown index = base ∪ accepted (novel docs only; duplicates never enter)
     val ids = s.read.parquet(idx).select(col("doc_id")).distinct()
       .as[Long].collect().toSet
-    assert(ids === (0L until 5L).toSet ++ Set(100L, 201L))
+    assert(ids === (0L until 5L).toSet ++ Set(100L, 201L, 202L))
     // REPLAY SAFETY (at-least-once foreachBatch): re-running the last
-    // committed batch must report the same verdicts (no self-matching
-    // its own appended bands) and append nothing (anti-join against
+    // committed batch — which carried an INTRA-batch near-dup pair
+    // (201, 202) whose bands are now both in the index — must report the
+    // same verdicts (neither self-matching its own appended bands nor
+    // matching its batch-mate's) and append nothing (anti-join against
     // present ids)
     val rowsBefore = s.read.parquet(idx).count()
     val replay = operators.Dedup.dedupBatchAndGrowIndex(
-      Seq(dupOfNovel, fresh).toDF("doc_id", "text"), idx)
+      Seq(dupOfNovel, fresh, freshTwin).toDF("doc_id", "text"), idx)
       .collect().map(_.toString).sorted.toSeq
     val expected = results
-      .filter(r => Set(200L, 201L)(r.getAs[Long]("doc_id")))
+      .filter(r => Set(200L, 201L, 202L)(r.getAs[Long]("doc_id")))
       .map(_.toString).sorted.toSeq
     assert(replay === expected, "replayed batch diverged from its first run")
     assert(s.read.parquet(idx).count() === rowsBefore,
@@ -263,6 +272,11 @@ class StreamingSpec extends SparkFunSuite {
     operators.Similarity.writeVectorBandIndex(base.toDF("vec_id", "embedding"), idx)
     val novel = (100L, Array.fill(dims)(1.0f))
     val dupOfBase = (101L, base.head._2)
+    // INTRA-batch near-dup of novel: both novel vs the index, both
+    // appended — the replay must still report both is_new (batch ids are
+    // excluded from the base, so neither matches the other's appended
+    // bands on the re-run)
+    val novelTwin = (102L, Array.fill(dims)(1.0f))
     val dupOfNovel = (200L, Array.fill(dims)(1.0f))
     val ms = MemoryStream[(Long, Array[Float])]
     val results = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
@@ -273,11 +287,13 @@ class StreamingSpec extends SparkFunSuite {
       }
       .start()
     try {
-      ms.addData(Seq(novel, dupOfBase)); q.processAllAvailable()
+      ms.addData(Seq(novel, dupOfBase, novelTwin)); q.processAllAvailable()
       ms.addData(Seq(dupOfNovel)); q.processAllAvailable()
     } finally q.stop()
     val byId = results.map(r => r.getAs[Long]("vec_id") -> r).toMap
     assert(byId(100L).getAs[Boolean]("is_new"), "novel vector not accepted")
+    assert(byId(102L).getAs[Boolean]("is_new"),
+      "intra-batch near-dup should be novel vs the index (out of scope by design)")
     assert(!byId(101L).getAs[Boolean]("is_new") &&
       byId(101L).getAs[Long]("matched_base") === 0L, "base dup missed")
     assert(!byId(200L).getAs[Boolean]("is_new"),
@@ -285,14 +301,17 @@ class StreamingSpec extends SparkFunSuite {
     assert(byId(200L).getAs[Long]("matched_base") === 100L)
     val ids = s.read.parquet(idx).select(col("vec_id")).distinct()
       .as[Long].collect().toSet
-    assert(ids === Set(0L, 1L, 2L, 3L, 100L))
-    // REPLAY SAFETY: re-running batch 1 (whose accepted vector 100 is now
-    // in the index) must not self-match it or duplicate its band rows
+    assert(ids === Set(0L, 1L, 2L, 3L, 100L, 102L))
+    // REPLAY SAFETY: re-running batch 1 — whose accepted vectors 100 AND
+    // its intra-batch twin 102 are both in the index now — must report
+    // both is_new again (no self-match, no batch-mate match) and
+    // duplicate no band rows
     val rowsBefore = s.read.parquet(idx).count()
     val replay = operators.Similarity.nearDupBatchAndGrowIndex(
-      Seq(novel, dupOfBase).toDF("vec_id", "embedding"), idx).collect()
+      Seq(novel, dupOfBase, novelTwin).toDF("vec_id", "embedding"), idx).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_new")).toMap
     assert(replay(100L), "replayed accepted vector self-matched its own bands")
+    assert(replay(102L), "replayed vector matched its accepted batch-mate's bands")
     assert(!replay(101L))
     assert(s.read.parquet(idx).count() === rowsBefore,
       "replayed batch duplicated vector index rows")
