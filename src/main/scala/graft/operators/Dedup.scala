@@ -37,10 +37,40 @@ object Dedup {
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("bow_key"))
 
-  /** MinHash signatures: 8 hash functions h = md5(token || '#' || h) over
-    * the distinct-token set, via the typed [[graft.functions.
+  /** LSH band geometry — the RECALL DIAL of MinHash dedup: `bands`
+    * bands of `rowsPerBand` signature slots place the match-probability
+    * s-curve at threshold ≈ (1/bands)^(1/rowsPerBand). The oracle-pinned
+    * default 2×4 sits near Jaccard ≈ 0.84; a RefinedWeb-style web-dedup
+    * pass would run something like 20×5 (≈ 0.74). Conf-gated
+    * (`spark.graft.lsh.bands` / `spark.graft.lsh.rowsPerBand`) because a
+    * 100 TB corpus wants the dial tunable without editing source;
+    * everything downstream — the hot-bucket guard, the persisted index
+    * (geometry-stamped, see [[writeSignatureIndex]]), CC — is
+    * geometry-agnostic. GeometrySpec pins the containment laws
+    * (finer-banded geometries of the same width find supersets) and the
+    * default's bit-identity; GeometryProbe measures recall/cost at
+    * alternative geometries (NOTES.md). */
+  private[graft] case class LshGeometry(bands: Int, rowsPerBand: Int) {
+    /** signature slots = bands × rowsPerBand */
+    val width: Int = bands * rowsPerBand
+    /** estimated-Jaccard post-filter at the SAME ratio the 2×4 default
+      * pins (6/8 = 0.75): ceil(0.75 · width) slot agreements. */
+    val matchThreshold: Int = math.ceil(0.75 * width).toInt
+    override def toString: String = s"bands=$bands rowsPerBand=$rowsPerBand"
+  }
+
+  private[graft] def lshGeometry(s: SparkSession): LshGeometry = {
+    val b = graft.GraftConf.int(s, "spark.graft.lsh.bands", 2)
+    val r = graft.GraftConf.int(s, "spark.graft.lsh.rowsPerBand", 4)
+    if (b < 1 || r < 1) throw new IllegalArgumentException(
+      s"spark.graft.lsh.bands/rowsPerBand must be >= 1, got $b x $r")
+    LshGeometry(b, r)
+  }
+
+  /** MinHash signatures: `width` hash functions h = md5(token || '#' || h)
+    * over the distinct-token set, via the typed [[graft.functions.
     * MinHashAggregator]]: ONE token explode and ONE partial-aggregated
-    * shuffle, 8 slots folded per token inside the aggregator. (History:
+    * shuffle, all slots folded per token inside the aggregator. (History:
     * the per-row higher-order fold ran interpreted, ~10× slow; the
     * explode-×8 + two-level SQL agg was whole-stage codegen but still 3×
     * this path's cost at sf0.1 — same hash family throughout, so the
@@ -55,23 +85,25 @@ object Dedup {
   private def signaturesOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    val g = lshGeometry(s)
     docs
       .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("t"))
       .as[(Long, String)]
       .groupByKey(_._1)
-      .agg(graft.functions.MinHashAggregator.toColumn.name("sig_csv"))
+      .agg(new graft.functions.MinHashAggregator(g.width).toColumn.name("sig_csv"))
       .toDF("doc_id", "sig_csv")
       .select(col("doc_id"), split(col("sig_csv"), ",").as("sig"))
   }
 
-  /** MinHash + LSH banding (2 bands x 4 rows): candidate pairs from
-    * band-bucket collisions, then estimated Jaccard >= 0.75 post-filter.
-    * This is the scale path for near-dedup: the n² pair space never
-    * materializes, only same-bucket candidates do. */
+  /** MinHash + LSH banding (default 2 bands × 4 rows, conf-tunable via
+    * [[lshGeometry]]): candidate pairs from band-bucket collisions, then
+    * estimated Jaccard >= 0.75 post-filter. This is the scale path for
+    * near-dedup: the n² pair space never materializes, only same-bucket
+    * candidates do. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     minhashPairs(s, d)
       .select(col("d1"), col("d2"), col("matches").cast("long").as("matches"),
-        (col("matches") / 8.0).as("est_jaccard"))
+        (col("matches") / lshGeometry(s).width.toDouble).as("est_jaccard"))
       .orderBy(col("d1"), col("d2"))
 
   /** The LSH candidate/match pipeline shared by [[dedupMinhash]] (adds the
@@ -103,17 +135,15 @@ object Dedup {
   private[graft] def minhashPairsGuarded(docs: DataFrame, cap: Int): DataFrame =
     pairsFromBands(bandsOf(signaturesOf(docs)), cap)
 
-  private val N_BANDS = 2
-
   /** Candidate/match pairs from a band frame.
     *
     * cap <= 0 (the default, what the oracle replays): plain band
-    * self-join. A true near-dup usually collides in BOTH bands, so a
-    * distinct() would shuffle ~2x the final rows just to drop the
-    * double-emissions; instead each pair is emitted exactly once, from
-    * its minimal matching band: band 1 emits only if band 0's four slots
-    * don't all match (both signatures are already on the joined row —
-    * pure codegen, no extra exchange). Signatures ride along with the
+    * self-join. A true near-dup usually collides in SEVERAL bands, so a
+    * distinct() would shuffle a multiple of the final rows just to drop
+    * the double-emissions; instead each pair is emitted exactly once,
+    * from its minimal matching band: band b emits only if no earlier
+    * band's slots all match (both signatures are already on the joined
+    * row — pure codegen, no extra exchange). Signatures ride along with the
     * band keys, so candidate match-counting happens INSIDE the band
     * self-join — no join-back of two sig copies onto millions of
     * candidate pairs (that was ~10 s of the 17 s round-1 cost at sf0.1),
@@ -141,14 +171,15 @@ object Dedup {
     *    never going quadratic on boilerplate.
     */
   private def pairsFromBands(bands: DataFrame, cap: Int): DataFrame = {
+    val g = lshGeometry(bands.sparkSession)
     def unguarded =
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
-        .filter(col("x.band") === 0 || !(0 until 4).map(slotEq).reduce(_ && _))
+        .filter(minimalBandOnly(g, col("x.band")))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-          (0 until 8).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _).as("matches"))
-        .filter(col("matches") >= 6)
+          matchCount(g).as("matches"))
+        .filter(col("matches") >= g.matchThreshold)
     if (cap <= 0) unguarded
     else {
       // cached: the probe below plus the anti/semi broadcasts all read the
@@ -170,13 +201,13 @@ object Dedup {
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-          (0 until 8).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _).as("matches"))
-        .filter(col("matches") >= 6)
+          matchCount(g).as("matches"))
+        .filter(col("matches") >= g.matchThreshold)
         .dropDuplicates("d1", "d2")
       val allHotIds = bands
         .join(broadcast(hot), Seq("band", "bucket"), "left_semi")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
-        .filter(col("nh") === N_BANDS)
+        .filter(col("nh") === g.bands)
         .select(col("doc_id"))
       // ',' delimiter: slot boundaries must survive the concat, or two
       // distinct signatures could alias (["1","23"] vs ["12","3"]) and
@@ -188,24 +219,46 @@ object Dedup {
         .join(keyed.groupBy(col("k")).agg(min(col("doc_id")).as("rep")), "k")
         .filter(col("doc_id") =!= col("rep"))
         .select(col("rep").as("d1"), col("doc_id").as("d2"),
-          lit(8).as("matches"))
+          lit(g.width).as("matches"))
       coldPairs.unionByName(stars)
     }
   }
 
-  /** (band, bucket) keys per signature — 2 bands × 4 rows. */
-  private def bandsOf(sigs: DataFrame): DataFrame =
+  /** (band, bucket) keys per signature, per the session's [[lshGeometry]]
+    * (default 2 bands × 4 rows — the expression this generates at the
+    * default is structurally the oracle SQL's banding CTE). */
+  private def bandsOf(sigs: DataFrame): DataFrame = {
+    val g = lshGeometry(sigs.sparkSession)
+    val slotRefs = (1 to g.rowsPerBand)
+      .map(r => s"element_at(sig, ${g.rowsPerBand}*b+$r)").mkString(", ")
     sigs.select(col("doc_id"), col("sig"),
-        posexplode(expr("""transform(sequence(0, 1), b ->
-          md5(concat(element_at(sig, 4*b+1), element_at(sig, 4*b+2),
-                     element_at(sig, 4*b+3), element_at(sig, 4*b+4))))""")))
+        posexplode(expr(
+          s"transform(sequence(0, ${g.bands - 1}), b -> md5(concat($slotRefs)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
 
   /** Signature slot-agreement predicate between the join sides x/y —
     * stays inside whole-stage codegen (an interpreted zip_with fold here
     * dominated the candidate-pair stage at larger SFs). */
   private def slotEq(i: Int) =
     expr(s"element_at(x.sig, ${i + 1}) = element_at(y.sig, ${i + 1})")
+
+  /** Slot-agreement count across the full signature (codegen sum). */
+  private def matchCount(g: LshGeometry) =
+    (0 until g.width).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _)
+
+  /** The exactly-once minimal-band emission predicate: a (x, y) band-join
+    * row at band `x.band` survives only if NO earlier band's slots all
+    * agree — each colliding pair is emitted from its first matching band
+    * alone, with no distinct() shuffle. Pure codegen over the signatures
+    * already on the joined row. */
+  private def minimalBandOnly(g: LshGeometry,
+      band: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def bandFull(b: Int) =
+      (0 until g.rowsPerBand).map(r => slotEq(b * g.rowsPerBand + r)).reduce(_ && _)
+    if (g.bands == 1) lit(true)
+    else (0 until g.bands - 1).map(bp => !(band > bp && bandFull(bp))).reduce(_ && _)
+  }
 
   /** INCREMENTAL near-dedup — the production ingest shape: a small new
     * batch (delta) is deduplicated against the standing corpus (base)
@@ -243,6 +296,7 @@ object Dedup {
   private def incrementalMatch(base: DataFrame, delta: DataFrame,
       deltaIds: DataFrame): DataFrame = {
     val cap = lshMaxBucket(base.sparkSession)
+    val g = lshGeometry(base.sparkSession)
     // same minimal-band exactly-once emission as pairsFromBands, so
     // the per-delta-doc match COUNT needs no distinct. The
     // base_doc != delta_doc guard makes a replayed micro-batch (an
@@ -255,10 +309,10 @@ object Dedup {
       base.as("x").join(broadcast(delta.as("y")),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") =!= col("y.doc_id"))
-        .filter(col("x.band") === 0 || !(0 until 4).map(slotEq).reduce(_ && _))
+        .filter(minimalBandOnly(g, col("x.band")))
         .select(col("x.doc_id").as("base_doc"), col("y.doc_id").as("delta_doc"),
-          (0 until 8).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _).as("matches"))
-        .filter(col("matches") >= 6)
+          matchCount(g).as("matches"))
+        .filter(col("matches") >= g.matchThreshold)
     val pairs =
       if (cap <= 0) unguardedPairs
       else {
@@ -276,12 +330,12 @@ object Dedup {
             col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") =!= col("y.doc_id")) // replay self-match guard
           .select(col("x.doc_id").as("base_doc"), col("y.doc_id").as("delta_doc"),
-            (0 until 8).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _).as("matches"))
-          .filter(col("matches") >= 6)
+            matchCount(g).as("matches"))
+          .filter(col("matches") >= g.matchThreshold)
           .dropDuplicates("base_doc", "delta_doc")
         val hotIds = base.join(broadcast(hot), Seq("band", "bucket"), "left_semi")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
-          .filter(col("nh") === N_BANDS)
+          .filter(col("nh") === g.bands)
           .select(col("doc_id"))
         // ',' delimiter — see pairsFromBands: undelimited concat lets
         // distinct signatures alias into one identity key
@@ -291,7 +345,7 @@ object Dedup {
           .select(col("doc_id").as("delta_doc"), md5(concat_ws(",", col("sig"))).as("k"))
         val hotPairs = hotKeyed.join(broadcast(deltaKeyed), "k")
           .filter(col("base_doc") =!= col("delta_doc")) // replay self-match guard
-          .select(col("base_doc"), col("delta_doc"), lit(8).as("matches"))
+          .select(col("base_doc"), col("delta_doc"), lit(g.width).as("matches"))
         coldPairs.unionByName(hotPairs)
         }
       }
@@ -314,8 +368,43 @@ object Dedup {
     * dedups against the files without recomputing a single base
     * signature. (Parquet here; the graft-bucket DSv2 table works the same
     * way for the object-store deployment.) */
-  def writeSignatureIndex(docs: DataFrame, path: String): Unit =
+  def writeSignatureIndex(docs: DataFrame, path: String): Unit = {
     bandsOf(signaturesOf(docs)).write.mode("overwrite").parquet(path)
+    stampGeometry(docs.sparkSession, path)
+  }
+
+  /** Geometry stamp carried by every persisted signature index — an
+    * underscore-prefixed sidecar the parquet reader ignores. Band keys
+    * are a FUNCTION of the geometry: matching a delta derived under a
+    * different `spark.graft.lsh.bands`/`.rowsPerBand` against stored
+    * bands would silently find nothing (or nonsense), so every read path
+    * validates the stamp and fails loudly on a mismatch instead. Indexes
+    * written before stamping existed (no sidecar) are accepted as-is. */
+  private def geometryStampPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_lsh_geometry")
+
+  private def stampGeometry(s: SparkSession, path: String): Unit = {
+    val p = geometryStampPath(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(lshGeometry(s).toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def checkGeometryStamp(s: SparkSession, path: String): Unit = {
+    val p = geometryStampPath(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stamped =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val current = lshGeometry(s).toString
+      if (stamped != current) throw new IllegalStateException(
+        s"signature index at $path was built with LSH geometry [$stamped] " +
+          s"but the session confs give [$current] — rebuild the index or " +
+          "align spark.graft.lsh.bands/rowsPerBand")
+    }
+  }
 
   /** [[dedupIncremental]]'s production shape: the base side comes from a
     * [[writeSignatureIndex]] table on disk; only the DELTA batch's
@@ -325,6 +414,7 @@ object Dedup {
     * bands are the same rows the in-query derivation would build. */
   def dedupIncrementalFromIndex(s: SparkSession, d: String,
       indexPath: String): DataFrame = {
+    checkGeometryStamp(s, indexPath)
     val base = s.read.parquet(indexPath)
     val deltaDocs = documents(s, d).filter(col("doc_id") % 10 >= 8)
     incrementalMatch(base, bandsOf(signaturesOf(deltaDocs)),
@@ -341,6 +431,7 @@ object Dedup {
     * index between batches is the compaction-free growth path. */
   def dedupBatchAgainstIndex(batch: DataFrame, indexPath: String): DataFrame = {
     val s = batch.sparkSession
+    checkGeometryStamp(s, indexPath)
     incrementalMatch(s.read.parquet(indexPath),
       bandsOf(signaturesOf(batch)), batch.select(col("doc_id")))
   }
@@ -350,8 +441,10 @@ object Dedup {
     * new file per batch, no compaction needed (the band join reads all
     * index files; run [[q_compact_files]]-style bin-packing offline when
     * small files accumulate). */
-  def appendToSignatureIndex(acceptedDocs: DataFrame, path: String): Unit =
+  def appendToSignatureIndex(acceptedDocs: DataFrame, path: String): Unit = {
+    checkGeometryStamp(acceptedDocs.sparkSession, path)
     bandsOf(signaturesOf(acceptedDocs)).write.mode("append").parquet(path)
+  }
 
   /** The full streaming-ingest micro-batch body: dedup one arriving
     * (doc_id, text) batch against the index, then GROW the index with the
@@ -387,6 +480,7 @@ object Dedup {
     * near-dups) verbatim. */
   def dedupBatchAndGrowIndex(batch: DataFrame, indexPath: String): DataFrame = {
     val s = batch.sparkSession
+    checkGeometryStamp(s, indexPath)
     val bands = truncateLineage(bandsOf(signaturesOf(batch)))
     val base = s.read.parquet(indexPath)
       .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_anti")
@@ -918,7 +1012,8 @@ object Dedup {
       .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("t"))
       .as[(Long, String)]
       .groupByKey(_._1)
-      .agg(graft.functions.MinHashAggregator.toColumn.name("sig_csv"))
+      .agg(new graft.functions.MinHashAggregator(lshGeometry(s).width)
+        .toColumn.name("sig_csv"))
       .toDF("doc_id", "sig_csv")
       .orderBy(col("doc_id"))
   }

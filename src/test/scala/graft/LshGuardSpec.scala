@@ -183,4 +183,36 @@ class LshGuardSpec extends SparkFunSuite {
     val unguarded = asSet(0)
     assert(asSet(1000000) === unguarded)
   }
+
+  test("minhash guard under non-default geometry (4x2): star, cold, cap-noop all hold") {
+    // the guard must be geometry-agnostic: re-run the hot-fixture
+    // battery with 4 bands x 2 rows (same width 8 — signatures
+    // unchanged, banding finer)
+    try {
+      spark.conf.set("spark.graft.lsh.bands", "4")
+      spark.conf.set("spark.graft.lsh.rowsPerBand", "2")
+      val guarded = Dedup.minhashPairsGuarded(hotCorpus, cap = 50).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("matches")))
+        .toSet
+      // identical hot group still stars to its min with a full-width match
+      assert(guarded.filter(_._1 == 0L) === (1L until 150L).map(i => (0L, i, 8)).toSet)
+      assert(!guarded.exists { case (d1, d2, _) =>
+        d1 > 0L && d1 < 150L && d2 < 150L }, "hot group went quadratic")
+      for (j <- 0 until 10)
+        assert(guarded.contains((1000L + 2 * j, 1001L + 2 * j, 8)),
+          s"cold pair $j lost under guard at 4x2")
+      // cap above every bucket is still semantics-identical to unguarded
+      val unguarded = Dedup.minhashPairsGuarded(hotCorpus, cap = 0).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("matches")))
+        .toSet
+      val bigCap = Dedup.minhashPairsGuarded(hotCorpus, cap = 1000000).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("matches")))
+        .toSet
+      assert(bigCap === unguarded)
+    } finally {
+      spark.conf.unset("spark.graft.lsh.bands")
+      spark.conf.unset("spark.graft.lsh.rowsPerBand")
+      CacheScope.releaseAll()
+    }
+  }
 }
