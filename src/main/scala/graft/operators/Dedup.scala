@@ -243,9 +243,34 @@ object Dedup {
   private def slotEq(i: Int) =
     expr(s"element_at(x.sig, ${i + 1}) = element_at(y.sig, ${i + 1})")
 
-  /** Slot-agreement count across the full signature (codegen sum). */
+  /** Slot-agreement count across the full signature. Narrow signatures
+    * (≤ 32 slots) unroll into a codegen'd CASE-WHEN sum — the hot path
+    * at the 2×4 default. Wider geometries (a 20×5 web-dedup pass is 100
+    * slots) would blow janino's 64 KB method limit as an unrolled sum
+    * and drag the whole band-join stage into interpreted fallback, so
+    * they use one compact zip_with/filter expression instead — a single
+    * eval call per joined row inside the otherwise-codegen stage. */
   private def matchCount(g: LshGeometry) =
-    (0 until g.width).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _)
+    if (g.width <= 32)
+      (0 until g.width).map(i => when(slotEq(i), 1).otherwise(0)).reduce(_ + _)
+    else
+      expr("size(filter(zip_with(x.sig, y.sig, (a, b) -> a = b), m -> m))")
+
+  /** PROBE-ONLY brute-force truth for LSH recall measurement
+    * ([[graft.GeometryProbe]]): every doc pair whose signatures agree on
+    * >= matchThreshold slots, with NO banding stage — the denominator of
+    * banding recall (the banded pair set is a subset by construction:
+    * same filter plus a collision requirement). All-pairs on purpose
+    * (nested-loop join); never a catalog path. */
+  private[graft] def bruteMinhashPairs(s: SparkSession, d: String): DataFrame = {
+    val g = lshGeometry(s)
+    val sigs = graft.CacheScope.track(signatures(s, d).persist())
+    sigs.count()
+    sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        matchCount(g).as("matches"))
+      .filter(col("matches") >= g.matchThreshold)
+  }
 
   /** The exactly-once minimal-band emission predicate: a (x, y) band-join
     * row at band `x.band` survives only if NO earlier band's slots all
@@ -257,7 +282,23 @@ object Dedup {
     def bandFull(b: Int) =
       (0 until g.rowsPerBand).map(r => slotEq(b * g.rowsPerBand + r)).reduce(_ && _)
     if (g.bands == 1) lit(true)
-    else (0 until g.bands - 1).map(bp => !(band > bp && bandFull(bp))).reduce(_ && _)
+    else if (g.width <= 32)
+      (0 until g.bands - 1).map(bp => !(band > bp && bandFull(bp))).reduce(_ && _)
+    else {
+      // wide-geometry form (see matchCount): the minimal fully-matching
+      // band, as one compact HOF expression. A row's own band always
+      // fully matches (its bucket md5 matched), so "min fully-matching
+      // band == x.band" ≡ "no earlier band fully matches"; the coalesce
+      // keeps the row if an md5 bucket collision ever yields no
+      // fully-matching band, mirroring the unrolled predicate.
+      coalesce(
+        expr(s"""array_min(filter(sequence(0, ${g.bands - 1}),
+               |  b -> size(filter(sequence(1, ${g.rowsPerBand}),
+               |    r -> element_at(x.sig, ${g.rowsPerBand}*b+r) =
+               |         element_at(y.sig, ${g.rowsPerBand}*b+r))) =
+               |       ${g.rowsPerBand}))""".stripMargin) === band,
+        lit(true))
+    }
   }
 
   /** INCREMENTAL near-dedup — the production ingest shape: a small new
