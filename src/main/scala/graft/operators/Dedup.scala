@@ -479,9 +479,10 @@ object Dedup {
 
   /** Index GROWTH step: append a set of accepted (doc_id, text) docs'
     * band rows to a [[writeSignatureIndex]] table. Parquet append — one
-    * new file per batch, no compaction needed (the band join reads all
-    * index files; run [[q_compact_files]]-style bin-packing offline when
-    * small files accumulate). */
+    * new file per batch; [[IndexMaintenance.maybeCompact]] (conf-gated,
+    * wired into [[dedupBatchAndGrowIndex]]) bounds the accumulated
+    * small-file count so listing/footer cost never swamps the O(delta)
+    * match. */
   def appendToSignatureIndex(acceptedDocs: DataFrame, path: String): Unit = {
     checkGeometryStamp(acceptedDocs.sparkSession, path)
     bandsOf(signaturesOf(acceptedDocs)).write.mode("append").parquet(path)
@@ -533,6 +534,11 @@ object Dedup {
         Seq("doc_id"), "left_anti")
     acceptedBands.select(col("doc_id"), col("sig"), col("band"), col("bucket"))
       .write.mode("append").parquet(indexPath)
+    // bound small-file growth (one file per batch otherwise) — conf-gated,
+    // amortized: every compactEvery batches, not every batch. Safe here:
+    // `result` is already eagerly materialized above, so the swap cannot
+    // invalidate the frame being returned.
+    IndexMaintenance.maybeCompact(s, indexPath)
     result
   }
 

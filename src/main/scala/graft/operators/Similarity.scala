@@ -742,6 +742,9 @@ object Similarity {
         Seq("vec_id"), "left_anti")
     appendToVectorBandIndex(
       accepted.select(col("vec_id"), col("embedding")), indexPath)
+    // conf-gated small-file compaction, as on the text side; `result` is
+    // already materialized, so the swap cannot invalidate it
+    IndexMaintenance.maybeCompact(s, indexPath)
     result
   }
 

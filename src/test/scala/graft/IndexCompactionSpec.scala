@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.{Dedup, IndexMaintenance, Similarity}
+import org.apache.spark.sql.functions.col
+
+/** Conf-gated small-file compaction for the persisted band indexes
+  * (`spark.graft.index.compactEvery` / `.compactTargetBytes`). The
+  * contract: N micro-batches leave a BOUNDED part-file count with
+  * is_new verdicts identical to the never-compacted run, the rewrite is
+  * content-identical, and sidecars (the geometry stamp) survive the
+  * directory swap. */
+class IndexCompactionSpec extends SparkFunSuite {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val baseDocs = (0L until 5L).map(i =>
+    i -> s"base${i}a base${i}b base${i}c base${i}d base${i}e base${i}f")
+
+  // batch i: one novel doc (100+i) and, from batch 1 on, one duplicate
+  // of the PREVIOUS batch's novelty (200+i) — so verdicts exercise the
+  // grown index across every compaction boundary
+  private def batch(i: Int): Seq[(Long, String)] = {
+    val novel = (100L + i) -> s"novel${i}a novel${i}b novel${i}c novel${i}d novel${i}e novel${i}f"
+    if (i == 0) Seq(novel)
+    else Seq(novel, (200L + i) ->
+      s"novel${i - 1}a novel${i - 1}b novel${i - 1}c novel${i - 1}d novel${i - 1}e novel${i - 1}f")
+  }
+
+  private def runBatches(idx: String, n: Int): Seq[Map[Long, Boolean]] =
+    (0 until n).map { i =>
+      Dedup.dedupBatchAndGrowIndex(docsDf(batch(i)), idx).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_new")).toMap
+    }
+
+  test("direct compact: content-identical, one file, sidecar preserved") {
+    val idx = TempDirs.scratch("graft_compact_idx_").resolve("base").toString
+    Dedup.writeSignatureIndex(docsDf(baseDocs), idx)
+    for (i <- 0 until 4)
+      Dedup.appendToSignatureIndex(docsDf(batch(i)), idx)
+    val before = spark.read.parquet(idx).collect().map(_.toString).sorted.toSeq
+    val filesBefore = IndexMaintenance.partFileCount(spark, idx)
+    assert(filesBefore >= 5, s"fixture not fragmented: $filesBefore files")
+    IndexMaintenance.compact(spark, idx, targetBytes = 1L << 30)
+    assert(IndexMaintenance.partFileCount(spark, idx) === 1)
+    val after = spark.read.parquet(idx).collect().map(_.toString).sorted.toSeq
+    assert(after === before, "compaction changed index content")
+    // the geometry stamp survived the swap: a mismatched session still fails
+    try {
+      spark.conf.set("spark.graft.lsh.bands", "4")
+      spark.conf.set("spark.graft.lsh.rowsPerBand", "2")
+      intercept[IllegalStateException](
+        Dedup.dedupBatchAgainstIndex(docsDf(batch(0)), idx))
+    } finally {
+      spark.conf.unset("spark.graft.lsh.bands")
+      spark.conf.unset("spark.graft.lsh.rowsPerBand")
+    }
+  }
+
+  test("grow loop under compactEvery: bounded files, verdicts identical") {
+    val n = 6
+    val plain = TempDirs.scratch("graft_compact_plain_").resolve("base").toString
+    Dedup.writeSignatureIndex(docsDf(baseDocs), plain)
+    val plainVerdicts = runBatches(plain, n)
+    val plainFiles = IndexMaintenance.partFileCount(spark, plain)
+
+    val gated = TempDirs.scratch("graft_compact_gated_").resolve("base").toString
+    Dedup.writeSignatureIndex(docsDf(baseDocs), gated)
+    spark.conf.set("spark.graft.index.compactEvery", "2")
+    val gatedVerdicts =
+      try runBatches(gated, n)
+      finally spark.conf.unset("spark.graft.index.compactEvery")
+    val gatedFiles = IndexMaintenance.partFileCount(spark, gated)
+
+    assert(gatedVerdicts === plainVerdicts,
+      "compaction changed a micro-batch's is_new verdicts")
+    // expected verdict shape, pinned independently of the twin-run diff
+    assert(gatedVerdicts.head === Map(100L -> true))
+    for (i <- 1 until n)
+      assert(gatedVerdicts(i) === Map((100L + i) -> true, (200L + i) -> false))
+    // file-count bound: at most compactEvery survivors plus one batch's
+    // appends before the next trigger; the plain run keeps growing
+    assert(gatedFiles <= 2 + 4,
+      s"compaction did not bound index files: $gatedFiles")
+    assert(gatedFiles < plainFiles,
+      s"gated run ($gatedFiles files) not smaller than plain ($plainFiles)")
+    // grown content identical
+    val ids = (p: String) => spark.read.parquet(p)
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(ids(gated) === ids(plain))
+  }
+
+  test("vector grow loop under compactEvery: bounded files, verdicts identical") {
+    import spark.implicits._
+    val dims = 64
+    def vec(seed: Int) = Array.tabulate(dims)(k =>
+      if ((k + seed) % (seed + 2) == 0) -1.0f else 1.0f)
+    val base = (0 until 4).map(j => (j.toLong, vec(j))).toDF("vec_id", "embedding")
+    def vbatch(i: Int) = {
+      val novel = Seq((100L + i, vec(10 + i)))
+      (if (i == 0) novel else novel :+ ((200L + i, vec(10 + i - 1))))
+        .toDF("vec_id", "embedding")
+    }
+    def run(idx: String, every: Option[Int]): (Seq[Map[Long, Boolean]], Int) = {
+      Similarity.writeVectorBandIndex(base, idx)
+      every.foreach(e => spark.conf.set("spark.graft.index.compactEvery", e.toString))
+      val verdicts =
+        try (0 until 5).map { i =>
+          Similarity.nearDupBatchAndGrowIndex(vbatch(i), idx).collect()
+            .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_new")).toMap
+        }
+        finally spark.conf.unset("spark.graft.index.compactEvery")
+      (verdicts, IndexMaintenance.partFileCount(spark, idx))
+    }
+    val (plainV, plainF) =
+      run(TempDirs.scratch("graft_vcompact_plain_").resolve("b").toString, None)
+    val (gatedV, gatedF) =
+      run(TempDirs.scratch("graft_vcompact_gated_").resolve("b").toString, Some(2))
+    assert(gatedV === plainV, "vector compaction changed verdicts")
+    assert(gatedF <= 2 + 4 && gatedF < plainF,
+      s"vector compaction did not bound files: gated=$gatedF plain=$plainF")
+  }
+}
