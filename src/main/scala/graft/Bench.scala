@@ -69,13 +69,51 @@ object Bench {
     // across rounds (best-effort: an unwritable cwd must not fail the
     // run). FULL runs only: a targeted `runMain graft.Bench q_x q_y`
     // experiment must not clobber the catalog-wide profile.
-    if (only.isEmpty)
+    if (only.isEmpty) {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_full_latest.json"), fullLine + "\n")
       catch { case scala.util.control.NonFatal(_) => () } // fatal errors propagate
+      writePlans(spark, sfDir, results)
+    }
     // short summary LAST: the bounded tail always keeps this line whole
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"failures":${failures.length}}""")
     spark.stop()
+  }
+
+  /** Persist formatted physical plans for the TOP queries by measured
+    * cost (PLANS_latest.md, full runs only) — the plan-side twin of the
+    * BENCH_full profile: a timing regression is visible in the numbers,
+    * but a PLAN regression (a lost broadcast, a new exchange, a join
+    * strategy flip) is only diffable if the plans are an artifact too.
+    * q_stream_* are excluded: their returned frame is a memory-sink
+    * read; the cost lives in the stream execution, not that plan.
+    * Building a frame re-runs any eager prelude a query has (cached
+    * signature counts etc.) — acceptable once per full bench run. */
+  private def writePlans(
+      spark: SparkSession, sfDir: String, results: Seq[(String, Double)]): Unit = {
+    val top = results.filterNot(_._1.startsWith("q_stream"))
+      .sortBy(-_._2).take(10)
+    val sb = new StringBuilder
+    sb.append("# Formatted physical plans — top bench queries\n\n")
+    sb.append(s"Regenerated by `graft.Bench` on every full run (sf=$sfDir).\n")
+    sb.append(s"Top ${top.size} non-streaming queries by median bench seconds; ")
+    sb.append("diff across rounds to catch plan regressions the timings hide.\n")
+    for ((name, sec) <- top) {
+      try {
+        CacheScope.releaseAll()
+        spark.catalog.clearCache()
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        sb.append(s"\n## $name — ${"%.2f".format(sec)} s\n\n```\n$plan```\n")
+      } catch { case scala.util.control.NonFatal(e) =>
+        sb.append(s"\n## $name — plan unavailable: ${e.getMessage}\n")
+      }
+    }
+    CacheScope.releaseAll()
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("PLANS_latest.md"), sb.toString)
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Times each query (median of `reps` noop-sink executions). A failing
