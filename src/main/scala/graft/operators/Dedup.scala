@@ -256,6 +256,20 @@ object Dedup {
     else
       expr("size(filter(zip_with(x.sig, y.sig, (a, b) -> a = b), m -> m))")
 
+  /** Stage probes for [[graft.ClusterProfile]] — execute exactly the
+    * cluster pipeline's prefix stages so each stage's share of
+    * q_dedup_clusters (the catalog's most expensive query) is a measured
+    * number, not a guess. */
+  private[graft] def profileSignatures(s: SparkSession, d: String): Unit = {
+    val sigs = graft.CacheScope.track(signatures(s, d).persist())
+    sigs.count()
+    ()
+  }
+  private[graft] def profilePairs(s: SparkSession, d: String): Long =
+    minhashPairs(s, d).count()
+  private[graft] def profileCc(s: SparkSession, d: String): Int =
+    connectedComponentsWithRounds(minhashPairs(s, d))._2
+
   /** PROBE-ONLY brute-force truth for LSH recall measurement
     * ([[graft.GeometryProbe]]): every doc pair whose signatures agree on
     * >= matchThreshold slots, with NO banding stage — the denominator of
