@@ -55,7 +55,13 @@ object Bench {
     val only: Option[Set[String]] = if (args.nonEmpty) Some(args.toSet) else None
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val (results, failures) = measure(spark, sfDir, reps, queries)
+    // frames captured during measurement feed writePlans — re-building
+    // the top queries cold would re-pay their eager preludes (the CC
+    // fixpoint, scratch index writes) just to print plans
+    val captured =
+      scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
+    val (results, failures) =
+      measure(spark, sfDir, reps, queries, (n, df) => captured(n) = df)
     def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
@@ -73,7 +79,7 @@ object Bench {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_full_latest.json"), fullLine + "\n")
       catch { case scala.util.control.NonFatal(_) => () } // fatal errors propagate
-      writePlans(spark, sfDir, results)
+      writePlans(spark, results, captured.toMap)
     }
     // short summary LAST: the bounded tail always keeps this line whole
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"failures":${failures.length}}""")
@@ -86,31 +92,29 @@ object Bench {
     * but a PLAN regression (a lost broadcast, a new exchange, a join
     * strategy flip) is only diffable if the plans are an artifact too.
     * q_stream_* are excluded: their returned frame is a memory-sink
-    * read; the cost lives in the stream execution, not that plan.
-    * Building a frame re-runs any eager prelude a query has (cached
-    * signature counts etc.) — acceptable once per full bench run. */
+    * read; the cost lives in the stream execution, not that plan. Plans
+    * come from the frames the measurement loop already built and
+    * executed (AQE-final shapes) — rebuilding the top queries cold
+    * would re-pay their eager preludes just to print plans. */
   private def writePlans(
-      spark: SparkSession, sfDir: String, results: Seq[(String, Double)]): Unit = {
+      spark: SparkSession, results: Seq[(String, Double)],
+      frames: Map[String, org.apache.spark.sql.DataFrame]): Unit = {
     val top = results.filterNot(_._1.startsWith("q_stream"))
       .sortBy(-_._2).take(10)
     val sb = new StringBuilder
     sb.append("# Formatted physical plans — top bench queries\n\n")
-    sb.append(s"Regenerated by `graft.Bench` on every full run (sf=$sfDir).\n")
+    sb.append("Regenerated by `graft.Bench` on every full run.\n")
     sb.append(s"Top ${top.size} non-streaming queries by median bench seconds; ")
     sb.append("diff across rounds to catch plan regressions the timings hide.\n")
     for ((name, sec) <- top) {
       try {
-        CacheScope.releaseAll()
-        spark.catalog.clearCache()
-        val plan = SparkEntry.queries(name)(spark, sfDir)
-          .queryExecution.explainString(
-            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val plan = frames(name).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         sb.append(s"\n## $name — ${"%.2f".format(sec)} s\n\n```\n$plan```\n")
       } catch { case scala.util.control.NonFatal(e) =>
         sb.append(s"\n## $name — plan unavailable: ${e.getMessage}\n")
       }
     }
-    CacheScope.releaseAll()
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("PLANS_latest.md"), sb.toString)
     catch { case scala.util.control.NonFatal(_) => () }
@@ -121,7 +125,8 @@ object Bench {
     * query must never look like a fast one. */
   def measure(
       spark: SparkSession, sfDir: String, reps: Int,
-      queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+      queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      capture: (String, org.apache.spark.sql.DataFrame) => Unit = (_, _) => ())
       : (Seq[(String, Double)], Seq[String]) = {
     val attempted = queries.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
@@ -130,7 +135,9 @@ object Bench {
         System.gc()
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          val df = fn(spark, sfDir)
+          df.write.mode("overwrite").format("noop").save()
+          capture(name, df)
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -92,6 +92,16 @@ object GraftConf {
       }
     }.getOrElse(default)
 
+  /** Double conf with fail-fast parsing naming the conf. */
+  def double(s: SparkSession, key: String, default: Double): Double =
+    get(s, key).map { v =>
+      try v.trim.toDouble
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be a number, got '$v'")
+      }
+    }.getOrElse(default)
+
   /** Boolean conf with fail-fast parsing naming the conf. */
   def bool(s: SparkSession, key: String, default: Boolean): Boolean =
     get(s, key).map { v =>

@@ -22,10 +22,10 @@ object Corpus {
     * DuckDB oracles pin the DEFAULTS — non-default values are user
     * surface (the plan shape is identical at any setting). */
   private def confInt(s: SparkSession, key: String, dflt: Int): Int =
-    s.conf.get(key, dflt.toString).toInt
+    graft.GraftConf.int(s, key, dflt)
 
   private def confDouble(s: SparkSession, key: String, dflt: Double): Double =
-    s.conf.get(key, dflt.toString).toDouble
+    graft.GraftConf.double(s, key, dflt)
 
   /** Sliding-window chunker: WINDOW=64 tokens, STRIDE=48 (16-token
     * overlap) — the RAG/pretraining chunk shape. Chunk i of a doc covers

@@ -19,10 +19,10 @@ import org.apache.spark.sql.types.DecimalType
 object Curation {
 
   private def confDouble(s: SparkSession, key: String, dflt: Double): Double =
-    s.conf.getOption(key).map(_.toDouble).getOrElse(dflt)
+    graft.GraftConf.double(s, key, dflt)
 
   private def confLong(s: SparkSession, key: String, dflt: Long): Long =
-    s.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+    graft.GraftConf.long(s, key, dflt)
 
   /** quality ∈ (0,1]: the same 6-dp-rounded length+TTR score the quality
     * gate uses ([[TextAnalysis.qualityGate]]) — one definition of

@@ -601,7 +601,7 @@ object Dedup {
       graft.GraftConf.bool(s, "spark.graft.dedup.reliableCheckpoint", default = false)
     if (reliable) {
       if (s.sparkContext.getCheckpointDir.isEmpty) {
-        val dir = s.conf.getOption("spark.graft.checkpointDir").getOrElse(
+        val dir = graft.GraftConf.get(s, "spark.graft.checkpointDir").getOrElse(
           java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
         s.sparkContext.setCheckpointDir(dir)
       }

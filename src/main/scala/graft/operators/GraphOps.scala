@@ -37,8 +37,8 @@ object GraphOps {
       .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-    val dangling = s.conf.getOption("spark.graft.pagerank.dangling")
-      .exists(_.toBoolean)
+    val dangling =
+      graft.GraftConf.bool(s, "spark.graft.pagerank.dangling", default = false)
     pagerankOnEdges(edges, iters = 3, redistributeDangling = dangling)
       .select(
         when(col("node") % 2 === 0, "part").otherwise("supplier").as("node_type"),

@@ -21,14 +21,25 @@ import org.apache.spark.sql.SparkSession
   * exceeds N, so steady-state file count is bounded by N while
   * compaction cost stays amortized (every N batches, not every batch).
   *
-  * Swap protocol (local FS / HDFS rename semantics): the live directory
-  * is renamed to `<path>__compacting`, rewritten into a fresh `<path>`,
-  * sidecars (the `_lsh_geometry` stamp) copied over, and the old
-  * directory deleted. A crash mid-rewrite leaves `<path>__compacting`
-  * complete and untouched — recovery is renaming it back. Callers that
-  * hold DataFrames over the index across a compaction must have
-  * materialized them (the grow-index bodies do: results are eagerly
-  * lineage-truncated before the append/compact step).
+  * Swap protocol (local FS / HDFS rename semantics), designed so the
+  * LIVE directory is never the target of an in-progress write and a
+  * complete copy exists at every instant:
+  *
+  *  1. rewrite live → `<path>__compact_tmp` (live untouched);
+  *  2. copy sidecars (the `_lsh_geometry` stamp) INTO tmp — the
+  *     swapped-in dir must be complete before it goes live;
+  *  3. rename live → `<path>__compact_old`, rename tmp → live
+  *     (restoring old on a failed second rename);
+  *  4. delete old.
+  *
+  * Crash recovery runs at the START of every compact call: a missing
+  * live dir with `__compact_old` present (crash between the two swap
+  * renames) renames old back; leftover tmp (crash mid-rewrite) and
+  * leftover old (crash before the final delete) are safe to drop —
+  * in both cases live is complete. Callers that hold DataFrames over
+  * the index across a compaction must have materialized them (the
+  * grow-index bodies do: results are eagerly lineage-truncated before
+  * the append/compact step).
   */
 object IndexMaintenance {
 
@@ -58,27 +69,42 @@ object IndexMaintenance {
     require(targetBytes > 0, "spark.graft.index.compactTargetBytes must be positive")
     val live = new Path(path)
     val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__compact_tmp")
+    val old = new Path(path + "__compact_old")
+    // ---- crash recovery from a previous interrupted compaction ----
+    if (!fs.exists(live) && fs.exists(old)) {
+      // died between the two swap renames: old IS the index — restore it
+      if (!fs.rename(old, live))
+        throw new IllegalStateException(s"compaction recovery could not restore $path")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true) // partial rewrite; live is complete
+    if (fs.exists(old)) fs.delete(old, true) // completed swap; live is complete
     if (!fs.exists(live)) return
-    val stage = new Path(path + "__compacting")
-    if (fs.exists(stage)) fs.delete(stage, true) // stale crash leftover
     val parts = fs.listStatus(live).filter(_.getPath.getName.startsWith("part-"))
     if (parts.isEmpty) return
     val bytes = parts.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    if (!fs.rename(live, stage))
-      throw new IllegalStateException(s"compaction could not stage $path")
-    s.read.parquet(stage.toString).repartition(nOut)
-      .write.mode("overwrite").parquet(path)
-    // carry sidecars (the _lsh_geometry stamp) into the rewritten dir
-    fs.listStatus(stage)
+    // rewrite INTO tmp — the live index is never a write target
+    s.read.parquet(live.toString).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // sidecars (the _lsh_geometry stamp) go into tmp BEFORE the swap, so
+    // the directory that goes live is complete — a stamp-less window
+    // would silently disable the geometry-mismatch check
+    fs.listStatus(live)
       .filter(f => f.getPath.getName.startsWith("_") &&
         !f.getPath.getName.startsWith("_SUCCESS"))
       .foreach { f =>
         val in = fs.open(f.getPath)
-        val out = fs.create(new Path(live, f.getPath.getName), true)
+        val out = fs.create(new Path(tmp, f.getPath.getName), true)
         try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
         finally { in.close(); out.close() }
       }
-    fs.delete(stage, true)
+    if (!fs.rename(live, old))
+      throw new IllegalStateException(s"compaction could not stage $path")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // restore — the rewrite is abandoned, not the index
+      throw new IllegalStateException(s"compaction could not swap in $path")
+    }
+    fs.delete(old, true)
   }
 }

@@ -110,8 +110,8 @@ object Layout {
     * Iceberg); the verification aggregate is partial-agg over |sources|
     * groups. */
   def compactFiles(s: SparkSession, d: String): DataFrame = {
-    val target = s.conf.get("spark.graft.layout.compactTargetBytes",
-      (4L * 1024 * 1024).toString).toLong
+    val target = graft.GraftConf.long(s,
+      "spark.graft.layout.compactTargetBytes", 4L * 1024 * 1024)
     require(target > 0, "compactTargetBytes must be positive")
     // per-invocation unique staging (deleted at JVM exit): a fixed
     // hashCode-keyed path would let two concurrent drivers on the same

@@ -48,7 +48,7 @@ object Sampling {
     * row_number ranks only the k·strata survivors (≤100 rows), not the
     * input. */
   def sampleStratified(s: SparkSession, d: String): DataFrame = {
-    val k = s.conf.get("spark.graft.sampling.stratumK", "20").toInt
+    val k = graft.GraftConf.int(s, "spark.graft.sampling.stratumK", 20)
     val base = orders(s, d)
       .withColumn("nscore",
         -expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 13), 16, 10) AS DOUBLE)"))

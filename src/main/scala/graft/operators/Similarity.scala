@@ -120,7 +120,7 @@ object Similarity {
     * turns `lloydIters` into a cap with an objective-delta early stop. */
   def knnIvf(s: SparkSession, d: String): DataFrame =
     knnIvfImpl(s, d,
-      lloydIters = s.conf.get("spark.graft.ivf.lloydIters", "1").toInt)
+      lloydIters = graft.GraftConf.int(s, "spark.graft.ivf.lloydIters", 1))
 
   /** Seed-only variant (no Lloyd step) — kept for the quantizer-quality
     * spec; not a catalog query. */
@@ -155,7 +155,7 @@ object Similarity {
     // session confs (knnIvfPq pins the oracle defaults); null = inherit
     // the session's spark.graft.ivf.* confs (knnIvf's behavior)
     val seedMode = Option(seeding)
-      .getOrElse(s.conf.get("spark.graft.ivf.seeding", "first"))
+      .getOrElse(graft.GraftConf.get(s, "spark.graft.ivf.seeding").getOrElse("first"))
     val seeds = seedMode match {
       case "kmeanspp" => farthestPointSeeds(base, 16)
       case _ => base.filter(col("vec_id") < 16)
@@ -202,7 +202,7 @@ object Similarity {
     // O(1) driver data) — conf-gated, since the oracle pins the default
     // fixed-depth path.
     val eps = Option(objectiveEps).map(_.doubleValue)
-      .getOrElse(s.conf.get("spark.graft.ivf.objectiveEps", "0").toDouble)
+      .getOrElse(graft.GraftConf.double(s, "spark.graft.ivf.objectiveEps", 0.0))
     def objective(cents: DataFrame): Double =
       scoreTop2(cents).filter(col("crk") === 1)
         .agg(avg(col("cs"))).head().getDouble(0)
@@ -381,7 +381,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     // nprobe: how many nearest cells a query probes (the recall/cost
     // knob every IVF engine exposes; the oracle pins the default 2)
-    val nprobe = s.conf.get("spark.graft.ivf.nprobe", "2").toInt
+    val nprobe = graft.GraftConf.int(s, "spark.graft.ivf.nprobe", 2)
     require(nprobe >= 1 && nprobe <= 2,
       s"nprobe must be in [1, 2] (scoreTop2 retains 2 cells), got $nprobe")
     val top2 = ivfTop2(s, d, lloydIters)
@@ -860,7 +860,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val subs = pqSubs(s, d)
     val cents = pqCodebooks(s, subs,
-      s.conf.get("spark.graft.pq.lloydIters", "0").toInt)
+      graft.GraftConf.int(s, "spark.graft.pq.lloydIters", 0))
     // argmin with id tie-break as min-of-struct (lexicographic), NOT a
     // row_number window: the aggregate partial-combines map-side, so the
     // exchange carries corpus×8 groups instead of sorting the full

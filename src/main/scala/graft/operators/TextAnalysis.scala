@@ -75,8 +75,8 @@ object TextAnalysis {
     * oracle pins bit-identical thresholds. */
   def qualityGate(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val approx = s.conf.getOption("spark.graft.quality.approxThreshold")
-      .exists(_.toBoolean)
+    val approx =
+      graft.GraftConf.bool(s, "spark.graft.quality.approxThreshold", default = false)
     val q = documents(s, d)
       .withColumn("ttr",
         expr("size(array_distinct(split(text, ' ')))").cast("double") /
@@ -166,8 +166,8 @@ object TextAnalysis {
     val toks = documents(s, d)
       .select(explode(split(col("text"), " ")).as("token"))
     toks.createOrReplaceTempView("graft_hh_tokens")
-    val localCand = s.conf.getOption("spark.graft.text.hhLocalCandidates")
-      .exists(_.toBoolean)
+    val localCand =
+      graft.GraftConf.bool(s, "spark.graft.text.hhLocalCandidates", default = false)
     val candSql =
       if (localCand)
         """SELECT DISTINCT token FROM (

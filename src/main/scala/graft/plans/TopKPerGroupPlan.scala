@@ -139,8 +139,15 @@ case class TopKPerGroupExec(group: Expression, score: Expression, tie: Expressio
     val kLocal = k
     val nFields = child.output.length
     val types = child.output.map(_.dataType).toArray
-    val budget = conf.getConfString(
-      "spark.graft.topkPerGroup.maxBufferedRows", "4000000").toLong
+    // physical-plan context (SQLConf, no SparkSession) — parse locally
+    // with the same fail-fast conf-naming contract as graft.GraftConf
+    val budget =
+      try conf.getConfString(
+        "spark.graft.topkPerGroup.maxBufferedRows", "4000000").trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          "spark.graft.topkPerGroup.maxBufferedRows must be an integer")
+      }
     // The k-way merge phase re-uses insert() with spilling disabled; a
     // budget below k could otherwise trigger a mid-merge writeRun whose
     // rows no Run would ever read back — silent data loss. Fail loudly.

@@ -74,6 +74,55 @@ class GeometrySpec extends SparkFunSuite {
     }
   }
 
+  test("width-40 HOF match path equals JVM-computed truth (8x5)") {
+    // widths > 32 switch matchCount/minimalBandOnly to the compact
+    // zip_with / array_min HOF expressions — gate them against a truth
+    // computed entirely JVM-side (same hash family via the aggregator,
+    // independent band/match logic), including exactly-once emission
+    import spark.implicits._
+    val docs: Seq[(Long, String)] =
+      // 10 near-dup pairs sharing 9 of 10 tokens, 2 identical pairs,
+      // and 6 unrelated docs
+      (0 until 10).flatMap { j =>
+        val base = (0 until 9).map(t => s"w${j}t$t").mkString(" ")
+        Seq((2L * j, s"$base extraA$j"), (2L * j + 1, s"$base extraB$j"))
+      } ++ Seq((100L, "dupX a b c d e"), (101L, "dupX a b c d e"),
+        (102L, "dupY f g h i j"), (103L, "dupY f g h i j")) ++
+        (0 until 6).map(k => (200L + k,
+          (0 until 10).map(t => s"solo${k}t$t").mkString(" ")))
+    try {
+      spark.conf.set("spark.graft.lsh.bands", "8")
+      spark.conf.set("spark.graft.lsh.rowsPerBand", "5")
+      val got = operators.Dedup.minhashPairsGuarded(docs.toDF("doc_id", "text"), cap = 0)
+        .collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("matches")))
+        .toSeq
+      assert(got.size === got.distinct.size, "a pair was emitted twice")
+      // JVM truth: fold each doc's distinct tokens through the aggregator
+      val sigs: Map[Long, Array[String]] = docs.map { case (id, text) =>
+        val agg = new graft.functions.MinHashAggregator(40)
+        id -> text.split(" ").distinct
+          .foldLeft(agg.zero)((b, t) => agg.reduce(b, (id, t)))
+      }.toMap
+      val thr = math.ceil(0.75 * 40).toInt // 30
+      val expected = (for {
+        i <- sigs.keys; j <- sigs.keys if i < j
+        si = sigs(i); sj = sigs(j)
+        m = (0 until 40).count(k => si(k) == sj(k))
+        bandHit = (0 until 8).exists(b =>
+          (0 until 5).forall(r => si(5 * b + r) == sj(5 * b + r)))
+        if bandHit && m >= thr
+      } yield (i, j, m)).toSet
+      assert(expected.nonEmpty, "fixture produced no qualifying pairs")
+      assert(got.toSet === expected,
+        s"HOF wide path diverged from JVM truth (got ${got.size}, expected ${expected.size})")
+    } finally {
+      spark.conf.unset("spark.graft.lsh.bands")
+      spark.conf.unset("spark.graft.lsh.rowsPerBand")
+      CacheScope.releaseAll()
+    }
+  }
+
   test("slot suffixes hash in decimal past slot 9 (oracle's CAST(h AS VARCHAR))") {
     val agg = new graft.functions.MinHashAggregator(12)
     val buf = agg.reduce(agg.zero, (1L, "tok"))

@@ -59,6 +59,37 @@ class IndexCompactionSpec extends SparkFunSuite {
     }
   }
 
+  test("compaction crash recovery: old dir restored, leftovers dropped") {
+    val idx = TempDirs.scratch("graft_compact_crash_").resolve("base").toString
+    Dedup.writeSignatureIndex(docsDf(baseDocs), idx)
+    for (i <- 0 until 2) Dedup.appendToSignatureIndex(docsDf(batch(i)), idx)
+    val snapshot = spark.read.parquet(idx).collect().map(_.toString).sorted.toSeq
+    val live = new org.apache.hadoop.fs.Path(idx)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash between the two swap renames: live gone, old IS the index
+    assert(fs.rename(live, new org.apache.hadoop.fs.Path(idx + "__compact_old")))
+    IndexMaintenance.compact(spark, idx, targetBytes = 1L << 30)
+    assert(spark.read.parquet(idx).collect().map(_.toString).sorted.toSeq === snapshot,
+      "recovery + compact lost or changed rows")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + "__compact_old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + "__compact_tmp")))
+    // crash mid-rewrite: a partial tmp dir beside a complete live index
+    fs.mkdirs(new org.apache.hadoop.fs.Path(idx + "__compact_tmp"))
+    IndexMaintenance.compact(spark, idx, targetBytes = 1L << 30)
+    assert(spark.read.parquet(idx).collect().map(_.toString).sorted.toSeq === snapshot)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + "__compact_tmp")))
+    // geometry stamp survived both recoveries + rewrites
+    try {
+      spark.conf.set("spark.graft.lsh.bands", "4")
+      spark.conf.set("spark.graft.lsh.rowsPerBand", "2")
+      intercept[IllegalStateException](
+        Dedup.dedupBatchAgainstIndex(docsDf(batch(0)), idx))
+    } finally {
+      spark.conf.unset("spark.graft.lsh.bands")
+      spark.conf.unset("spark.graft.lsh.rowsPerBand")
+    }
+  }
+
   test("grow loop under compactEvery: bounded files, verdicts identical") {
     val n = 6
     val plain = TempDirs.scratch("graft_compact_plain_").resolve("base").toString
