@@ -37,6 +37,11 @@ import org.apache.spark.sql.SparkSession
   *      - `spark.graft.index.compactEvery=64` — bound the signature /
   *        vector band index file counts under streaming ingest
   *        (result-identical; pure layout maintenance).
+  *      - `spark.graft.lm.cms=true` — the LM rare-gram filter scores
+  *        from a broadcast Count-Min sketch instead of shuffling every
+  *        trigram position. One-sided approximation (CMS never
+  *        underestimates a count): per doc `n_rare` can only shrink, so
+  *        the kept set only GROWS — conservative for a keep-filter.
   *
   *     The LSH band GEOMETRY (`spark.graft.lsh.bands` / `.rowsPerBand`)
   *     is intentionally NOT in the preset: geometry is the recall DIAL
@@ -58,7 +63,8 @@ object GraftConf {
     "spark.graft.semdedup.lsh" -> "true",
     "spark.graft.dedup.reliableCheckpoint" -> "true",
     "spark.graft.dedup.shareClusters" -> "true",
-    "spark.graft.index.compactEvery" -> "64")
+    "spark.graft.index.compactEvery" -> "64",
+    "spark.graft.lm.cms" -> "true")
 
   /** The layered string value for `key`: explicit conf > active profile
     * preset > None. An unknown profile name fails fast. */

@@ -16,9 +16,13 @@ import org.apache.spark.util.sketch.CountMinSketch
   * The deserialized sketch is cached per expression instance keyed on
   * the incoming byte array's identity — the sketch arrives via a scalar
   * subquery, so every row of a task sees the same array and `readFrom`
-  * runs once per task, not per row. CodegenFallback is fine here: the
-  * estimator runs over the CANDIDATE set (vocabulary-sized), never the
-  * token stream ([[graft.operators.TextAnalysis.heavyHittersCms]]).
+  * runs once per task, not per row. CodegenFallback is the accepted
+  * trade at both call sites: [[graft.operators.TextAnalysis.heavyHittersCms]]
+  * queries only the CANDIDATE set (vocabulary-sized), and the gated LM
+  * scale path ([[graft.operators.TextAnalysis.lmRareTrigram]],
+  * `spark.graft.lm.cms`) deliberately pays one interpreted eval per
+  * gram occurrence to REMOVE the stream-wide exchange it replaces —
+  * a per-row hash beats shuffling the row.
   * Estimation hashes the same UTF-8 bytes the aggregate added, so
   * estimates are exact upper bounds for the aggregated column. */
 case class CmsEstimate(left: Expression, right: Expression)

@@ -423,6 +423,49 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style importance weights for TARGET-DOMAIN matching (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): hash every token into one of 256 feature buckets,
+    * estimate the target (here: sources src1–src3, the stand-in for
+    * "looks like Wikipedia") and raw feature distributions, and score
+    * each document by how much its features look drawn from the target.
+    * The published method sums log(p/q) per feature and resamples with
+    * Gumbel noise; this engine keeps the SAME two-distribution ratio
+    * signal in exact fixed-point — per-bucket weight
+    * `(1e6·(tc+1)) DIV (rc+1)` (add-one smoothed, floor-divided — no
+    * float anywhere) summed per doc as a BIGINT — so the score is
+    * bit-reproducible and oracle-checkable, and a deterministic
+    * rank-by-weight replaces the noisy resample. `avg_weight_q6` (the
+    * per-token mean, length-debiased) is the selection key a real run
+    * thresholds.
+    *
+    * Scale shape: pass 1 trains the feature table — one partial-agg
+    * exchange that collapses to 256 rows no matter the corpus size
+    * (both distributions counted in the same pass). Pass 2 re-scans,
+    * broadcast-joins the 256-row table, and partial-aggs per doc. Two
+    * corpus scans and no big shuffle except the doc_id agg — the same
+    * train-then-score shape DSIR ships for exactly this reason. */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    def feat = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(expr("filter(split(lower(text), ' '), t -> t != '')")).as("w"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % 256).as("b"))
+    val ratio = feat
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("rc"),
+        sum(when(col("source").isin("src1", "src2", "src3"), 1L)
+          .otherwise(0L)).as("tc"))
+      .select(col("b"), expr("(1000000 * (tc + 1)) DIV (rc + 1)").as("r_q6"))
+    feat
+      .join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("r_q6")).as("weight"))
+      .select(col("doc_id"), col("n_tokens"), col("weight"),
+        expr("weight DIV n_tokens").as("avg_weight_q6"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_calibrate" -> (qualityCalibrateOracle _),
     "q_epoch_shuffle" -> (epochShuffle _),
@@ -432,7 +475,8 @@ object Curation {
     "q_sample_weighted" -> (sampleWeighted _),
     "q_dedup_representative" -> (dedupRepresentative _),
     "q_contamination_bloom" -> (contaminationBloom _),
-    "q_corpus_diff" -> (corpusDiff _))
+    "q_corpus_diff" -> (corpusDiff _),
+    "q_dsir_weights" -> (dsirWeights _))
 
   private val qualitySql =
     """SELECT doc_id, source,
@@ -606,6 +650,29 @@ object Curation {
         |SELECT tr.train_doc, e.eval_doc, COUNT(*) AS n_shared_grams
         |FROM tr JOIN e ON tr.g = e.g
         |GROUP BY tr.train_doc, e.eval_doc
-        |ORDER BY tr.train_doc, e.eval_doc""".stripMargin
+        |ORDER BY tr.train_doc, e.eval_doc""".stripMargin,
+
+    // exact fixed-point throughout: the only division is integer floor
+    // division, so every value is a BIGINT both engines compute
+    // identically — no FP parity surface at all
+    "q_dsir_weights" ->
+      """WITH feat AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(w), 1, 6))::BIGINT % 256 AS b
+        |  FROM (SELECT doc_id, source,
+        |          unnest(list_filter(string_split(lower(text), ' '),
+        |                             t -> t <> '')) AS w
+        |        FROM documents)),
+        |ratio AS (
+        |  SELECT b,
+        |    (1000000 * (CAST(SUM(CASE WHEN source IN ('src1', 'src2', 'src3')
+        |                        THEN 1 ELSE 0 END) AS BIGINT) + 1))
+        |      // (COUNT(*) + 1) AS r_q6
+        |  FROM feat GROUP BY b)
+        |SELECT feat.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(ratio.r_q6) AS BIGINT) AS weight,
+        |  CAST(SUM(ratio.r_q6) AS BIGINT) // COUNT(*) AS avg_weight_q6
+        |FROM feat JOIN ratio USING (b)
+        |GROUP BY feat.doc_id ORDER BY feat.doc_id""".stripMargin
   )
 }

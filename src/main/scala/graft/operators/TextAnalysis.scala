@@ -548,6 +548,76 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** N-gram LANGUAGE-MODEL filter, the count-based CCNet/KenLM proxy:
+    * score each document by the fraction of its word-trigram POSITIONS
+    * whose corpus-wide occurrence count is ≤ 2 — a high rare-gram rate
+    * means the doc is full of sequences the corpus LM has (almost) no
+    * evidence for, the same signal a perplexity filter thresholds
+    * (Wenzek et al. 2020 §4.3) without the held-out LM. Distinct from
+    * [[noveltyScore]] on both axes: novelty counts DISTINCT grams with
+    * document frequency 1 (boilerplate share), this counts every
+    * OCCURRENCE against total corpus support (LM surprisal proxy).
+    *
+    * Determinism: counts are integers end-to-end; `rare_rate` is one
+    * IEEE division of two exact longs rounded at 6 dp, and the `kept`
+    * gate compares the UNROUNDED quotient — identical doubles in any
+    * engine.
+    *
+    * Scale shape (exact path): one narrow explode (bounded by doc
+    * length), ONE exchange on the gram where a whole-partition window
+    * counts occurrences in place — no gram-table self-join, no second
+    * corpus scan — then one partial-aggregated exchange back on doc_id.
+    * Gram groups are per-phrase (tiny), so the window parallelizes
+    * across the gram space at any corpus size; stop-phrase skew lands
+    * on AQE's skew splitter.
+    *
+    * Scale path (`spark.graft.lm.cms=true`): at 100 TB the exact path's
+    * gram exchange shuffles every trigram POSITION; the gated path
+    * replaces it with a Count-Min sketch — one sketch-merge aggregation
+    * (collapses map-side, a few MB per task) plus a narrow re-scan that
+    * point-queries the broadcast sketch, so NO exchange ever carries the
+    * token stream. CMS never underestimates, so `rare` flips only from
+    * true→false: per doc `n_rare_cms ≤ n_rare`, hence `kept_cms ⊇ kept`
+    * — the approximation is one-sided (conservative: keeps more), the
+    * property LmDsirSpec pins. */
+  def lmRareTrigram(s: SparkSession, d: String): DataFrame = {
+    val pos = documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), t -> t != '')").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+          |    ' ', element_at(toks, i + 2)))""".stripMargin)).as("g"))
+    val scored =
+      if (graft.GraftConf.bool(s, "spark.graft.lm.cms", default = false)) {
+        graft.functions.CmsFunctions.register(s)
+        pos.createOrReplaceTempView("graft_lm_grams")
+        s.sql(
+          """SELECT doc_id, COUNT(*) AS n_grams,
+            |  SUM(CASE WHEN est <= 2 THEN 1L ELSE 0L END) AS n_rare
+            |FROM (
+            |  SELECT doc_id, graft_cms_estimate(
+            |    (SELECT count_min_sketch(g, CAST(0.00002 AS DOUBLE),
+            |                             CAST(0.999 AS DOUBLE), 42)
+            |     FROM graft_lm_grams), g) AS est
+            |  FROM graft_lm_grams)
+            |GROUP BY doc_id""".stripMargin)
+      } else
+        pos
+          .withColumn("c",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("g"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("c") <= 2, 1L).otherwise(0L)).as("n_rare"))
+    scored
+      .select(col("doc_id"), col("n_grams"), col("n_rare"),
+        round(col("n_rare").cast("double") / col("n_grams"), 6).as("rare_rate"),
+        (col("n_rare").cast("double") / col("n_grams") <= lit(0.7)).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -557,6 +627,7 @@ object TextAnalysis {
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
+    "q_lm_rare_trigram" -> (lmRareTrigram _),
     "q_udtf_shingles" -> (udtfShingles _),
     "q_repetition_filter" -> (repetitionFilter _),
     "q_pii_redact" -> (piiRedact _),
@@ -692,6 +763,32 @@ object TextAnalysis {
         |  CAST(total_cnt AS DOUBLE) * nd / df AS tfidf
         |FROM cnt, n
         |ORDER BY tfidf DESC, token LIMIT 20""".stripMargin,
+
+    // docs with < 3 tokens produce no trigram positions and drop out of
+    // the aggregation on both sides; `kept` compares the UNROUNDED
+    // quotient so the gate and the reported rate can't disagree
+    "q_lm_rare_trigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(ts) AS w, unnest(range(1, len(ts) + 1)) AS i
+        |  FROM toks),
+        |tri AS (
+        |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+        |  FROM pos a
+        |  JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |cnt AS (SELECT g, COUNT(*) AS c FROM tri GROUP BY g),
+        |scored AS (
+        |  SELECT tri.doc_id, COUNT(*) AS n_grams,
+        |    CAST(SUM(CASE WHEN cnt.c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM tri JOIN cnt USING (g) GROUP BY tri.doc_id)
+        |SELECT doc_id, n_grams, n_rare,
+        |  round(CAST(n_rare AS DOUBLE) / n_grams, 6) AS rare_rate,
+        |  CAST(n_rare AS DOUBLE) / n_grams <= 0.7 AS kept
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     // docs shorter than 4 chars produce no rows and drop out of the
     // aggregation on both sides

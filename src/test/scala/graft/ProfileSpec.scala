@@ -9,9 +9,11 @@ import graft.operators.{Dedup, Similarity}
   * the explicit-conf-wins layering, fail-fast parsing, and fixture
   * equivalence for every conf whose result-equivalence the preset doc
   * claims (maxBucket on healthy input via the adaptive probe,
-  * reliableCheckpoint, shareClusters). `semdedup.lsh` is the one
-  * non-equivalent member — under the profile, semanticDedup must equal
-  * the oracle-gated LSH entry, not the exact kernel. */
+  * reliableCheckpoint, shareClusters). `semdedup.lsh` and `lm.cms` are
+  * the non-equivalent members — under the profile, semanticDedup must
+  * equal the oracle-gated LSH entry (not the exact kernel), and the LM
+  * filter's CMS path is bounded one-sided (kept set only grows —
+  * pinned in LmDsirSpec). */
 class ProfileSpec extends SparkFunSuite {
 
   private def withProfile(body: => Unit): Unit =
@@ -35,7 +37,8 @@ class ProfileSpec extends SparkFunSuite {
       "spark.graft.semdedup.lsh",
       "spark.graft.dedup.reliableCheckpoint",
       "spark.graft.dedup.shareClusters",
-      "spark.graft.index.compactEvery"),
+      "spark.graft.index.compactEvery",
+      "spark.graft.lm.cms"),
       "the scale preset's conf bundle changed — update the doc, this " +
         "spec, and NOTES deliberately")
     // band geometry must NOT be in the preset: it is a recall dial, not
