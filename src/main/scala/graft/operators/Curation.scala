@@ -445,7 +445,14 @@ object Curation {
     * broadcast-joins the 256-row table, and partial-aggs per doc. Two
     * corpus scans and no big shuffle except the doc_id agg — the same
     * train-then-score shape DSIR ships for exactly this reason. */
-  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirWeightsWithSource(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("weight"), col("avg_weight_q6"))
+      .orderBy(col("doc_id"))
+
+  /** [[dsirWeights]] core, keeping `source` in flight (doc_id is unique,
+    * so grouping on both adds no exchange) for [[dsirSelect]]'s report. */
+  private def dsirWeightsWithSource(s: SparkSession, d: String): DataFrame = {
     def feat = documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(expr("filter(split(lower(text), ' '), t -> t != '')")).as("w"))
@@ -459,11 +466,57 @@ object Curation {
       .select(col("b"), expr("(1000000 * (tc + 1)) DIV (rc + 1)").as("r_q6"))
     feat
       .join(broadcast(ratio), "b")
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("r_q6")).as("weight"))
-      .select(col("doc_id"), col("n_tokens"), col("weight"),
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("weight"),
         expr("weight DIV n_tokens").as("avg_weight_q6"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR SELECTION — the resampling half: keep the global top
+    * ceil(n/4) documents by `avg_weight_q6` (ties on doc_id), report
+    * per-source doc and kept counts. The report IS the method's
+    * diagnostic: target-matched sources (src1–src3) should be enriched
+    * well past 25%, the rest starved — domain shift made visible per
+    * domain, which is what an operator watches before committing a mix.
+    *
+    * Scale shape: the naive form is `row_number()` over one GLOBAL
+    * order. Instead the [[tokenBudgetFrom]] two-phase trick, count
+    * flavor: coarse-bucket by `avg_weight_q6 DIV 1024` (monotone in the
+    * sort key), prefix-count the tiny bucket table (the only
+    * whole-frame window runs over buckets, not docs), broadcast it
+    * back — buckets wholly inside the quota keep map-side, wholly
+    * outside drop map-side, and only the straddle bucket pays an exact
+    * within-bucket window. Counts are integers, so the split is
+    * bit-exact against the oracle's single global window. */
+  def dsirSelect(s: SparkSession, d: String): DataFrame = {
+    val docs = CacheScope.track(
+      dsirWeightsWithSource(s, d)
+        .withColumn("bucket", expr("avg_weight_q6 DIV 1024"))
+        .persist())
+    val buckets = docs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bcnt"))
+      .withColumn("before_b", coalesce(
+        sum(col("bcnt")).over(Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("quota", expr(
+        "(sum(bcnt) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) + 3) DIV 4"))
+    val tagged = docs.join(broadcast(buckets), "bucket")
+    val fullKeep = tagged.filter(col("before_b") + col("bcnt") <= col("quota"))
+    val straddle = tagged
+      .filter(col("before_b") < col("quota") &&
+        col("before_b") + col("bcnt") > col("quota"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bucket"))
+          .orderBy(col("avg_weight_q6").desc, col("doc_id"))))
+      .filter(col("before_b") + col("rn") <= col("quota"))
+    val kept = fullKeep.select(col("doc_id"))
+      .unionByName(straddle.select(col("doc_id")))
+      .withColumn("kept", lit(true))
+    docs.join(kept, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -476,7 +529,32 @@ object Curation {
     "q_dedup_representative" -> (dedupRepresentative _),
     "q_contamination_bloom" -> (contaminationBloom _),
     "q_corpus_diff" -> (corpusDiff _),
-    "q_dsir_weights" -> (dsirWeights _))
+    "q_dsir_weights" -> (dsirWeights _),
+    "q_dsir_select" -> (dsirSelect _))
+
+  /** Shared by the two `q_dsir_*` oracles: hashed-bucket features, the
+    * add-one-smoothed fixed-point ratio table, per-doc weights. */
+  private val dsirCteSql =
+    """feat AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5(tok), 1, 6))::BIGINT % 256 AS b
+      |  FROM (SELECT doc_id, source,
+      |          unnest(list_filter(string_split(lower(text), ' '),
+      |                             t -> t <> '')) AS tok
+      |        FROM documents)),
+      |ratio AS (
+      |  SELECT b,
+      |    (1000000 * (CAST(SUM(CASE WHEN source IN ('src1', 'src2', 'src3')
+      |                        THEN 1 ELSE 0 END) AS BIGINT) + 1))
+      |      // (COUNT(*) + 1) AS r_q6
+      |  FROM feat GROUP BY b),
+      |w AS (
+      |  SELECT feat.doc_id, ANY_VALUE(feat.source) AS source,
+      |    COUNT(*) AS n_tokens,
+      |    CAST(SUM(ratio.r_q6) AS BIGINT) AS weight,
+      |    CAST(SUM(ratio.r_q6) AS BIGINT) // COUNT(*) AS avg_weight_q6
+      |  FROM feat JOIN ratio USING (b)
+      |  GROUP BY feat.doc_id)""".stripMargin
 
   private val qualitySql =
     """SELECT doc_id, source,
@@ -656,23 +734,22 @@ object Curation {
     // division, so every value is a BIGINT both engines compute
     // identically — no FP parity surface at all
     "q_dsir_weights" ->
-      """WITH feat AS (
+      s"""WITH $dsirCteSql
+        |SELECT doc_id, n_tokens, weight, avg_weight_q6
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    // single global window — semantically what the engine's two-phase
+    // bucket prefix count computes distributed
+    "q_dsir_select" ->
+      s"""WITH $dsirCteSql,
+        |r AS (
         |  SELECT doc_id, source,
-        |    ('0x' || substr(md5(w), 1, 6))::BIGINT % 256 AS b
-        |  FROM (SELECT doc_id, source,
-        |          unnest(list_filter(string_split(lower(text), ' '),
-        |                             t -> t <> '')) AS w
-        |        FROM documents)),
-        |ratio AS (
-        |  SELECT b,
-        |    (1000000 * (CAST(SUM(CASE WHEN source IN ('src1', 'src2', 'src3')
-        |                        THEN 1 ELSE 0 END) AS BIGINT) + 1))
-        |      // (COUNT(*) + 1) AS r_q6
-        |  FROM feat GROUP BY b)
-        |SELECT feat.doc_id, COUNT(*) AS n_tokens,
-        |  CAST(SUM(ratio.r_q6) AS BIGINT) AS weight,
-        |  CAST(SUM(ratio.r_q6) AS BIGINT) // COUNT(*) AS avg_weight_q6
-        |FROM feat JOIN ratio USING (b)
-        |GROUP BY feat.doc_id ORDER BY feat.doc_id""".stripMargin
+        |    row_number() OVER (ORDER BY avg_weight_q6 DESC, doc_id) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM w)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN rn <= (n + 3) // 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept
+        |FROM r GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -97,6 +97,31 @@ class LmDsirSpec extends SparkFunSuite {
     assert(got === expected)
   }
 
+  test("dsirSelect: two-phase bucket selection equals a global sort-take, per source") {
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      val all = docs(d)
+      val feat = all.flatMap { case (id, src, t) => toks(t).map(w => (id, src, bucket(w))) }
+      val ratio = feat.groupBy(_._3).map { case (b, occ) =>
+        val tc = occ.count(o => Set("src1", "src2", "src3")(o._2)).toLong
+        b -> (1000000L * (tc + 1L)) / (occ.size.toLong + 1L)
+      }
+      val perDoc = feat.groupBy(_._1).map { case (id, occ) =>
+        (id, occ.head._2, occ.map(o => ratio(o._3)).sum / occ.size)
+      }.toSeq
+      val quota = ((perDoc.size + 3) / 4).toLong
+      val keptIds = perDoc.sortBy { case (id, _, avg) => (-avg, id) }
+        .take(quota.toInt).map(_._1).toSet
+      val expected = perDoc.groupBy(_._2).map { case (src, ds) =>
+        (src, ds.size.toLong, ds.count(x => keptIds(x._1)).toLong)
+      }.toSeq.sortBy(_._1)
+
+      val got = operators.Curation.dsirSelect(spark, d).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      CacheScope.releaseAll()
+      assert(got === expected, s"at $d")
+    }
+  }
+
   test("dsir scoring joins the 256-row feature table by broadcast") {
     val df = Curation.dsirWeights(spark, "/root/testdata/sf0.01")
     df.collect() // finalize AQE
