@@ -50,6 +50,12 @@ object Bench {
       .config("spark.graft.dedup.shareClusters", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PROFILE=scale benches the deployment preset's plans
+    // (semdedup via LSH, LM filter via CMS, guarded band joins, ...) so
+    // default-vs-scale cost is a measured artifact, not a claim. The
+    // explicit shareClusters conf above still wins over the preset.
+    sys.env.get("SPARK_GRAFT_PROFILE").foreach(p =>
+      spark.conf.set(GraftConf.ProfileKey, p))
     // warmup: session + codegen + parquet reader init
     spark.range(1000).selectExpr("sum(id)").collect()
     val only: Option[Set[String]] = if (args.nonEmpty) Some(args.toSet) else None

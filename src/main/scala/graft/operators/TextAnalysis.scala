@@ -579,8 +579,17 @@ object TextAnalysis {
     * token stream. CMS never underestimates, so `rare` flips only from
     * true→false: per doc `n_rare_cms ≤ n_rare`, hence `kept_cms ⊇ kept`
     * — the approximation is one-sided (conservative: keeps more), the
-    * property LmDsirSpec pins. */
+    * property LmDsirSpec pins.
+    *
+    * `spark.graft.lm.rareCount` (default 2, the oracle's pin) is the
+    * support threshold — the dial that must MOVE with corpus size: CMS
+    * point queries carry +ε·N expected overestimate, so at 10^12 gram
+    * positions a threshold of 2 is below the sketch's resolution and a
+    * real run sets the threshold as a support quantile (e.g. "bottom
+    * 0.1% of positions"), where the CMS error is relatively negligible.
+    * The conf keeps that a session decision instead of an edit. */
   def lmRareTrigram(s: SparkSession, d: String): DataFrame = {
+    val rareCount = graft.GraftConf.long(s, "spark.graft.lm.rareCount", 2L)
     val pos = documents(s, d)
       .select(col("doc_id"),
         expr("filter(split(lower(text), ' '), t -> t != '')").as("toks"))
@@ -594,8 +603,8 @@ object TextAnalysis {
         graft.functions.CmsFunctions.register(s)
         pos.createOrReplaceTempView("graft_lm_grams")
         s.sql(
-          """SELECT doc_id, COUNT(*) AS n_grams,
-            |  SUM(CASE WHEN est <= 2 THEN 1L ELSE 0L END) AS n_rare
+          s"""SELECT doc_id, COUNT(*) AS n_grams,
+            |  SUM(CASE WHEN est <= ${rareCount}L THEN 1L ELSE 0L END) AS n_rare
             |FROM (
             |  SELECT doc_id, graft_cms_estimate(
             |    (SELECT count_min_sketch(g, CAST(0.00002 AS DOUBLE),
@@ -610,7 +619,7 @@ object TextAnalysis {
               .partitionBy(col("g"))))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("c") <= 2, 1L).otherwise(0L)).as("n_rare"))
+            sum(when(col("c") <= rareCount, 1L).otherwise(0L)).as("n_rare"))
     scored
       .select(col("doc_id"), col("n_grams"), col("n_rare"),
         round(col("n_rare").cast("double") / col("n_grams"), 6).as("rare_rate"),
