@@ -488,9 +488,20 @@ object Curation {
     * outside drop map-side, and only the straddle bucket pays an exact
     * within-bucket window. Counts are integers, so the split is
     * bit-exact against the oracle's single global window. */
-  def dsirSelect(s: SparkSession, d: String): DataFrame = {
+  def dsirSelect(s: SparkSession, d: String): DataFrame =
+    dsirSelectFrom(dsirWeightsWithSource(s, d))
+
+  /** Frame core behind [[dsirSelect]]: any `(doc_id, source,
+    * avg_weight_q6)` frame — the unit the property suite drives with
+    * adversarial weights (all-tied mass in one straddle bucket,
+    * bucket-boundary values, quota edges at tiny n). Spark's `DIV`
+    * truncates toward zero, which is still monotone non-decreasing in
+    * the weight, so the bucket-DESC prefix agrees with the global
+    * (weight DESC, doc_id) order restricted to whole buckets for ANY
+    * integer weights, negatives included. */
+  private[graft] def dsirSelectFrom(weights: DataFrame): DataFrame = {
     val docs = CacheScope.track(
-      dsirWeightsWithSource(s, d)
+      weights
         .withColumn("bucket", expr("avg_weight_q6 DIV 1024"))
         .persist())
     val buckets = docs.groupBy(col("bucket"))

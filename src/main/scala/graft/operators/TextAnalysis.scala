@@ -627,6 +627,55 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** FILTER FUNNEL — first-drop attribution across the curation filter
+    * battery, per source: every document is charged to the FIRST stage
+    * that drops it (length bounds → stopword evidence → quality score →
+    * repetition cap → LM rare-trigram rate), so the per-stage columns
+    * sum with `n_survive` to `n_docs` exactly. This is the monitoring
+    * view a curation run ships next to its filters (the Dolma/RefinedWeb
+    * reports are exactly this table): composed keep-rates
+    * ([[trainingSelect]]) tell you how much survives; the funnel tells
+    * you WHICH rule is eating WHICH source, which is what you tune.
+    *
+    * Rule definitions are shared verbatim with their home operators
+    * ([[gopherFilter]] bounds, [[qualityScore]]'s 6-dp score,
+    * [[lmRareTrigram]]'s kept gate — including its conf dials), so the
+    * funnel can never drift from the filters it audits. Scale shape:
+    * every stage but LM is a per-row codegen'd expression; the LM flag
+    * joins the rare-trigram output back on doc_id (one exchange), then
+    * ONE partial-agg exchange over |sources| groups. */
+  def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    val lm = lmRareTrigram(s, d).select(col("doc_id"), col("kept").as("r_lm"))
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("stop_hits", expr(
+        "size(filter(toks, t -> t IN ('the', 'a', 'in', 'of', 'to')))").cast("long"))
+      .withColumn("top_tok", expr(
+        "array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
+        .cast("long"))
+      .withColumn("quality",
+        round(least(lit(1.0), length(col("text")).cast("double") / 400.0) * 0.5 +
+          expr("size(array_distinct(toks))").cast("double") / col("n_words") * 0.5, 6))
+      .join(lm, Seq("doc_id"), "left")
+      .withColumn("first_fail",
+        when(!col("n_words").between(20L, 5000L), "len")
+          .when(col("stop_hits") < 2L, "stop")
+          .when(col("quality") < 0.5, "quality")
+          .when(col("top_tok").cast("double") / col("n_words") > 0.2, "rep")
+          .when(!coalesce(col("r_lm"), lit(true)), "lm")
+          .otherwise("pass"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("first_fail") === "len", 1L).otherwise(0L)).as("drop_len"),
+        sum(when(col("first_fail") === "stop", 1L).otherwise(0L)).as("drop_stop"),
+        sum(when(col("first_fail") === "quality", 1L).otherwise(0L)).as("drop_quality"),
+        sum(when(col("first_fail") === "rep", 1L).otherwise(0L)).as("drop_rep"),
+        sum(when(col("first_fail") === "lm", 1L).otherwise(0L)).as("drop_lm"),
+        sum(when(col("first_fail") === "pass", 1L).otherwise(0L)).as("n_survive"))
+      .orderBy(col("source"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -637,6 +686,7 @@ object TextAnalysis {
     "q_bpe_encode" -> (bpeEncode _),
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_lm_rare_trigram" -> (lmRareTrigram _),
+    "q_filter_funnel" -> (filterFunnel _),
     "q_udtf_shingles" -> (udtfShingles _),
     "q_repetition_filter" -> (repetitionFilter _),
     "q_pii_redact" -> (piiRedact _),
@@ -654,6 +704,27 @@ object TextAnalysis {
   // bare '|' and trip a stripMargin (and initialized BEFORE the oracle
   // builder below — object vals initialize in source order)
   private val PIPE = "|"
+
+  /** Shared by the `q_lm_rare_trigram` and `q_filter_funnel` oracles:
+    * trigram positions, corpus counts, per-doc (n_grams, n_rare). */
+  private val lmScoredCteSql =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(ts) AS w, unnest(range(1, len(ts) + 1)) AS i
+      |  FROM toks),
+      |tri AS (
+      |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+      |  FROM pos a
+      |  JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |cnt AS (SELECT g, COUNT(*) AS c FROM tri GROUP BY g),
+      |scored AS (
+      |  SELECT tri.doc_id, COUNT(*) AS n_grams,
+      |    CAST(SUM(CASE WHEN cnt.c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      |  FROM tri JOIN cnt USING (g) GROUP BY tri.doc_id)""".stripMargin
 
   /** The [[bpeMerges]]/[[bpeEncode]] oracle CTE chain, generated (not
     * hand-copied ×5): per round k, `p_k` counts pairs over wire `w_k`,
@@ -777,27 +848,49 @@ object TextAnalysis {
     // the aggregation on both sides; `kept` compares the UNROUNDED
     // quotient so the gate and the reported rate can't disagree
     "q_lm_rare_trigram" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
-        |  FROM documents),
-        |pos AS (
-        |  SELECT doc_id, unnest(ts) AS w, unnest(range(1, len(ts) + 1)) AS i
-        |  FROM toks),
-        |tri AS (
-        |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
-        |  FROM pos a
-        |  JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-        |  JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
-        |cnt AS (SELECT g, COUNT(*) AS c FROM tri GROUP BY g),
-        |scored AS (
-        |  SELECT tri.doc_id, COUNT(*) AS n_grams,
-        |    CAST(SUM(CASE WHEN cnt.c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
-        |  FROM tri JOIN cnt USING (g) GROUP BY tri.doc_id)
+      s"""WITH $lmScoredCteSql
         |SELECT doc_id, n_grams, n_rare,
         |  round(CAST(n_rare AS DOUBLE) / n_grams, 6) AS rare_rate,
         |  CAST(n_rare AS DOUBLE) / n_grams <= 0.7 AS kept
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // the per-stage drop columns + n_survive sum to n_docs by
+    // construction (CASE charges each doc exactly once); the lm flag is
+    // LEFT-joined and COALESCEd true so a doc with no trigram positions
+    // can only be charged to an earlier stage or pass
+    "q_filter_funnel" ->
+      s"""WITH $lmScoredCteSql,
+        |lmk AS (
+        |  SELECT doc_id, CAST(n_rare AS DOUBLE) / n_grams <= 0.7 AS r_lm
+        |  FROM scored),
+        |m AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'in', 'of', 'to'))) AS stop_hits,
+        |    list_max(list_transform(list_distinct(string_split(text, ' ')),
+        |      t -> len(list_filter(string_split(text, ' '), x -> x = t)))) AS top_tok,
+        |    round(least(1.0, CAST(length(text) AS DOUBLE) / 400.0) * 0.5 +
+        |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) * 0.5, 6) AS quality
+        |  FROM documents),
+        |f AS (
+        |  SELECT m.source,
+        |    CASE WHEN NOT (n_words BETWEEN 20 AND 5000) THEN 'len'
+        |         WHEN NOT (stop_hits >= 2) THEN 'stop'
+        |         WHEN NOT (quality >= 0.5) THEN 'quality'
+        |         WHEN NOT (CAST(top_tok AS DOUBLE) / n_words <= 0.2) THEN 'rep'
+        |         WHEN NOT COALESCE(lmk.r_lm, TRUE) THEN 'lm'
+        |         ELSE 'pass' END AS first_fail
+        |  FROM m LEFT JOIN lmk USING (doc_id))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN first_fail = 'len' THEN 1 ELSE 0 END) AS BIGINT) AS drop_len,
+        |  CAST(SUM(CASE WHEN first_fail = 'stop' THEN 1 ELSE 0 END) AS BIGINT) AS drop_stop,
+        |  CAST(SUM(CASE WHEN first_fail = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS drop_quality,
+        |  CAST(SUM(CASE WHEN first_fail = 'rep' THEN 1 ELSE 0 END) AS BIGINT) AS drop_rep,
+        |  CAST(SUM(CASE WHEN first_fail = 'lm' THEN 1 ELSE 0 END) AS BIGINT) AS drop_lm,
+        |  CAST(SUM(CASE WHEN first_fail = 'pass' THEN 1 ELSE 0 END) AS BIGINT) AS n_survive
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     // docs shorter than 4 chars produce no rows and drop out of the
     // aggregation on both sides

@@ -71,6 +71,49 @@ class LmDsirSpec extends SparkFunSuite {
     }
   }
 
+  test("filterFunnel equals a from-scratch first-drop attribution at sf0.001") {
+    val all = docs(sf)
+    val tris = all.map { case (id, _, t) =>
+      id -> toks(t).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+    }.filter(_._2.nonEmpty)
+    val corpusCnt = tris.flatMap(_._2).groupBy(identity).map { case (g, o) => g -> o.size }
+    val lmKept = tris.map { case (id, gs) =>
+      id -> (gs.count(g => corpusCnt(g) <= 2).toDouble / gs.size <= 0.7)
+    }.toMap
+    def firstFail(id: Long, text: String): String = {
+      val ws = text.split(" ", -1).toSeq
+      val n = ws.size.toLong
+      val stopHits = ws.count(Set("the", "a", "in", "of", "to"))
+      val topTok = ws.distinct.map(t => ws.count(_ == t)).max
+      val quality = BigDecimal.valueOf(
+        math.min(1.0, text.length.toDouble / 400.0) * 0.5 +
+          ws.distinct.size.toDouble / n * 0.5)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (!(n >= 20 && n <= 5000)) "len"
+      else if (stopHits < 2) "stop"
+      else if (quality < 0.5) "quality"
+      else if (topTok.toDouble / n > 0.2) "rep"
+      else if (!lmKept.getOrElse(id, true)) "lm"
+      else "pass"
+    }
+    val stages = Seq("len", "stop", "quality", "rep", "lm", "pass")
+    val expected = all.groupBy(_._2).map { case (src, ds) =>
+      val byStage = ds.map { case (id, _, t) => firstFail(id, t) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      (src, ds.size.toLong, stages.map(st => byStage.getOrElse(st, 0L)))
+    }.toSeq.sortBy(_._1)
+
+    // columns: source, n_docs, drop_len, drop_stop, drop_quality,
+    // drop_rep, drop_lm, n_survive
+    val got = TextAnalysis.filterFunnel(spark, sf).collect().map { r =>
+      val counts = (2 to 7).map(r.getLong)
+      assert(counts.sum === r.getLong(1),
+        s"source ${r.getString(0)}: drops + survivors must sum to n_docs")
+      (r.getString(0), r.getLong(1), counts.toSeq)
+    }.toSeq.sortBy(_._1)
+    assert(got === expected)
+  }
+
   // ---------------------------------------------------------------- DSIR
 
   private def md5hex(s: String): String =

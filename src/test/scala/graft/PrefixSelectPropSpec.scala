@@ -89,4 +89,41 @@ class PrefixSelectPropSpec extends SparkFunSuite {
       }
     }
   }
+
+  // weights on exact 1024-bucket edges, one heavy tie value (all-tied
+  // mass collapses into a single straddle bucket), negatives (DIV
+  // truncates toward zero — monotonicity must survive the sign change),
+  // and arbitrary values; frame sizes down to 1 for ceil(n/4) edges
+  private val weightGen: Gen[Long] = Gen.frequency(
+    3 -> Gen.chooseNum(-8, 8).map(_ * 1024L),
+    2 -> Gen.const(160000L),
+    2 -> Gen.chooseNum(-2048L, 2048L),
+    5 -> Gen.chooseNum(0L, 300000L))
+
+  test("dsir selection core equals the global sort-take rule on adversarial frames") {
+    val rowGen = Gen.zip(weightGen, Gen.chooseNum(0, 4))
+    val frames =
+      (1 to 5).map(n => samples(rowGen, n, 300L + n)) ++
+        samples(Gen.listOfN(120, rowGen), 4, 17L)
+    frames.zipWithIndex.foreach { case (rows, fi) =>
+      import spark.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((w, srcI), i) => (i.toLong, s"s$srcI", w) }
+        .toDF("doc_id", "source", "avg_weight_q6")
+      val quota = (rows.size + 3) / 4
+      val keptIds = rows.zipWithIndex
+        .map { case ((w, _), i) => (i.toLong, w) }
+        .sortBy { case (id, w) => (-w, id) }
+        .take(quota).map(_._1).toSet
+      val expected = rows.zipWithIndex
+        .groupBy { case ((_, srcI), _) => s"s$srcI" }
+        .map { case (src, rs) =>
+          (src, rs.size.toLong, rs.count { case (_, i) => keptIds(i.toLong) }.toLong)
+        }.toSeq.sortBy(_._1)
+      val got = Curation.dsirSelectFrom(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      CacheScope.releaseAll()
+      assert(got === expected, s"frame $fi diverged")
+    }
+  }
 }
