@@ -523,12 +523,15 @@ object TextAnalysis {
     * identical in any engine.
     *
     * Scale shape: distinct trigrams explode per doc (bounded by doc
-    * length), then ONE exchange on the gram hash where a whole-partition
-    * window counts document frequency in place — no gram-table self-join,
-    * no second corpus scan — and one partial-aggregated exchange back on
-    * doc_id. Gram groups are per-phrase (tiny), so the window
-    * parallelizes across the gram space; this is the inverted-index
-    * shuffle shape that survives a 100 TB corpus. */
+    * length), document frequency comes from a PARTIAL-AGG over the gram
+    * (map-side combine collapses the exchange to the distinct-gram set)
+    * joined back onto the per-doc gram stream, then one
+    * partial-aggregated exchange back on doc_id. The join form is
+    * deliberate over a `count over (partition by gram)` window: a
+    * boilerplate gram present in most documents inflates ONE window
+    * partition that AQE cannot split, while the skewed side of this
+    * sort-merge join it CAN — the inverted-index shuffle shape that
+    * survives a 100 TB corpus. */
   def noveltyScore(s: SparkSession, d: String): DataFrame = {
     val sh = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -537,9 +540,7 @@ object TextAnalysis {
         """transform(sequence(1, size(toks) - 2),
           |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
           |    ' ', element_at(toks, i + 2)))""".stripMargin))).as("gram"))
-    sh.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("gram"))))
+    sh.join(sh.groupBy(col("gram")).agg(count(lit(1)).as("df")), "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
@@ -564,12 +565,16 @@ object TextAnalysis {
     * engine.
     *
     * Scale shape (exact path): one narrow explode (bounded by doc
-    * length), ONE exchange on the gram where a whole-partition window
-    * counts occurrences in place — no gram-table self-join, no second
-    * corpus scan — then one partial-aggregated exchange back on doc_id.
-    * Gram groups are per-phrase (tiny), so the window parallelizes
-    * across the gram space at any corpus size; stop-phrase skew lands
-    * on AQE's skew splitter.
+    * length), corpus support counted by a PARTIAL-AGG on the gram
+    * (collapses map-side to the distinct-gram set — the exchange
+    * carries grams, not positions) joined back onto the position
+    * stream, then one partial-aggregated exchange back on doc_id. The
+    * join form is deliberate over a `count over (partition by g)`
+    * window: a hot stop-phrase gram inflates ONE window partition and
+    * AQE cannot split a window, but it CAN split the skewed side of
+    * this sort-merge join — the only shape that survives a boilerplate
+    * phrase with 10⁹ occurrences. (Costs a second narrow scan of the
+    * text column; at any SF the avoided skew ceiling dominates.)
     *
     * Scale path (`spark.graft.lm.cms=true`): at 100 TB the exact path's
     * gram exchange shuffles every trigram POSITION; the gated path
@@ -614,9 +619,7 @@ object TextAnalysis {
             |GROUP BY doc_id""".stripMargin)
       } else
         pos
-          .withColumn("c",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("g"))))
+          .join(pos.groupBy(col("g")).agg(count(lit(1)).as("c")), "g")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_grams"),
             sum(when(col("c") <= rareCount, 1L).otherwise(0L)).as("n_rare"))
