@@ -277,12 +277,14 @@ object Corpus {
     * global occurrence of every block. Output carries md5(clean text),
     * never the text.
     *
-    * Scale shape: one shuffle on the block text to rank occurrences
-    * (groups are duplicate-count-sized — tiny), one shuffle on doc_id to
-    * reassemble. The occurrence rank is a window over those tiny groups,
-    * NOT a global order; at 100 TB both exchanges are corpus-sized but
-    * per-key work is O(dupes). Block width 5 ≈ 30 B keys — narrower than
-    * a 32-byte md5 hex, so the raw text IS the compact shuffle key. */
+    * Scale shape: the global first occurrence comes from a partial-agg
+    * min-struct over the block text joined back onto the block stream —
+    * NOT a `row_number over (partition by btxt)` window: a "Sign in"
+    * boilerplate block present in half the web lands 10¹⁰ occurrences
+    * in ONE window partition AQE cannot split, while the skewed side of
+    * this sort-merge join it can. Then one shuffle on doc_id to
+    * reassemble. Block width 5 ≈ 30 B keys — narrower than a 32-byte
+    * md5 hex, so the raw text IS the compact shuffle key. */
   def lineDedup(s: SparkSession, d: String): DataFrame = {
     val w = confInt(s, "spark.graft.corpus.lineBlock", 5)
     require(w >= 1, "lineBlock must be >= 1")
@@ -294,15 +296,18 @@ object Corpus {
       .select(col("doc_id"), col("block_id").cast("long").as("block_id"),
         expr(s"array_join(slice(toks, block_id * $w + 1, $w), ' ')").as("btxt"))
     blocks
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("btxt")).orderBy(col("doc_id"), col("block_id"))))
+      .join(blocks.groupBy(col("btxt"))
+        .agg(min(struct(col("doc_id"), col("block_id"))).as("first")), "btxt")
+      .withColumn("is_first",
+        col("doc_id") === col("first.doc_id") &&
+          col("block_id") === col("first.block_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_blocks"),
-        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!col("is_first"), 1L).otherwise(0L)).as("n_removed"),
         md5(array_join(
           transform(
             array_sort(collect_list(
-              when(col("rn") === 1, struct(col("block_id"), col("btxt"))))),
+              when(col("is_first"), struct(col("block_id"), col("btxt"))))),
             x => x.getField("btxt")),
           " ")).as("clean_md5"))
       .orderBy(col("doc_id"))

@@ -205,12 +205,15 @@ object TextAnalysis {
   /** The end-to-end training-set selection the individual operators exist
     * for, composed as ONE declarative plan: language gate (en_ratio) ∧
     * quality gate ∧ exact-dedup canonical-row keep (min doc_id per
-    * content fingerprint). One shuffle total — the window over the
-    * fingerprint; every gate is a codegen'd per-row expression, so at
-    * 100 TB this is scan → one exchange → filter. */
+    * content fingerprint). Every gate is a codegen'd per-row
+    * expression; the canonical row comes from a partial-agg over the
+    * fingerprint (map-side combine collapses the exchange to distinct
+    * fingerprints) joined back — NOT a `min over (partition by fp)`
+    * window, because a document duplicated 10⁸ times lands its whole
+    * fingerprint group in one window partition AQE cannot split, while
+    * the skewed side of this join it can. */
   def trainingSelect(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    documents(s, d)
+    val scored = documents(s, d)
       .withColumn("n_tokens", expr("size(split(text, ' '))"))
       .withColumn("ttr",
         expr("size(array_distinct(split(text, ' ')))").cast("double") / col("n_tokens"))
@@ -221,7 +224,8 @@ object TextAnalysis {
         least(lit(1.0), length(col("text")).cast("double") / 400.0) * 0.5 +
           col("ttr") * 0.5)
       .withColumn("fp", md5(col("text")))
-      .withColumn("keep", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+    scored
+      .join(scored.groupBy(col("fp")).agg(min(col("doc_id")).as("keep")), "fp")
       .filter(col("doc_id") === col("keep") &&
         col("quality") >= 0.5 && col("en_ratio") >= 0.05)
       .select(col("doc_id"), col("quality"), col("en_ratio"))
