@@ -133,7 +133,14 @@ object Similarity {
     * spherical k-means monotonically improves). Persisted + CacheScope-
     * tracked; caller releases via CacheScope. */
   private[graft] def ivfTop2(s: SparkSession, d: String, lloydIters: Int,
-      seeding: String = null, objectiveEps: java.lang.Double = null): DataFrame = {
+      seeding: String = null, objectiveEps: java.lang.Double = null): DataFrame =
+    ivfModel(s, d, lloydIters, seeding, objectiveEps)._2
+
+  /** [[ivfTop2]] plus the trained centroid table (cent_id, cvec, cnrm) —
+    * the model a persisted index stores ([[writeIvfIndex]]). */
+  private[graft] def ivfModel(s: SparkSession, d: String, lloydIters: Int,
+      seeding: String = null, objectiveEps: java.lang.Double = null)
+      : (DataFrame, DataFrame) = {
     graft.functions.VectorFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
     val e = embeddings(s, d)
@@ -224,7 +231,7 @@ object Similarity {
     val top2 = scoreTop2(cents).persist()
     graft.CacheScope.track(top2)
     top2.count()
-    top2
+    (cents, top2)
   }
 
   /** IVF+PQ composed (the FAISS `IVF16,PQ8` architecture — what a
@@ -748,6 +755,97 @@ object Similarity {
     result
   }
 
+  /** Persist an IVF index: posting lists as a parquet table PARTITIONED
+    * BY cell (one directory per coarse cell — the on-disk form of a
+    * FAISS inverted list), centroids in a `_ivf_centroids` subdirectory
+    * (underscore-prefixed, so a plain parquet read of the posting-list
+    * root ignores it — the same sidecar convention as `_lsh_geometry`).
+    * Train once, serve many: the quantizer runs here, never at query
+    * time. */
+  def writeIvfIndex(s: SparkSession, d: String, path: String): Unit = {
+    val (cents, top2) = ivfModel(s, d,
+      lloydIters = graft.GraftConf.int(s, "spark.graft.ivf.lloydIters", 1))
+    // cell as INT, matching read-back partition-type inference, so a
+    // probe-cell literal filter lands on the RAW partition column (a
+    // cast on the attribute would defeat directory pruning); cell ids
+    // are seed vec_ids < 16 by construction
+    top2.filter(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"),
+        col("cent_id").cast("int").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // after the posting-list overwrite (which clears `path`), never before
+    cents.write.mode("overwrite").parquet(path + "/_ivf_centroids")
+  }
+
+  /** Serve k-NN from a [[writeIvfIndex]] table: score the query batch
+    * against the stored centroids (16 rows, broadcast), take each
+    * query's `nprobe` nearest cells, and read ONLY those cells' posting
+    * lists. Bit-equal to [[knnIvf]] on the same corpus/queries
+    * (IvfIndexSpec asserts it): probe ranking and candidate cosines
+    * replicate the in-query kernel expression for expression.
+    *
+    * The probed-cell set is collected to the driver (≤ 16 values — a
+    * scalar read, like the BPE argmax) and pushed as a LITERAL partition
+    * filter, so the scan prunes cell directories STATICALLY — the plan
+    * shows `PartitionFilters: [cell IN (...)]` and scans ~nprobe/ncells
+    * of the corpus. Dynamic partition pruning was measured NOT to fire
+    * here (Spark's DPP heuristics want a selective dimension-side
+    * predicate; a query batch is a tiny frame, not a filtered scan), and
+    * an unpruned join would read every posting list — the literal
+    * filter is what FAISS-style serving does anyway: the probe set IS
+    * driver state. Per-QUERY pruning beyond the batch-union of cells is
+    * the serving system's job (route each query to its cells); within
+    * one Spark job the union is the right granularity. */
+  def knnFromIvfIndex(queries: DataFrame, indexPath: String): DataFrame = {
+    val s = queries.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val nprobe = graft.GraftConf.int(s, "spark.graft.ivf.nprobe", 2)
+    require(nprobe >= 1 && nprobe <= 2,
+      s"nprobe must be in [1, 2], got $nprobe")
+    val cents = s.read.parquet(indexPath + "/_ivf_centroids")
+    val probes = queries
+      .select(col("vec_id"), col("embedding"),
+        col("embedding").cast("array<double>").as("emb_d"),
+        sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
+      .join(broadcast(cents))
+      .withColumn("cs",
+        round(expr("vec_dot_d(emb_d, cvec)") / (col("nrm") * col("cnrm")), 6))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"), col("cent_id").cast("int").as("cell"))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val postings = s.read.parquet(indexPath)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        sqrt(expr("vec_dot(embedding, embedding)")).as("cnrm"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    postings.join(probes, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim",
+        round(expr("vec_dot(qemb, cemb)") / (col("qnrm") * col("cnrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), col("rn").cast("long").as("rn"), col("sim"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Catalog face: build the IVF index in a scratch directory, then
+    * serve the standard 30-query batch from it — the train-once /
+    * query-from-disk lifecycle, oracle-checked against the same SQL
+    * replay as the in-query [[knnIvf]]. */
+  def knnIvfIndexed(s: SparkSession, d: String): DataFrame = {
+    val path = graft.TempDirs.scratch("graft_ivfindex_").resolve("ivf").toString
+    writeIvfIndex(s, d, path)
+    knnFromIvfIndex(
+      embeddings(s, d).filter(col("vec_id") < 30)
+        .select(col("vec_id"), col("embedding")),
+      path)
+  }
+
   /** SemDeDup-style SEMANTIC dedup: connected components over the
     * embedding near-dup graph, keep each component's minimum-id vector.
     * Where [[Dedup.dedupClusters]] clusters by TEXT overlap (MinHash),
@@ -923,6 +1021,7 @@ object Similarity {
     "q_knn_brute" -> (knnBrute _),
     "q_knn_lsh" -> (knnLsh _),
     "q_knn_ivf" -> (knnIvf _),
+    "q_knn_ivf_indexed" -> (knnIvfIndexed _),
     "q_knn_pq" -> (knnPq _),
     "q_knn_ivfpq" -> (knnIvfPq _),
     "q_embed_neardup" -> (embedNearDup _),
@@ -931,6 +1030,51 @@ object Similarity {
     "q_semantic_dedup" -> (semanticDedup _),
     "q_semantic_dedup_lsh" -> (semanticDedupLsh _)
   )
+
+  /** The q_knn_ivf SQL replay, shared with q_knn_ivf_indexed (the
+    * indexed face is bit-equal by spec). */
+  private val ivfOracleSql =
+    s"""WITH seeds AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |s0 AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(${cosSql("e.embedding", "c.cv")}, 6) DESC, c.cent_id) AS crk
+        |  FROM embeddings e, seeds c),
+        |a0 AS (SELECT vec_id, cent_id AS cell FROM s0 WHERE crk = 1),
+        |dims AS (SELECT unnest(range(1, 65)) AS dim),
+        |upd AS (
+        |  SELECT a0.cell, t.dim,
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[t.dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+        |    COUNT(*) AS n
+        |  FROM a0 JOIN embeddings e ON e.vec_id = a0.vec_id, dims t
+        |  GROUP BY a0.cell, t.dim),
+        |cents AS (
+        |  SELECT cell AS cent_id,
+        |    list(CAST(sq AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) ORDER BY dim) AS cv
+        |  FROM upd GROUP BY cell),
+        |scored AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    round(${cosSql("e.embedding", "c.cv")}, 6) AS cs,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(${cosSql("e.embedding", "c.cv")}, 6) DESC, c.cent_id) AS crk
+        |  FROM embeddings e, cents c),
+        |assigned AS (
+        |  SELECT vec_id AS cid, cent_id AS cell FROM scored WHERE crk = 1),
+        |qprobes AS (
+        |  SELECT vec_id AS qid, cent_id AS cell FROM scored
+        |  WHERE vec_id < 30 AND crk <= 2),
+        |ranked AS (
+        |  SELECT q.qid, a.cid,
+        |    round(${cosSql("qe.embedding", "ce.embedding")}, 6) AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY round(${cosSql("qe.embedding", "ce.embedding")}, 6) DESC, a.cid) AS rn
+        |  FROM qprobes q
+        |    JOIN assigned a ON a.cell = q.cell AND a.cid <> q.qid
+        |    JOIN embeddings qe ON qe.vec_id = q.qid
+        |    JOIN embeddings ce ON ce.vec_id = a.cid)
+        |SELECT qid, cid, CAST(rn AS BIGINT) AS rn, sim
+        |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_embed_quantize" ->
@@ -1041,48 +1185,14 @@ object Similarity {
         |SELECT qid, bucket, cid, CAST(rn AS BIGINT) AS rn, sim FROM r
         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
-    "q_knn_ivf" ->
-      s"""WITH seeds AS (
-        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
-        |s0 AS (
-        |  SELECT e.vec_id, c.cent_id,
-        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |      ORDER BY round(${cosSql("e.embedding", "c.cv")}, 6) DESC, c.cent_id) AS crk
-        |  FROM embeddings e, seeds c),
-        |a0 AS (SELECT vec_id, cent_id AS cell FROM s0 WHERE crk = 1),
-        |dims AS (SELECT unnest(range(1, 65)) AS dim),
-        |upd AS (
-        |  SELECT a0.cell, t.dim,
-        |    CAST(SUM(CAST(floor(CAST(e.embedding[t.dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
-        |    COUNT(*) AS n
-        |  FROM a0 JOIN embeddings e ON e.vec_id = a0.vec_id, dims t
-        |  GROUP BY a0.cell, t.dim),
-        |cents AS (
-        |  SELECT cell AS cent_id,
-        |    list(CAST(sq AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) ORDER BY dim) AS cv
-        |  FROM upd GROUP BY cell),
-        |scored AS (
-        |  SELECT e.vec_id, c.cent_id,
-        |    round(${cosSql("e.embedding", "c.cv")}, 6) AS cs,
-        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |      ORDER BY round(${cosSql("e.embedding", "c.cv")}, 6) DESC, c.cent_id) AS crk
-        |  FROM embeddings e, cents c),
-        |assigned AS (
-        |  SELECT vec_id AS cid, cent_id AS cell FROM scored WHERE crk = 1),
-        |qprobes AS (
-        |  SELECT vec_id AS qid, cent_id AS cell FROM scored
-        |  WHERE vec_id < 30 AND crk <= 2),
-        |ranked AS (
-        |  SELECT q.qid, a.cid,
-        |    round(${cosSql("qe.embedding", "ce.embedding")}, 6) AS sim,
-        |    ROW_NUMBER() OVER (PARTITION BY q.qid
-        |      ORDER BY round(${cosSql("qe.embedding", "ce.embedding")}, 6) DESC, a.cid) AS rn
-        |  FROM qprobes q
-        |    JOIN assigned a ON a.cell = q.cell AND a.cid <> q.qid
-        |    JOIN embeddings qe ON qe.vec_id = q.qid
-        |    JOIN embeddings ce ON ce.vec_id = a.cid)
-        |SELECT qid, cid, CAST(rn AS BIGINT) AS rn, sim
-        |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "q_knn_ivf" -> ivfOracleSql,
+
+    // the indexed face is bit-equal to the in-query path by spec, so it
+    // replays the SAME oracle — the DuckDB side has no notion of which
+    // storage the engine served from
+    "q_knn_ivf_indexed" -> ivfOracleSql,
+
+
 
     // the IVF chain (seeds..qprobes) and PQ chain (e..dtab) verbatim
     // from their standalone oracles, composed: candidates from probed
