@@ -833,6 +833,39 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** IVF index GROWTH (the ANN-serving twin of
+    * [[appendToVectorBandIndex]]): assign an arriving (vec_id,
+    * embedding) batch to the STORED centroids — the quantizer is
+    * frozen, the standard IVF ingest contract (FAISS `add` never
+    * retrains; retraining is an offline rebuild) — and append the
+    * rows into their cell partitions. REPLAY-SAFE like the band-index
+    * growers: ids already present in the index are anti-joined out, so
+    * an at-least-once re-run of the same batch appends nothing.
+    * Periodic re-partitioned compaction of a hot cell reuses
+    * [[IndexMaintenance]] at the caller's cadence. */
+  def appendToIvfIndex(batch: DataFrame, path: String): Unit = {
+    val s = batch.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val cents = s.read.parquet(path + "/_ivf_centroids")
+    val fresh = batch.join(
+      s.read.parquet(path).select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+    fresh
+      .select(col("vec_id"), col("embedding"),
+        col("embedding").cast("array<double>").as("emb_d"),
+        sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
+      .join(broadcast(cents))
+      .withColumn("cs",
+        round(expr("vec_dot_d(emb_d, cvec)") / (col("nrm") * col("cnrm")), 6))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"),
+        col("cent_id").cast("int").as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   /** Catalog face: build the IVF index in a scratch directory, then
     * serve the standard 30-query batch from it — the train-once /
     * query-from-disk lifecycle, oracle-checked against the same SQL

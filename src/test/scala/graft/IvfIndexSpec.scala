@@ -58,6 +58,34 @@ class IvfIndexSpec extends SparkFunSuite {
     assert(allCells > 4, s"fixture degenerate: only $allCells cells")
   }
 
+  test("frozen-quantizer growth: appended twins are served, replays append nothing") {
+    val path = TempDirs.scratch("graft_ivfspec3_").resolve("ivf").toString
+    Similarity.writeIvfIndex(spark, sf, path)
+    CacheScope.releaseAll()
+    val n0 = spark.read.parquet(path).count()
+    // append exact copies of vectors 40..44 under shifted ids: each is a
+    // perfect near-duplicate its source vector's query must retrieve
+    val twins = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 40 && col("vec_id") < 45)
+      .select((col("vec_id") + 9000).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfIndex(twins, path)
+    assert(spark.read.parquet(path).count() === n0 + 5)
+    // at-least-once replay: same batch again is a no-op
+    Similarity.appendToIvfIndex(twins, path)
+    assert(spark.read.parquet(path).count() === n0 + 5)
+    val served = Similarity.knnFromIvfIndex(
+      Tables.embeddings(spark, sf)
+        .filter(col("vec_id") >= 40 && col("vec_id") < 45)
+        .select(col("vec_id"), col("embedding")),
+      path).collect()
+    for (q <- 40 until 45) {
+      val top = served.filter(r => r.getLong(0) == q && r.getLong(2) == 1L).head
+      assert(top.getLong(1) === q + 9000,
+        s"query $q must retrieve its appended twin first")
+      assert(top.getDouble(3) === 1.0)
+    }
+  }
+
   test("the centroid sidecar is invisible to a plain read of the posting lists") {
     val path = TempDirs.scratch("graft_ivfspec2_").resolve("ivf").toString
     Similarity.writeIvfIndex(spark, sf, path)
