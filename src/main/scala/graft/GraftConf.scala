@@ -78,6 +78,18 @@ object GraftConf {
       }
     }
 
+  /** String conf: layered lookup with a hard default. Trimmed; an
+    * empty/blank explicit value fails fast naming the conf (every
+    * current string conf is a term list or phrase, where blank can
+    * only be a mistake). */
+  def str(s: SparkSession, key: String, default: String): String =
+    get(s, key).map { v =>
+      val t = v.trim
+      if (t.isEmpty) throw new IllegalArgumentException(
+        s"$key must be a non-empty string")
+      t
+    }.getOrElse(default)
+
   /** Integer conf with fail-fast parsing naming the conf. */
   def int(s: SparkSession, key: String, default: Int): Int =
     get(s, key).map { v =>

@@ -28,6 +28,7 @@ object SparkEntry {
     operators.TextAnalysis.queries ++
     operators.Sampling.queries ++
     operators.Corpus.queries ++
+    operators.Retrieval.queries ++
     operators.Curation.queries ++
     operators.Layout.queries ++
     operators.Dedup.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
     operators.TextAnalysis.oracle ++
     operators.Sampling.oracle ++
     operators.Corpus.oracle ++
+    operators.Retrieval.oracle ++
     operators.Curation.oracle ++
     operators.Layout.oracle ++
     operators.Dedup.oracle ++

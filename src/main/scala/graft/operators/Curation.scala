@@ -530,7 +530,81 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Discriminative-token quality classifier — the odds-ratio core of
+    * the GPT-3/LLaMA-style "does this look like the reference corpus"
+    * linear classifier, integer end-to-end so the oracle is bit-exact
+    * (the [[dsirWeights]] fixed-point idiom; a float fastText here
+    * would put transcendental logs on the gate surface).
+    *
+    * Train: per-token positive/negative occurrence counts against the
+    * weak labels `source ∈ {src1,src2,src3}` (the same target set DSIR
+    * uses — one notion of "reference corpus" across the selection
+    * surface), add-one-smoothed rate ratio in q6 fixed point
+    * `w_q6 = (1e6·(pc+1)·(nt+1)) DIV ((nc+1)·(pt+1))`. One ranking of
+    * the vocab by (w_q6 DESC, token) picks the K most
+    * positive-indicative tokens (vote +1) and the K most negative
+    * (vote −1) — a SINGLE ordering, so the two sets are disjoint
+    * whenever 2K ≤ |vocab| and a tie landing a token in both ranges
+    * (only possible when 2K > |vocab|) cancels to vote 0 instead of
+    * duplicating rows. Score: distinct-token presence votes summed per
+    * doc (the classic keyword-vote classifier — presence, not counts,
+    * so one spammy repetition can't flip a doc); `predicted` is
+    * score > 0, ties conservatively negative.
+    *
+    * Scale shape: the vocab table is COUNT-AGGREGATED before anything
+    * global happens, so the only window runs over vocab-sized data
+    * (31 tokens here; ~10⁵ for a BPE vocab — still one executor's
+    * lunch), and the scoring join broadcasts the ±1 vocab. The
+    * corpus-side work is two token-stream aggs and one broadcast
+    * join — no corpus-sized shuffle beyond the per-doc groupBy, which
+    * partial-aggregates map-side. `spark.graft.classifier.vocabK`
+    * (default 8, oracle-pinned) is the feature-budget dial. */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val k = graft.GraftConf.int(s, "spark.graft.classifier.vocabK", 8)
+    require(k >= 1, "spark.graft.classifier.vocabK must be >= 1")
+    val toks = documents(s, d).select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("token"))
+    // vocab-sized after the agg; persisted because both the totals
+    // prelude and the ranking read it (one corpus pass, not two)
+    val counts = CacheScope.track(toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("tot"),
+        sum(when(col("source").isin("src1", "src2", "src3"), 1L)
+          .otherwise(0L)).as("pc"))
+      .withColumn("nc", col("tot") - col("pc"))
+      .persist())
+    // scalar prelude (the pagerank |V|/dangling idiom): the two class
+    // totals come to the driver as one row and return as literals — a
+    // one-row broadcast join would plan a nested-loop
+    val totalsRow = counts.agg(sum(col("pc")).as("pt"), sum(col("nc")).as("nt"))
+      .collect()(0)
+    val (pt, nt) = (totalsRow.getLong(0), totalsRow.getLong(1))
+    val vocab = counts
+      .withColumn("w_q6",
+        expr(s"(1000000 * (pc + 1) * (${nt}L + 1)) DIV ((nc + 1) * (${pt}L + 1))"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("w_q6").desc, col("token"))))
+      .withColumn("v", count(lit(1)).over(Window.partitionBy()))
+      .select(col("token"),
+        (when(col("rk") <= k, 1).otherwise(0)
+          + when(col("rk") > col("v") - k, -1).otherwise(0)).as("vote"))
+      .filter(col("vote") =!= 0)
+    val scores = toks.select(col("doc_id"), col("token")).distinct()
+      .join(broadcast(vocab), "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("vote") > 0, 1L).otherwise(0L)).as("votes_pos"),
+        sum(when(col("vote") < 0, 1L).otherwise(0L)).as("votes_neg"))
+    documents(s, d).select(col("doc_id"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("votes_pos"), lit(0L)).as("votes_pos"),
+        coalesce(col("votes_neg"), lit(0L)).as("votes_neg"))
+      .withColumn("score", col("votes_pos") - col("votes_neg"))
+      .withColumn("predicted", col("score") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_classifier" -> (qualityClassifier _),
     "q_quality_calibrate" -> (qualityCalibrateOracle _),
     "q_epoch_shuffle" -> (epochShuffle _),
     "q_epoch_write" -> (epochWrite _),
@@ -591,6 +665,50 @@ object Curation {
       |FROM b GROUP BY shard ORDER BY shard""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same single vocab ranking, same q6 odds ratio, same ±K vote
+    // cancellation; zero-hit docs ride the LEFT join with 0/0/false
+    "q_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS tot,
+        |    CAST(SUM(CASE WHEN source IN ('src1', 'src2', 'src3')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS pc
+        |  FROM t GROUP BY token),
+        |c2 AS (SELECT token, pc, tot - pc AS nc FROM c),
+        |tl AS (
+        |  SELECT CAST(SUM(pc) AS BIGINT) AS pt, CAST(SUM(nc) AS BIGINT) AS nt
+        |  FROM c2),
+        |w AS (
+        |  SELECT token,
+        |    (1000000 * (pc + 1) * (nt + 1)) // ((nc + 1) * (pt + 1)) AS w_q6
+        |  FROM c2, tl),
+        |r AS (
+        |  SELECT token,
+        |    row_number() OVER (ORDER BY w_q6 DESC, token) AS rk,
+        |    COUNT(*) OVER () AS v
+        |  FROM w),
+        |vocab AS (
+        |  SELECT token, vote FROM (
+        |    SELECT token,
+        |      (CASE WHEN rk <= 8 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN rk > v - 8 THEN -1 ELSE 0 END) AS vote
+        |    FROM r) WHERE vote <> 0),
+        |sc AS (
+        |  SELECT dt.doc_id,
+        |    CAST(SUM(CASE WHEN vote > 0 THEN 1 ELSE 0 END) AS BIGINT) AS votes_pos,
+        |    CAST(SUM(CASE WHEN vote < 0 THEN 1 ELSE 0 END) AS BIGINT) AS votes_neg
+        |  FROM (SELECT DISTINCT doc_id, token FROM t) dt
+        |  JOIN vocab USING (token) GROUP BY dt.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(sc.votes_pos, 0) AS votes_pos,
+        |  COALESCE(sc.votes_neg, 0) AS votes_neg,
+        |  COALESCE(sc.votes_pos, 0) - COALESCE(sc.votes_neg, 0) AS score,
+        |  COALESCE(sc.votes_pos, 0) - COALESCE(sc.votes_neg, 0) > 0 AS predicted
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // replay the epoch hash and nibble-shard assignment verbatim
     "q_epoch_shuffle" -> epochOracleSql,
     "q_epoch_write" -> epochOracleSql,

@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.GraftConf
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval — the query-side face of the inverted index
+  * [[Corpus.invertedIndex]] builds: BM25 ranked search and positional
+  * phrase search. A pretraining pipeline runs these constantly — "show
+  * me what the filter kept about X", contamination forensics ("which
+  * training docs score highest against this benchmark question"), and
+  * targeted corpus audits — so they belong in the engine next to the
+  * index builder, not in a notebook.
+  *
+  * Numerics are FIXED-POINT BY DESIGN (the [[Curation]] DSIR
+  * precedent): BM25 here is the exact rational form of
+  * Okapi/Robertson with k1=1.2, b=0.75 cleared of denominators so
+  * every intermediate is an integer — no float ever appears, so the
+  * DuckDB oracle matches bit-for-bit and ranking ties break
+  * deterministically. The idf is the Robertson ODDS
+  * `(N - df + 1/2) / (df + 1/2)` kept as a q6 rational rather than its
+  * log: log is monotone, so per-term ranking is unchanged, and the
+  * cross-term sum trades log's tail compression for exactness — the
+  * documented, tested engine contract (RetrievalSpec pins both the
+  * algebra and the bounds).
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-20 over the document corpus for a conf-set term
+    * list (`spark.graft.search.terms`, comma-separated; default
+    * `spark,query,window` — oracle-pinned).
+    *
+    * The exact rational algebra, with `tf` the term count in a doc,
+    * `dl` the doc length, `N` docs, `A` total corpus tokens
+    * (avgdl = A/N), k1 = 6/5, b = 3/4:
+    *
+    * {{{
+    * tf_part = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *         = 22·tf·A / (10·tf·A + 3·A + 9·dl·N)   — multiply through by 10·A
+    * tf_q6   = (22_000_000·tf·A) DIV (10·tf·A + 3·A + 9·dl·N)   ∈ [0, 2_200_000)
+    * idf_q6  = (1_000_000·(2·(N − df) + 1)) DIV (2·df + 1)      — odds, not log
+    * score_q6 = Σ_terms (idf_q6 · tf_q6) DIV 1_000_000
+    * }}}
+    *
+    * All operands positive, so Spark `DIV` (truncate) ≡ DuckDB `//`
+    * (floor). Overflow bound: 22e6·tf·A needs tf·A < 4.2e11 — fine for
+    * any per-executor fixture and for per-shard corpora; a full 100 TB
+    * corpus (A ≈ 1e13) would rescale A and N by their gcd with the
+    * same algebra (the ratio A/N is what the formula consumes).
+    *
+    * Scale shape: the ONLY corpus-wide work is one map-side-combined
+    * agg for the two scalars (N, A), read in a PRELUDE job (one row to
+    * the driver, then literals — the [[GraphOps]] |V|/dangling idiom;
+    * a one-row broadcast join here would plan a nested-loop, which the
+    * engine's hygiene bar bans). Everything else happens AFTER
+    * `isin(terms)` cuts the token stream to query-term postings: tf/df
+    * aggs and the final top-20 sort run on hit-sized data, not
+    * corpus-sized. At 100 TB you'd serve the same algebra — and the
+    * (N, A) scalars — from the persisted inverted index rather than
+    * re-scanning text; this entry is the scan-side reference
+    * semantics. */
+  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val terms = GraftConf.str(s, "spark.graft.search.terms", "spark,query,window")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "spark.graft.search.terms must name at least one term")
+    val docs = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val statsRow = docs.agg(count(lit(1)).as("n_d"), sum(col("dl")).as("a_l"))
+      .collect()(0) // scalar prelude: one (N, A) row, never data
+    val (nD, aL) = (statsRow.getLong(0), statsRow.getLong(1))
+    val hits = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = hits.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    hits
+      .join(broadcast(dfs), "token")
+      .withColumn("tf_q6",
+        expr(s"(22000000 * tf * ${aL}L) DIV " +
+          s"(10 * tf * ${aL}L + 3 * ${aL}L + 9 * dl * ${nD}L)"))
+      .withColumn("idf_q6",
+        expr(s"(1000000 * (2 * (${nD}L - df) + 1)) DIV (2 * df + 1)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr("(idf_q6 * tf_q6) DIV 1000000")).as("score_q6"))
+      .orderBy(col("score_q6").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_terms"), col("score_q6"))
+  }
+
+  /** Positional phrase search: documents containing the exact token
+    * sequence `spark.graft.search.phrase` (space-separated; default
+    * `window fast query` — oracle-pinned), with match count and first
+    * match position (0-based token offset).
+    *
+    * Plan: posexplode → `isin(phrase tokens)` cuts the position stream
+    * to phrase-term postings; term k's positions are normalized to the
+    * would-be START (`i − k`) and the k frames intersect through
+    * (doc_id, start) hash equi-joins — the classic positional-index
+    * phrase intersection, expressed relationally. Repeated tokens in
+    * the phrase ("fast fast query") work unchanged: each k filters by
+    * its own term against the shared postings.
+    *
+    * Scale shape: all joins run on postings of the PHRASE terms only —
+    * for any selective phrase that is orders of magnitude below corpus
+    * size, and the join keys are (doc_id, start) integers, so AQE can
+    * split a stopword-term side if one term is hot. A production
+    * deployment serves this from a posting table bucketed by token
+    * (the [[Corpus.invertedIndex]] persisted shape plus positions);
+    * the scan-side form here is the reference semantics for it. */
+  def phraseSearch(s: SparkSession, d: String): DataFrame = {
+    val phrase = GraftConf.str(s, "spark.graft.search.phrase", "window fast query")
+      .split(" ").filter(_.nonEmpty).toSeq
+    require(phrase.length >= 2,
+      "spark.graft.search.phrase must contain at least two tokens")
+    val pos = documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "token")))
+      .filter(col("token").isin(phrase.distinct: _*))
+    val anchor = pos.filter(col("token") === phrase.head)
+      .select(col("doc_id"), col("i").cast("long").as("start"))
+    val matches = phrase.zipWithIndex.drop(1).foldLeft(anchor) {
+      case (acc, (term, k)) =>
+        acc.join(
+          pos.filter(col("token") === term)
+            .select(col("doc_id"), (col("i").cast("long") - k).as("start")),
+          Seq("doc_id", "start"))
+    }
+    matches.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_topk" -> (bm25TopK _),
+    "q_phrase_search" -> (phraseSearch _))
+
+  /** DuckDB mirrors of the fixed-point algebra above. The oracles pin
+    * the conf DEFAULTS (terms `spark,query,window`, phrase
+    * `window fast query`); `//` is DuckDB floor division ≡ Spark `DIV`
+    * on these all-positive operands. */
+  val oracle: Map[String, String] = Map(
+    "q_bm25_topk" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_d,
+        |    CAST(SUM(dl) AS BIGINT) AS a_l
+        |  FROM docs),
+        |hits AS (
+        |  SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM docs)
+        |  WHERE token IN ('spark', 'query', 'window')
+        |  GROUP BY doc_id, dl, token),
+        |dfs AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY token),
+        |scored AS (
+        |  SELECT h.doc_id,
+        |    ((1000000 * (2 * (s.n_d - f.df) + 1)) // (2 * f.df + 1)
+        |     * ((22000000 * h.tf * s.a_l)
+        |        // (10 * h.tf * s.a_l + 3 * s.a_l + 9 * h.dl * s.n_d)))
+        |      // 1000000 AS contrib_q6
+        |  FROM hits h JOIN dfs f USING (token), stats s)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(contrib_q6) AS BIGINT) AS score_q6
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score_q6 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(ts) AS token,
+        |    unnest(range(1, len(ts) + 1)) AS i
+        |  FROM toks),
+        |t0 AS (SELECT doc_id, i - 1 AS start FROM pos WHERE token = 'window'),
+        |t1 AS (SELECT doc_id, i - 2 AS start FROM pos WHERE token = 'fast'),
+        |t2 AS (SELECT doc_id, i - 3 AS start FROM pos WHERE token = 'query'),
+        |m AS (
+        |  SELECT t0.doc_id, t0.start
+        |  FROM t0 JOIN t1 USING (doc_id, start) JOIN t2 USING (doc_id, start))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  CAST(MIN(start) AS BIGINT) AS first_pos
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
