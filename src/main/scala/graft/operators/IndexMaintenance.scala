@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Maintenance for the persisted signature/vector band indexes
@@ -104,6 +104,91 @@ object IndexMaintenance {
     if (!fs.rename(tmp, live)) {
       fs.rename(old, live) // restore — the rewrite is abandoned, not the index
       throw new IllegalStateException(s"compaction could not swap in $path")
+    }
+    fs.delete(old, true)
+  }
+
+  // ------------------------------------------------------------------
+  // Partition-aware compaction, for indexes laid out as Hive-style
+  // partition directories (the postings index's bucket=N, the IVF
+  // index's cell=N). [[compact]]'s flat recipe cannot run on the root
+  // (its part files live a level down) and must not run per-subdir
+  // as-is: its `<dir>__compact_tmp` staging sibling would sit INSIDE
+  // the index root, where partition discovery would parse the name as
+  // a partition value and flip the column's inferred type mid-rewrite.
+  // Here every transient directory lives in `<root>__pcompact_tmp/` /
+  // `<root>__pcompact_old/` siblings OUTSIDE the root, so a concurrent
+  // plain read never sees a non-conforming entry. Crash windows mirror
+  // the flat swap: tmp is disposable while live is complete; a crash
+  // between the two renames leaves the bucket only under old, which
+  // [[recoverPartitioned]] (run at the start of every maybe-call)
+  // restores. As with [[compact]], callers holding live frames must
+  // have materialized them before compacting.
+  // ------------------------------------------------------------------
+
+  /** Conf-gated per-partition compaction: every partition subdirectory
+    * holding more than `spark.graft.index.compactEvery` part files is
+    * rewritten toward `compactTargetBytes`-sized files. No-op with the
+    * conf unset — the same dial as the flat indexes, one decision for
+    * the whole index family. */
+  def maybeCompactPartitioned(s: SparkSession, path: String): Unit = {
+    val every = graft.GraftConf.int(s, "spark.graft.index.compactEvery", 0)
+    if (every <= 0) return
+    val target = graft.GraftConf.long(
+      s, "spark.graft.index.compactTargetBytes", 128L * 1024 * 1024)
+    require(target > 0, "spark.graft.index.compactTargetBytes must be positive")
+    val live = new Path(path)
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    recoverPartitioned(fs, path)
+    if (!fs.exists(live)) return
+    fs.listStatus(live)
+      .filter(d => d.isDirectory && d.getPath.getName.contains("="))
+      .foreach { d =>
+        val parts = fs.listStatus(d.getPath)
+          .count(_.getPath.getName.startsWith("part-"))
+        if (parts > every) compactSubdir(s, fs, path, d.getPath.getName, target)
+      }
+    fs.delete(new Path(path + "__pcompact_tmp"), true)
+    fs.delete(new Path(path + "__pcompact_old"), true)
+  }
+
+  /** Restore any partition subdir stranded by a crash between the two
+    * swap renames (live missing, old present), then clear leftovers.
+    * Idempotent; called before every partitioned compaction pass. */
+  private def recoverPartitioned(fs: FileSystem, root: String): Unit = {
+    val oldRoot = new Path(root + "__pcompact_old")
+    if (fs.exists(oldRoot)) {
+      fs.listStatus(oldRoot).filter(_.isDirectory).foreach { d =>
+        val liveDir = new Path(root, d.getPath.getName)
+        if (!fs.exists(liveDir) && !fs.rename(d.getPath, liveDir))
+          throw new IllegalStateException(
+            s"partitioned-compaction recovery could not restore $liveDir")
+      }
+      fs.delete(oldRoot, true)
+    }
+    fs.delete(new Path(root + "__pcompact_tmp"), true)
+  }
+
+  private def compactSubdir(s: SparkSession, fs: FileSystem, root: String,
+      dirName: String, targetBytes: Long): Unit = {
+    val live = new Path(root, dirName)
+    val tmp = new Path(root + "__pcompact_tmp", dirName)
+    val old = new Path(root + "__pcompact_old", dirName)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val parts = fs.listStatus(live).filter(_.getPath.getName.startsWith("part-"))
+    if (parts.isEmpty) return
+    val bytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    // the subdir read re-derives the partition value from nothing — it
+    // rides the directory name, so the rewrite carries data columns only
+    s.read.parquet(live.toString).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.mkdirs(old.getParent)
+    if (!fs.rename(live, old))
+      throw new IllegalStateException(s"partitioned compaction could not stage $live")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live)
+      throw new IllegalStateException(s"partitioned compaction could not swap in $live")
     }
     fs.delete(old, true)
   }

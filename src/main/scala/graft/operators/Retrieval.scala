@@ -248,8 +248,13 @@ object Retrieval {
     val existing = s.read.parquet(path).select(col("doc_id")).distinct()
     val fresh = batch.join(existing, Seq("doc_id"), "left_anti")
     postingsRows(fresh)
+      .repartition(col("bucket")) // one new file per bucket per batch
       .write.mode("append").partitionBy("bucket").parquet(path)
     refreshPostingsMeta(s, path)
+    // conf-gated per-bucket small-file compaction (same dial as the
+    // flat band indexes); the sidecars were just rewritten above and
+    // nothing lazy reads the postings here, so the swap races nothing
+    IndexMaintenance.maybeCompactPartitioned(s, path)
   }
 
   /** Serve [[bm25TopK]] from a [[writePostingsIndex]] table —

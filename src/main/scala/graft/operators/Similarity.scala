@@ -841,8 +841,9 @@ object Similarity {
     * rows into their cell partitions. REPLAY-SAFE like the band-index
     * growers: ids already present in the index are anti-joined out, so
     * an at-least-once re-run of the same batch appends nothing.
-    * Periodic re-partitioned compaction of a hot cell reuses
-    * [[IndexMaintenance]] at the caller's cadence. */
+    * Per-cell small-file compaction is wired via
+    * [[IndexMaintenance.maybeCompactPartitioned]] (conf-gated, same
+    * `spark.graft.index.compactEvery` dial as the flat indexes). */
   def appendToIvfIndex(batch: DataFrame, path: String): Unit = {
     val s = batch.sparkSession
     graft.functions.VectorFunctions.register(s)
@@ -864,6 +865,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         col("cent_id").cast("int").as("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
+    // conf-gated per-cell small-file compaction — the partitioned twin
+    // of the flat band indexes' maybeCompact, same conf dial
+    IndexMaintenance.maybeCompactPartitioned(s, path)
   }
 
   /** Catalog face: build the IVF index in a scratch directory, then

@@ -153,4 +153,78 @@ class IndexCompactionSpec extends SparkFunSuite {
     assert(gatedF <= 2 + 4 && gatedF < plainF,
       s"vector compaction did not bound files: gated=$gatedF plain=$plainF")
   }
+
+  // ---------------------------------------------- partitioned layouts
+
+  private def bucketFileCounts(path: String): Map[String, Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(d => d.isDirectory && d.getPath.getName.contains("="))
+      .map(d => d.getPath.getName ->
+        fs.listStatus(d.getPath).count(_.getPath.getName.startsWith("part-")))
+      .toMap
+  }
+
+  test("partitioned grow loop: per-bucket files bounded, serving identical") {
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, sf)
+    def grow(idx: String, every: Option[Int]): Seq[String] = {
+      val stage = TempDirs.scratch("graft_pcompact_stage_")
+      docs.filter(col("doc_id") < 100)
+        .write.mode("overwrite").parquet(stage.resolve("documents.parquet").toString)
+      Retrieval.writePostingsIndex(spark, stage.toString, idx)
+      every.foreach(e => spark.conf.set("spark.graft.index.compactEvery", e.toString))
+      try (1 to 4).foreach { i =>
+        Retrieval.appendToPostingsIndex(
+          docs.filter(col("doc_id") >= i * 100 && col("doc_id") < (i + 1) * 100)
+            .select(col("doc_id"), col("text")), idx)
+      } finally spark.conf.unset("spark.graft.index.compactEvery")
+      Retrieval.bm25FromIndex(spark, idx).collect().map(_.toString).toSeq
+    }
+    val plain = TempDirs.scratch("graft_pcompact_plain_").resolve("idx").toString
+    val gated = TempDirs.scratch("graft_pcompact_gated_").resolve("idx").toString
+    val plainServe = grow(plain, None)
+    val gatedServe = grow(gated, Some(2))
+    assert(gatedServe === plainServe, "partitioned compaction changed serving")
+    assert(gatedServe === Retrieval.bm25TopK(spark, sf).collect().map(_.toString).toSeq,
+      "grown index drifted from the scan path")
+    val plainMax = bucketFileCounts(plain).values.max
+    val gatedMax = bucketFileCounts(gated).values.max
+    // every batch appends one file per touched bucket: ungated grows to
+    // ~5 per hot bucket; gated must stay at the cap + at most one append
+    assert(plainMax >= 4, s"fixture not fragmented: plain max/bucket=$plainMax")
+    assert(gatedMax <= 3 && gatedMax < plainMax,
+      s"per-bucket files not bounded: gated=$gatedMax plain=$plainMax")
+    // no transient staging siblings left behind
+    val fs = new org.apache.hadoop.fs.Path(gated)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(gated + "__pcompact_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(gated + "__pcompact_old")))
+  }
+
+  test("partitioned compaction crash recovery restores a stranded bucket") {
+    import graft.operators.Retrieval
+    val idx = TempDirs.scratch("graft_pcompact_crash_").resolve("idx").toString
+    Retrieval.writePostingsIndex(spark, sf, idx)
+    val before = Retrieval.bm25FromIndex(spark, idx).collect().map(_.toString).toSeq
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketDir = fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("bucket="))
+      .head.getPath
+    // simulate a crash between the two swap renames: live moved to the
+    // old staging sibling, nothing swapped in; plus a partial tmp
+    val oldRoot = new org.apache.hadoop.fs.Path(idx + "__pcompact_old")
+    fs.mkdirs(oldRoot)
+    assert(fs.rename(bucketDir, new org.apache.hadoop.fs.Path(oldRoot, bucketDir.getName)))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(idx + "__pcompact_tmp/" + bucketDir.getName))
+    spark.conf.set("spark.graft.index.compactEvery", "1000000")
+    try IndexMaintenance.maybeCompactPartitioned(spark, idx)
+    finally spark.conf.unset("spark.graft.index.compactEvery")
+    assert(fs.exists(bucketDir), "stranded bucket not restored")
+    assert(!fs.exists(oldRoot) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(idx + "__pcompact_tmp")))
+    assert(Retrieval.bm25FromIndex(spark, idx).collect().map(_.toString).toSeq
+      === before, "recovery changed serving")
+  }
 }
