@@ -257,6 +257,43 @@ class StreamingSpec extends SparkFunSuite {
       "replayed batch duplicated index rows")
   }
 
+  test("postings index grows under a real stream; serving equals a full build") {
+    // the searchable-state twin of the signature/vector growth tests:
+    // documents arrive as micro-batches, each appended into the
+    // persisted postings index (replay-safe anti-join inside), and the
+    // grown index must serve BM25/phrase bit-equal to a one-shot build
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = Tables.documents(s, SparkSpecBase.sf)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val idx = TempDirs.scratch("graft_postings_grow_").resolve("idx").toString
+    // seed: first 200 docs via the builder (staged as a documents table)
+    val stage = TempDirs.scratch("graft_postings_grow_stage_")
+    docs.take(200).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(stage.resolve("documents.parquet").toString)
+    operators.Retrieval.writePostingsIndex(s, stage.toString, idx)
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        operators.Retrieval.appendToPostingsIndex(b.toDF(), idx)
+      }
+      .start()
+    try {
+      // batch 2 redelivers 50 docs of batch 1 (at-least-once) — the
+      // anti-join must drop them or df/tf would double-count
+      ms.addData(docs.slice(200, 350)); q.processAllAvailable()
+      ms.addData(docs.slice(300, 500)); q.processAllAvailable()
+    } finally q.stop()
+    assert(operators.Retrieval.bm25FromIndex(s, idx).collect().map(_.toString).toSeq
+      === operators.Retrieval.bm25TopK(s, SparkSpecBase.sf).collect().map(_.toString).toSeq,
+      "stream-grown index must rank like the one-shot scan")
+    assert(operators.Retrieval.phraseFromIndex(s, idx).collect().map(_.toString).toSeq
+      === operators.Retrieval.phraseSearch(s, SparkSpecBase.sf).collect().map(_.toString).toSeq)
+    assert(s.read.parquet(idx).select(col("doc_id")).distinct().count() === docs.size)
+  }
+
   test("vector index growth: batch-N accepted vectors detected by batch N+1") {
     // the ANN twin of the signature-index growth test: embeddings arrive
     // as micro-batches, each matched against the vector band index and
