@@ -82,6 +82,87 @@ object Corpus {
       .orderBy(col("shard"), col("bin"))
   }
 
+  /** Content-defined chunking (the LBFS/rsync rolling-hash family,
+    * Muthitacharoen et al. 2001): chunk boundaries are cut where a hash
+    * of the local token window hits a divisor, so IDENTICAL text spans
+    * produce IDENTICAL chunks no matter where they sit in a document —
+    * the property fixed-stride chunking ([[textChunks]]) lacks, and the
+    * reason dedup stores and chunk-granular corpus dedup use CDC: an
+    * edit resynchronizes within one window instead of shifting every
+    * downstream boundary.
+    *
+    * The hash is INTEGER end-to-end (the engine's md5-prefix idiom): a
+    * token's value is its 24-bit md5 prefix, a window of 4 tokens mixes
+    * as `h0 + 3·h1 + 9·h2 + 27·h3`, and a boundary falls after the
+    * window when that sum ≡ 0 mod `spark.graft.corpus.cdcDivisor`
+    * (default 16, oracle-pinned — the expected-chunk-length dial; the
+    * tiny fixture vocab makes observed chunks shorter than 1/p, which
+    * is a fixture artifact, not an algebra property). Docs shorter than
+    * one window are a single chunk, and the final token always closes
+    * the last chunk.
+    *
+    * Scale shape: boundary detection, cut assembly, and chunk slicing
+    * are ONE per-row projection of higher-order functions — scan →
+    * generate, no exchange anywhere (the [[textChunks]] plan, with
+    * content-defined cuts). Only [[cdcDedup]]'s hash groupBy exchanges,
+    * and that input is chunk-rows, partial-aggregated map-side. */
+  private def cdcRows(s: SparkSession, d: String): DataFrame =
+    cdcRowsOf(s, documents(s, d))
+
+  /** [[cdcRows]] over any (doc_id, text) frame — the unit the property
+    * suite drives (edit-resynchronization on synthetic documents). */
+  private[graft] def cdcRowsOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val div = confInt(s, "spark.graft.corpus.cdcDivisor", 16)
+    require(div >= 2, "cdcDivisor must be >= 2")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("hs",
+        expr("transform(toks, w -> cast(conv(substr(md5(w), 1, 6), 16, 10) as bigint))"))
+      .withColumn("bnds", expr(
+        s"""CASE WHEN n >= 4 THEN
+           |  filter(transform(sequence(0, n - 4), i ->
+           |    IF((element_at(hs, i + 1) + 3 * element_at(hs, i + 2)
+           |        + 9 * element_at(hs, i + 3) + 27 * element_at(hs, i + 4))
+           |          % $div = 0,
+           |       i + 3, -1)), x -> x >= 0)
+           |ELSE cast(array() as array<int>) END""".stripMargin))
+      // the last token closes the final chunk; guard the case where it
+      // is ALREADY a content boundary (no empty trailing chunk)
+      .withColumn("cuts", expr(
+        "IF(size(bnds) > 0 AND element_at(bnds, size(bnds)) = n - 1, " +
+          "bnds, concat(bnds, array(n - 1)))"))
+      .select(col("doc_id"), col("toks"), explode(expr(
+        """transform(sequence(0, size(cuts) - 1), j -> named_struct(
+          |  'cid', j,
+          |  's', IF(j = 0, 0, element_at(cuts, j) + 1),
+          |  'e', element_at(cuts, j + 1)))""".stripMargin)).as("u"))
+      .select(col("doc_id"),
+        col("u.cid").cast("long").as("chunk_id"),
+        col("u.s").cast("long").as("tok_start"),
+        (col("u.e") - col("u.s") + 1).cast("long").as("n_toks"),
+        expr("array_join(slice(toks, u.s + 1, u.e - u.s + 1), ' ')").as("chunk_text"))
+  }
+
+  /** Catalog face: every CDC chunk with its 0-based token span. */
+  def cdcChunks(s: SparkSession, d: String): DataFrame =
+    cdcRows(s, d).orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Chunk-granular dedup over the CDC chunks: content chunks appearing
+    * in ≥ 2 documents — what a dedup store would keep once and what
+    * chunk-level corpus dedup (the span-dedup family at CDC granularity)
+    * would rewrite. One content-keyed hash groupBy; counts partial-agg
+    * map-side, no window. */
+  def cdcDedup(s: SparkSession, d: String): DataFrame =
+    cdcRows(s, d)
+      .groupBy(md5(col("chunk_text")).as("chunk_hash"))
+      .agg(count(lit(1)).as("n_occ"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        min(col("n_toks")).as("n_toks"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("chunk_hash"))
+
   /** Token inverted index with BOUNDED posting lists: term/document
     * frequencies by hash aggregation (map-side partials), plus the 10
     * lowest doc_ids per token as a posting sample — selected by
@@ -354,6 +435,8 @@ object Corpus {
     "q_line_dedup" -> (lineDedup _),
     "q_mix_temperature" -> (mixTemperature _),
     "q_text_chunks" -> (textChunks _),
+    "q_cdc_chunks" -> (cdcChunks _),
+    "q_cdc_dedup" -> (cdcDedup _),
     "q_seq_pack" -> (seqPack _),
     "q_inverted_index" -> (invertedIndex _),
     "q_contamination" -> (contamination _),
@@ -362,7 +445,60 @@ object Corpus {
     "q_length_batch" -> (lengthBatch _)
   )
 
+  /** Shared by the two CDC oracles: the same 24-bit md5 token hashes,
+    * window mix, boundary condition, and cut assembly — DuckDB `range`
+    * is end-exclusive where Spark `sequence` is inclusive, and both
+    * engines index lists 1-based. */
+  private val cdcCteSql =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |h AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |    list_transform(toks, w -> ('0x' || substr(md5(w), 1, 6))::BIGINT) AS hs
+      |  FROM t),
+      |b AS (
+      |  SELECT doc_id, toks, n,
+      |    CASE WHEN n >= 4 THEN
+      |      list_filter(list_transform(range(0, n - 3), i ->
+      |        CASE WHEN (hs[i + 1] + 3 * hs[i + 2] + 9 * hs[i + 3]
+      |                   + 27 * hs[i + 4]) % 16 = 0
+      |          THEN i + 3 ELSE -1 END), x -> x >= 0)
+      |    ELSE [] END AS bnds
+      |  FROM h),
+      |c AS (
+      |  SELECT doc_id, toks, n,
+      |    CASE WHEN len(bnds) > 0 AND bnds[len(bnds)] = n - 1
+      |      THEN bnds ELSE list_append(bnds, n - 1) END AS cuts
+      |  FROM b),
+      |ch AS (
+      |  SELECT doc_id, toks,
+      |    unnest(list_transform(range(0, len(cuts)), j -> struct_pack(
+      |      cid := j,
+      |      s := CASE WHEN j = 0 THEN 0 ELSE cuts[j] + 1 END,
+      |      e := cuts[j + 1]))) AS u
+      |  FROM c),
+      |chunks AS (
+      |  SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id,
+      |    CAST(u.s AS BIGINT) AS tok_start,
+      |    CAST(u.e - u.s + 1 AS BIGINT) AS n_toks,
+      |    array_to_string(list_slice(toks, u.s + 1, u.e + 1), ' ') AS chunk_text
+      |  FROM ch)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_cdc_chunks" ->
+      s"""WITH $cdcCteSql
+        |SELECT doc_id, chunk_id, tok_start, n_toks, chunk_text
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_cdc_dedup" ->
+      s"""WITH $cdcCteSql
+        |SELECT md5(chunk_text) AS chunk_hash,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS first_doc, MIN(n_toks) AS n_toks
+        |FROM chunks GROUP BY md5(chunk_text)
+        |HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_hash""".stripMargin,
+
     "q_line_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

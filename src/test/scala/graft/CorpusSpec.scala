@@ -172,4 +172,55 @@ class CorpusSpec extends SparkFunSuite {
     assert(epochs.zip(epochs.tail).forall { case (a, b) => a >= b - 1e-9 },
       s"epochs not anti-monotone in size: ${epochs.mkString(",")}")
   }
+
+  // ------------------------------------------------- content-defined chunking
+
+  test("CDC chunks partition every document exactly: spans contiguous, text rebuilds") {
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = Corpus.cdcChunks(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("n_toks"),
+        r.getAs[String]("chunk_text")))
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2) === (0L until sorted.size).toArray, s"doc $id chunk ids")
+      // contiguous spans starting at 0
+      sorted.foldLeft(0L) { case (expectStart, (_, _, s0, n, _)) =>
+        assert(s0 === expectStart, s"doc $id gap at $s0"); s0 + n
+      }
+      // concatenation rebuilds the document verbatim
+      assert(sorted.map(_._5).mkString(" ") === docs(id), s"doc $id text drift")
+    }
+  }
+
+  test("CDC resynchronizes after a prefix edit (the property stride chunking lacks)") {
+    val s = spark
+    import s.implicits._
+    val text = Tables.documents(spark, sf)
+      .orderBy(col("doc_id")).limit(1).selectExpr("text").collect()(0).getString(0)
+    val frame = Seq(0L -> text, 1L -> ("zz9 zz8 zz7 " + text)).toDF("doc_id", "text")
+    val byDoc = Corpus.cdcRowsOf(spark, frame).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("chunk_text"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every original chunk past the first window must reappear verbatim
+    // in the edited doc's chunk set — boundaries depend only on local
+    // content, so a 3-token prefix edit cannot shift them
+    val stable = byDoc(0L).filterNot(c => text.startsWith(c))
+    assert(stable.nonEmpty, "fixture doc produced no post-prefix chunks")
+    val missing = stable -- byDoc(1L)
+    assert(missing.isEmpty,
+      s"prefix edit shifted ${missing.size} downstream boundaries: $missing")
+  }
+
+  test("cdcDivisor is a real dial: a larger divisor cuts fewer, longer chunks") {
+    val base = Corpus.cdcChunks(spark, sf).count()
+    spark.conf.set("spark.graft.corpus.cdcDivisor", "64")
+    try {
+      val coarse = Corpus.cdcChunks(spark, sf).count()
+      assert(coarse < base, s"divisor 64 not coarser: $coarse vs $base")
+    } finally spark.conf.unset("spark.graft.corpus.cdcDivisor")
+  }
 }
