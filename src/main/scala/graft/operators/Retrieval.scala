@@ -158,6 +158,67 @@ object Retrieval {
       .orderBy(col("doc_id"))
   }
 
+  /** BATCH BM25 — every eval-set document (the `doc_id % 97 = 0`
+    * benchmark stand-in, as in [[Corpus.contamination]]) retrieves its
+    * top-k training documents by BM25 against the TRAINING side only.
+    * This is the contamination-forensics / hard-negative-mining query a
+    * pretraining pipeline runs right after the n-gram contamination
+    * gate: overlap told you THAT something leaks, ranked retrieval
+    * tells you WHAT to pull or mine ("which training docs score
+    * highest against this benchmark item"). Same q6 rational algebra
+    * as [[bm25TopK]]; stats (N, A) and df are computed over the
+    * training corpus, the retrieval target.
+    *
+    * Scale shape: the query-term set is benchmark-sized, so it
+    * BROADCASTS twice (a semi-join pruning the corpus token stream to
+    * query terms before any agg, then the scoring join); per-query
+    * top-k goes through the custom [[graft.plans.TopKPerGroupOp]]
+    * spilling operator — a stopword-heavy benchmark item's candidate
+    * set is corpus-sized, and "keep k per group" beats "sort
+    * everything per group" exactly there. The rank window after it
+    * touches ≤ k rows per query. `spark.graft.search.batchK`
+    * (default 5, oracle-pinned) is the depth dial. */
+  def bm25Batch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = GraftConf.int(s, "spark.graft.search.batchK", 5)
+    require(k >= 1, "spark.graft.search.batchK must be >= 1")
+    val docs = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val statsRow = train.agg(count(lit(1)).as("n_d"), sum(col("dl")).as("a_l"))
+      .collect()(0)
+    val (nD, aL) = (statsRow.getLong(0), statsRow.getLong(1))
+    val qterms = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"), explode(col("toks")).as("token"))
+      .distinct()
+    val hits = train
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .join(broadcast(qterms.select(col("token")).distinct()),
+        Seq("token"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = hits.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = hits
+      .join(broadcast(dfs), "token")
+      .withColumn("tf_q6",
+        expr(s"(22000000 * tf * ${aL}L) DIV " +
+          s"(10 * tf * ${aL}L + 3 * ${aL}L + 9 * dl * ${nD}L)"))
+      .withColumn("idf_q6",
+        expr(s"(1000000 * (2 * (${nD}L - df) + 1)) DIV (2 * df + 1)"))
+      .withColumn("contrib_q6", expr("(idf_q6 * tf_q6) DIV 1000000"))
+      .join(broadcast(qterms), "token")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_q6")).as("score_q6"))
+    graft.plans.TopKPerGroupOp.topK(scored, "qid", "score_q6", "doc_id", k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score_q6").desc, col("doc_id"))).cast("long"))
+      .select(col("qid"), col("rank"), col("doc_id"),
+        col("n_terms"), col("score_q6"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ------------------------------------------------------------------
   // Persisted positional postings index — the production face of both
   // retrieval queries. The scan-side entries above re-derive postings
@@ -307,6 +368,7 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_topk" -> (bm25TopK _),
+    "q_bm25_batch" -> (bm25Batch _),
     "q_phrase_search" -> (phraseSearch _),
     "q_bm25_indexed" -> (bm25Indexed _),
     "q_phrase_indexed" -> (phraseIndexed _))
@@ -360,8 +422,51 @@ object Retrieval {
         |  CAST(MIN(start) AS BIGINT) AS first_pos
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // single per-qid window — semantically what the engine's spilling
+  // top-k operator computes distributed; same q6 algebra on the
+  // training side only
+  private val bm25BatchOracleSql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |train AS (SELECT * FROM docs WHERE doc_id % 97 <> 0),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_d,
+      |    CAST(SUM(dl) AS BIGINT) AS a_l
+      |  FROM train),
+      |qterms AS (
+      |  SELECT DISTINCT doc_id AS qid, unnest(toks) AS token
+      |  FROM docs WHERE doc_id % 97 = 0),
+      |hits AS (
+      |  SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM train)
+      |  WHERE token IN (SELECT token FROM qterms)
+      |  GROUP BY doc_id, dl, token),
+      |dfs AS (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY token),
+      |scored AS (
+      |  SELECT q.qid, h.doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |    CAST(SUM(
+      |      ((1000000 * (2 * (s.n_d - f.df) + 1)) // (2 * f.df + 1)
+      |       * ((22000000 * h.tf * s.a_l)
+      |          // (10 * h.tf * s.a_l + 3 * s.a_l + 9 * h.dl * s.n_d)))
+      |        // 1000000) AS BIGINT) AS score_q6
+      |  FROM hits h JOIN dfs f USING (token)
+      |  JOIN qterms q USING (token), stats s
+      |  GROUP BY q.qid, h.doc_id),
+      |ranked AS (
+      |  SELECT qid, doc_id, n_terms, score_q6,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY score_q6 DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, n_terms, score_q6
+      |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_bm25_topk" -> bm25OracleSql,
+    "q_bm25_batch" -> bm25BatchOracleSql,
     "q_phrase_search" -> phraseOracleSql,
     // the indexed faces replay the scan-side SQL: same semantics — the
     // index is a layout decision the oracle must not see

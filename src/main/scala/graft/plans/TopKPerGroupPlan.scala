@@ -106,9 +106,14 @@ object TopKPerGroupOp {
         s"group column $groupCol must be an atomic comparable type " +
           s"(spill runs sort keys), got ${other.sql}")
     }
-    if (score.dataType != DoubleType)
+    // integer scores widen to Double at extraction — exact below 2^53,
+    // which covers every q6 fixed-point score in the engine; ties beyond
+    // that would fall to the tie column (documented, not reachable here)
+    if (score.dataType != DoubleType && score.dataType != LongType &&
+        score.dataType != IntegerType)
       throw new IllegalArgumentException(
-        s"score column $scoreCol must be DOUBLE, got ${score.dataType.sql}")
+        s"score column $scoreCol must be DOUBLE, BIGINT or INT, " +
+          s"got ${score.dataType.sql}")
     if (tie.dataType != LongType && tie.dataType != IntegerType)
       throw new IllegalArgumentException(
         s"tie column $tieCol must be BIGINT or INT, got ${tie.dataType.sql}")
@@ -196,7 +201,12 @@ case class TopKPerGroupExec(group: Expression, score: Expression, tie: Expressio
         }
         val svRaw = sBound.eval(rowIn)
         val ns = svRaw == null
-        val sv = if (ns) 0.0 else svRaw.asInstanceOf[Double]
+        val sv = svRaw match {
+          case null                 => 0.0
+          case d: java.lang.Double  => d.doubleValue()
+          case l: java.lang.Long    => l.toDouble // exact below 2^53
+          case i: java.lang.Integer => i.toDouble
+        }
         val tv = tBound.eval(rowIn) match {
           case null => Long.MaxValue // tie asc_nulls_last
           case l: java.lang.Long => l.longValue()

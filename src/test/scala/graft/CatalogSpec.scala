@@ -21,6 +21,7 @@ class CatalogSpec extends SparkFunSuite {
       operators.Parity.queries.size, operators.Pdf.queries.size,
       operators.Fetch.queries.size, operators.TextAnalysis.queries.size,
       operators.Sampling.queries.size, operators.Corpus.queries.size,
+      operators.Retrieval.queries.size,
       operators.Curation.queries.size, operators.Layout.queries.size,
       operators.Dedup.queries.size, operators.GraphOps.queries.size,
       operators.DataQuality.queries.size, operators.Similarity.queries.size,

@@ -106,6 +106,68 @@ class RetrievalSpec extends SparkFunSuite {
       "stats/df joins must be broadcast, not shuffled")
   }
 
+  // ------------------------------------------------------- batch BM25
+
+  private def bm25BatchRef(d: String, k: Int): Seq[(Long, Long, Long, Long, Long)] = {
+    val all = docs(d)
+    val train = all.filter(_._1 % 97 != 0)
+    val n = BigInt(train.size)
+    val a = BigInt(train.map(_._3.size.toLong).sum)
+    val dfm = train.flatMap(_._3.distinct).groupBy(identity)
+      .map { case (t, o) => t -> BigInt(o.size) }
+    all.filter(_._1 % 97 == 0).flatMap { case (qid, _, qtoks) =>
+      val terms = qtoks.distinct
+      train.flatMap { case (id, _, toks) =>
+        val contribs = terms.flatMap { t =>
+          val tf = BigInt(toks.count(_ == t))
+          if (tf == 0) None else {
+            val dl = BigInt(toks.size)
+            val tfQ6 = (BigInt(22000000) * tf * a) /
+              (BigInt(10) * tf * a + BigInt(3) * a + BigInt(9) * dl * n)
+            val idfQ6 = (BigInt(1000000) * (2 * (n - dfm(t)) + 1)) / (2 * dfm(t) + 1)
+            Some((idfQ6 * tfQ6) / BigInt(1000000))
+          }
+        }
+        if (contribs.isEmpty) None
+        else Some((qid, id, contribs.size.toLong, contribs.sum.toLong))
+      }.sortBy { case (_, id, _, sc) => (-sc, id) }.take(k)
+        .zipWithIndex.map { case ((q, id, nt, sc), i) =>
+          (q, (i + 1).toLong, id, nt, sc)
+        }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  test("bm25Batch equals the BigInt reference at two SFs and excludes eval docs") {
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      val got = Retrieval.bm25Batch(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(got === bm25BatchRef(d, 5), s"at $d")
+      assert(got.nonEmpty)
+      assert(got.forall { case (qid, _, id, _, _) =>
+        qid % 97 == 0 && id % 97 != 0
+      }, "retrieved docs must come from the training side only")
+      got.groupBy(_._1).values.foreach { rs =>
+        assert(rs.map(_._2).sorted === (1L to rs.size).toSeq, "ranks contiguous")
+        assert(rs.size <= 5)
+      }
+    }
+  }
+
+  test("bm25Batch runs through the spilling TopKPerGroup operator, not a corpus window") {
+    val df = Retrieval.bm25Batch(spark, sf)
+    df.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan +: walk(a.executedPlan)
+      case q: QueryStageExec        => q.plan +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    assert(walk(df.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[graft.plans.TopKPerGroupExec]),
+      "per-query top-k must lower to TopKPerGroupExec")
+  }
+
   // ---------------------------------------------------- phrase search
 
   test("phraseSearch equals a from-scratch scan at two SFs") {
