@@ -215,6 +215,36 @@ class CorpusSpec extends SparkFunSuite {
       s"prefix edit shifted ${missing.size} downstream boundaries: $missing")
   }
 
+  test("CDC invariants hold on seeded-random corpora (vocab 2/5/50, len 1..40)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    for (vocab <- Seq(2, 5, 50)) {
+      val words = (0 until vocab).map(v => s"w$v")
+      val frame = (0L until 60L).map { id =>
+        val n = 1 + rnd.nextInt(40)
+        id -> Seq.fill(n)(words(rnd.nextInt(vocab))).mkString(" ")
+      }
+      val texts = frame.toMap
+      val chunks = Corpus.cdcRowsOf(spark, frame.toDF("doc_id", "text")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+          r.getAs[Long]("tok_start"), r.getAs[Long]("n_toks"),
+          r.getAs[String]("chunk_text")))
+      assert(chunks.map(_._1).toSet === frame.map(_._1).toSet,
+        s"vocab $vocab: every doc must chunk, even length-1")
+      chunks.groupBy(_._1).foreach { case (id, cs) =>
+        val sorted = cs.sortBy(_._2)
+        sorted.foldLeft(0L) { case (expect, (_, _, st, n, _)) =>
+          assert(st === expect, s"vocab $vocab doc $id: gap/overlap at $st")
+          assert(n >= 1, "empty chunk")
+          st + n
+        }
+        assert(sorted.map(_._5).mkString(" ") === texts(id),
+          s"vocab $vocab doc $id: rebuild drift")
+      }
+    }
+  }
+
   test("cdcDivisor is a real dial: a larger divisor cuts fewer, longer chunks") {
     val base = Corpus.cdcChunks(spark, sf).count()
     spark.conf.set("spark.graft.corpus.cdcDivisor", "64")
