@@ -199,6 +199,15 @@ object Retrieval {
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val dfs = hits.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    bm25BatchScore(hits, dfs, qterms, statsRow.getLong(0), statsRow.getLong(1), k)
+  }
+
+  /** The batch scoring tail shared by the scan path ([[bm25Batch]]) and
+    * the index path ([[bm25BatchFromIndex]]): per-(query, doc) q6 sums,
+    * spilling per-query top-k, rank window over ≤ k rows per query. */
+  private def bm25BatchScore(hits: DataFrame, dfs: DataFrame, qterms: DataFrame,
+      nD: Long, aL: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = hits
       .join(broadcast(dfs), "token")
       .withColumn("tf_q6",
@@ -217,6 +226,48 @@ object Retrieval {
       .select(col("qid"), col("rank"), col("doc_id"),
         col("n_terms"), col("score_q6"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Serve [[bm25Batch]] from a postings index built over the RETRIEVAL
+    * CORPUS (for the catalog face, the training side — the index must
+    * not contain the benchmark docs, the same hygiene as the scan
+    * path's train/eval split). The query frame's distinct terms come to
+    * the driver (benchmark-sized: thousands of items × bounded distinct
+    * terms — the IVF probed-cell idiom) and push bucket literals into
+    * the partition filter; df and (N, A) come from the sidecars, so
+    * NOTHING here re-reads corpus text. */
+  def bm25BatchFromIndex(queryDocs: DataFrame, indexPath: String): DataFrame = {
+    val s = queryDocs.sparkSession
+    val k = GraftConf.int(s, "spark.graft.search.batchK", 5)
+    require(k >= 1, "spark.graft.search.batchK must be >= 1")
+    val qterms = queryDocs
+      .select(col("doc_id").as("qid"),
+        explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val terms = qterms.select(col("token")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val buckets = terms.map(tokenBucket).distinct
+    val meta = s.read.parquet(indexPath + "/_postings_meta")
+      .select(col("n_d"), col("a_l")).collect()(0)
+    val hits = s.read.parquet(indexPath)
+      .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+      .select(col("token"), col("doc_id"), col("dl"), col("tf"))
+    val dfs = s.read.parquet(indexPath + "/_postings_df")
+      .filter(col("token").isin(terms: _*))
+    bm25BatchScore(hits, dfs, qterms, meta.getLong(0), meta.getLong(1), k)
+  }
+
+  /** Catalog face: index the training side in scratch, retrieve for the
+    * eval docs from the files — the same oracle as the scan-side
+    * [[bm25Batch]] (the persisted hop must be invisible). */
+  def bm25BatchIndexed(s: SparkSession, d: String): DataFrame = {
+    val path = graft.TempDirs.scratch("graft_postings_").resolve("train").toString
+    val stagedTrain = documents(s, d).filter(col("doc_id") % 97 =!= 0)
+    writePostingsIndexOf(stagedTrain, path)
+    bm25BatchFromIndex(
+      documents(s, d).filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text")),
+      path)
   }
 
   // ------------------------------------------------------------------
@@ -277,11 +328,16 @@ object Retrieval {
     * builder and [[appendToPostingsIndex]] call, so a crash between an
     * append and its sidecar refresh is recovered by calling refresh
     * again (idempotent), never by re-ingesting. */
-  def writePostingsIndex(s: SparkSession, d: String, path: String): Unit = {
-    postingsRows(documents(s, d))
+  def writePostingsIndex(s: SparkSession, d: String, path: String): Unit =
+    writePostingsIndexOf(documents(s, d), path)
+
+  /** [[writePostingsIndex]] over any (doc_id, text) frame — the unit
+    * [[bm25BatchIndexed]] uses to index the training side only. */
+  def writePostingsIndexOf(docs: DataFrame, path: String): Unit = {
+    postingsRows(docs)
       .repartition(IndexBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    refreshPostingsMeta(s, path)
+    refreshPostingsMeta(docs.sparkSession, path)
   }
 
   /** Rebuild both sidecars from the postings table (idempotent; the only
@@ -369,6 +425,7 @@ object Retrieval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_topk" -> (bm25TopK _),
     "q_bm25_batch" -> (bm25Batch _),
+    "q_bm25_batch_indexed" -> (bm25BatchIndexed _),
     "q_phrase_search" -> (phraseSearch _),
     "q_bm25_indexed" -> (bm25Indexed _),
     "q_phrase_indexed" -> (phraseIndexed _))
@@ -467,6 +524,7 @@ object Retrieval {
   val oracle: Map[String, String] = Map(
     "q_bm25_topk" -> bm25OracleSql,
     "q_bm25_batch" -> bm25BatchOracleSql,
+    "q_bm25_batch_indexed" -> bm25BatchOracleSql,
     "q_phrase_search" -> phraseOracleSql,
     // the indexed faces replay the scan-side SQL: same semantics — the
     // index is a layout decision the oracle must not see

@@ -32,7 +32,8 @@ class PlanHygieneSpec extends AnyFunSuite {
       Set("q_source_binary", "q_partitioned_sink", "q_dedup_minhash",
         "q_dedup_ngram", "q_dedup_clusters", "q_dedup_incremental",
         "q_knn_ivf", "q_knn_ivf_indexed", "q_bm25_indexed",
-        "q_phrase_indexed", "q_bucketed_join").contains(name)
+        "q_bm25_batch_indexed", "q_phrase_indexed",
+        "q_bucketed_join").contains(name)
 
   private def offenders(p: SparkPlan): Seq[String] = {
     val self = p match {

@@ -47,6 +47,14 @@ class PostingsIndexSpec extends SparkFunSuite {
     }
   }
 
+  test("indexed batch retrieval is bit-equal to the scan-side bm25Batch, both SFs") {
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      val direct = Retrieval.bm25Batch(spark, d).collect().map(_.toString).toSeq
+      val served = Retrieval.bm25BatchIndexed(spark, d).collect().map(_.toString).toSeq
+      assert(served === direct, s"at $d")
+    }
+  }
+
   test("serving prunes the scan to the query terms' bucket directories") {
     val path = TempDirs.scratch("graft_postspec2_").resolve("idx").toString
     Retrieval.writePostingsIndex(spark, sf, path)
