@@ -134,6 +134,90 @@ object TextAnalysis {
         md5(expr("array_join(array_sort(array_distinct(split(text, ' '))), ' ')")).as("fp_bow"))
       .orderBy(col("doc_id"))
 
+  /** WINNOWING fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD
+    * 2003, the MOSS algorithm): hash every k-gram, slide a window of w
+    * consecutive gram hashes, select each window's MINIMUM (rightmost
+    * occurrence on ties — the paper's choice, which bounds fingerprint
+    * density), dedupe selections. The guarantee that makes this the
+    * span-level contamination primitive: any shared token run of length
+    * ≥ w + k − 1 (here 12) is CAUGHT by at least one shared selected
+    * fingerprint, while storage stays ~2/(w+1) of the gram count —
+    * [[fingerprint]] is the whole-document key, this is the
+    * local-match key between it and full n-gram overlap
+    * ([[Corpus.contamination]]).
+    *
+    * k and w ride `spark.graft.winnow.gram` / `.window` (5 / 8,
+    * oracle-pinned); gram hashes are the engine's 24-bit md5 prefix.
+    * Docs shorter than k yield no grams (and no fingerprints); docs
+    * with fewer than w grams winnow one degenerate window (the whole
+    * gram list), so every doc with ≥ k tokens fingerprints.
+    *
+    * Scale shape: gram hashing, window minima, and tie resolution are
+    * ONE per-row higher-order-function projection ([[Corpus]]'s CDC
+    * plan: scan → generate, no exchange); only the output sort pays. */
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame =
+    winnowSelected(s, d)
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        expr("element_at(gh, cast(p as int))").as("fp"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  private def winnowSelected(s: SparkSession, d: String): DataFrame =
+    winnowSelectedOf(s, documents(s, d))
+
+  /** [[winnowFingerprints]]'s selection core over any (doc_id, text)
+    * frame — the unit the guarantee test drives with synthetic shared
+    * runs. */
+  private[graft] def winnowSelectedOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val k = graft.GraftConf.int(s, "spark.graft.winnow.gram", 5)
+    val w = graft.GraftConf.int(s, "spark.graft.winnow.window", 8)
+    require(k >= 1 && w >= 1, "winnow.gram and winnow.window must be >= 1")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("gh", expr(
+        s"""CASE WHEN n >= $k THEN
+           |  transform(sequence(1, n - $k + 1), i -> cast(conv(substr(
+           |    md5(array_join(slice(toks, i, $k), ' ')), 1, 6), 16, 10) as bigint))
+           |ELSE cast(array() as array<bigint>) END""".stripMargin))
+      .withColumn("m", size(col("gh")))
+      // rightmost-min via reverse + first-position: in window j..j+w-1,
+      // selected = j - 1 + (w + 1 - pos_in_reversed(min)); windows and
+      // slices clamp to m, so short docs winnow one degenerate window
+      .withColumn("sel", expr(
+        s"""CASE WHEN m = 0 THEN cast(array() as array<bigint>)
+           |ELSE array_distinct(transform(sequence(1, greatest(m - $w + 1, 1)), j ->
+           |  j - 1 + (least($w, m) + 1 -
+           |    array_position(reverse(slice(gh, j, least($w, m))),
+           |                   array_min(slice(gh, j, least($w, m)))))))
+           |END""".stripMargin))
+      .select(col("doc_id"), col("gh"), explode(col("sel")).as("p"))
+  }
+
+  /** Fingerprint MATCH candidates: document pairs sharing ≥
+    * `spark.graft.winnow.minShared` (3) distinct winnowed fingerprints
+    * — MOSS's own pair report, and the span-contamination shortlist a
+    * pipeline feeds into exact verification. Pair generation is an
+    * equi-join on the fingerprint value — the inverted-index family
+    * (one exchange keyed by fp, partial-agg'd pair counts). A
+    * boilerplate fingerprint shared by millions of docs is the same
+    * hot-key shape as an LSH hot bucket; at corpus scale the
+    * `lsh.maxBucket`-style guard applies verbatim (count per fp, route
+    * hot fingerprints out of the pairwise join). */
+  def winnowMatches(s: SparkSession, d: String): DataFrame = {
+    val minShared = graft.GraftConf.int(s, "spark.graft.winnow.minShared", 3)
+    require(minShared >= 1, "winnow.minShared must be >= 1")
+    val fps = winnowSelected(s, d)
+      .select(col("doc_id"), expr("element_at(gh, cast(p as int))").as("fp"))
+      .distinct()
+    fps.as("a")
+      .join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Heavy hitters (tokens with ≥ 2% of all occurrences) via Count-Min
     * sketch pruning + exact verification. The sketch — Spark's own
     * `count_min_sketch` aggregate, queried through
@@ -703,6 +787,8 @@ object TextAnalysis {
     "q_quality_score" -> (qualityScore _),
     "q_quality_gate" -> (qualityGate _),
     "q_fingerprint" -> (fingerprint _),
+    "q_winnow_fingerprints" -> (winnowFingerprints _),
+    "q_winnow_matches" -> (winnowMatches _),
     "q_token_count" -> (tokenCount _),
     "q_heavy_hitters_cms" -> (heavyHittersCms _)
   )
@@ -732,6 +818,34 @@ object TextAnalysis {
       |  SELECT tri.doc_id, COUNT(*) AS n_grams,
       |    CAST(SUM(CASE WHEN cnt.c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
       |  FROM tri JOIN cnt USING (g) GROUP BY tri.doc_id)""".stripMargin
+
+  /** Shared by the two winnowing oracles: k=5 gram hashes, w=8
+    * rightmost-min window selection, deduped positions exploded. */
+  private val winnowCteSql =
+    """t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, n,
+      |    CASE WHEN n >= 5 THEN
+      |      list_transform(range(1, n - 5 + 2), i ->
+      |        ('0x' || substr(md5(array_to_string(
+      |          list_slice(toks, i, i + 5 - 1), ' ')), 1, 6))::BIGINT)
+      |    ELSE [] END AS gh
+      |  FROM t),
+      |s AS (
+      |  SELECT doc_id, gh, len(gh) AS m,
+      |    CASE WHEN len(gh) = 0 THEN []
+      |    ELSE list_distinct(list_transform(
+      |      range(1, greatest(len(gh) - 8 + 1, 1) + 1), j ->
+      |        j - 1 + (least(8, len(gh)) + 1 -
+      |          list_position(
+      |            list_reverse(list_slice(gh, j, j + least(8, len(gh)) - 1)),
+      |            list_min(list_slice(gh, j, j + least(8, len(gh)) - 1))))))
+      |    END AS sel
+      |  FROM g),
+      |sel_u AS (SELECT doc_id, gh, unnest(sel) AS u FROM s)""".stripMargin
 
   /** The [[bpeMerges]]/[[bpeEncode]] oracle CTE chain, generated (not
     * hand-copied ×5): per round k, `p_k` counts pairs over wire `w_k`,
@@ -1043,6 +1157,23 @@ object TextAnalysis {
         |  md5(text) AS fp_exact,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bow
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same k=5 gram hashes, w=8 rightmost-min window selection; DuckDB
+    // list_slice takes an END index where Spark slice takes a LENGTH,
+    // and both clamp past the list end
+    "q_winnow_fingerprints" ->
+      s"""WITH $winnowCteSql
+        |SELECT doc_id, CAST(u AS BIGINT) AS pos, gh[u] AS fp
+        |FROM sel_u ORDER BY doc_id, pos""".stripMargin,
+
+    "q_winnow_matches" ->
+      s"""WITH $winnowCteSql,
+        |d AS (SELECT DISTINCT doc_id, gh[u] AS fp FROM sel_u)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 3
+        |ORDER BY d1, d2""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -116,6 +116,53 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("winnowing equals a from-scratch rightmost-min selection at sf0.001") {
+    // independent reference: own MD5, own window scan, own tie rule
+    def hash24(sr: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sr.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16)
+    }
+    val (k, w) = (5, 8)
+    val expected = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split(' ')
+        val gh = toks.sliding(k).filter(_.length == k)
+          .map(g => hash24(g.mkString(" "))).toArray
+        val m = gh.length
+        if (m == 0) Nil
+        else {
+          val wEff = math.min(w, m)
+          (0 to math.max(m - w, 0)).flatMap { j =>
+            val win = gh.slice(j, j + wEff)
+            val mn = win.min
+            Some(j + win.lastIndexOf(mn)) // rightmost min, 0-based
+          }.distinct.sorted.map(p => (r.getLong(0), (p + 1).toLong, gh(p)))
+        }
+      }.toSeq
+    val got = TextAnalysis.winnowFingerprints(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected.sortBy(t => (t._1, t._2)))
+  }
+
+  test("winnowing guarantee: a shared w+k-1 token run always shares a fingerprint") {
+    val s = spark
+    import s.implicits._
+    // 12 shared tokens (w+k-1) embedded in otherwise-disjoint text
+    val shared = (1 to 12).map(i => s"sh$i").mkString(" ")
+    val frame = Seq(
+      10L -> s"ax1 ax2 ax3 ax4 ax5 ax6 $shared ax7 ax8",
+      20L -> s"bx1 $shared bx2 bx3 bx4 bx5 bx6 bx7 bx8 bx9"
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowSelectedOf(spark, frame)
+      .selectExpr("doc_id", "element_at(gh, cast(p as int)) as fp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(10L) & fps(20L)).nonEmpty,
+      "a 12-token shared run must be caught by at least one shared fingerprint")
+  }
+
   test("minhash candidates respect the est-jaccard post-filter") {
     val rows = Dedup.dedupMinhash(spark, sf).collect()
     rows.foreach { r =>
