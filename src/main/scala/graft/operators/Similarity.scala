@@ -1052,7 +1052,75 @@ object Similarity {
 
   // --------------------------------------------------------------- wiring
 
+  /** BITEXT MINING via the margin criterion (Artetxe & Schwenk 2019 —
+    * the LASER/CCMatrix recipe): treat label<5 vs label≥5 as the two
+    * languages' embedding spaces, score every cross pair, and accept
+    * x→y only when cos(x,y) clearly beats BOTH vectors' neighborhoods:
+    * `margin = 2·cos(x,y) / (avgTopK(x→B) + avgTopK(y→A))`. Absolute
+    * cosine thresholds fail under hubness (some vectors are close to
+    * everything); the ratio normalizes it out — the property that made
+    * margin mining the standard for parallel-corpus extraction.
+    *
+    * Numerics: cosines land in q6 INTEGERS at the edge
+    * (`round(cos·1e6)` — one rounding, exactly representable, so the
+    * top-k SUMS are integer and order-independent; a double `avg` here
+    * would put Spark-vs-DuckDB summation order on the gate). Margin is
+    * then pure integer: `(2e6·c6) DIV (avgA + avgB)`, guarded to
+    * strictly positive operands so Spark `DIV` (truncate) ≡ DuckDB `//`
+    * (floor). `spark.graft.bitext.k` (4) and `.minMargin` (1_200_000 =
+    * ratio 1.2) are oracle-pinned dials.
+    *
+    * Scale shape: this is the EXACT kernel — the oracle's semantics —
+    * with the same broadcast-side pair generation as [[knnBrute]]; at
+    * real corpus sizes the pair source swaps to the banded-LSH ladder
+    * exactly like `q_semantic_dedup` → `q_semantic_dedup_lsh`, with
+    * this margin tail unchanged (it only consumes (aid, bid, c6)). */
+  def bitextMine(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val k = graft.GraftConf.int(s, "spark.graft.bitext.k", 4)
+    val minMargin = graft.GraftConf.long(s, "spark.graft.bitext.minMargin", 1200000L)
+    require(k >= 1, "spark.graft.bitext.k must be >= 1")
+    val e = embeddings(s, d)
+    val a = e.filter(col("label") < 5)
+      .select(col("vec_id").as("aid"), col("embedding").as("ae"),
+        sqrt(expr("vec_dot(embedding, embedding)")).as("an"))
+    val b = e.filter(col("label") >= 5)
+      .select(col("vec_id").as("bid"), col("embedding").as("be"),
+        sqrt(expr("vec_dot(embedding, embedding)")).as("bn"))
+    val x = graft.CacheScope.track(b.join(broadcast(a))
+      .withColumn("c6",
+        round(expr("vec_dot(ae, be)") / (col("an") * col("bn")) * 1000000, 0)
+          .cast("long"))
+      .select(col("aid"), col("bid"), col("c6"))
+      .persist())
+    // margin = 2c / ((sa + sb)/k) rearranged to 2k·c/(sa + sb): the
+    // top-k SUMS stay raw integers — no per-side division, so there is
+    // no truncate-vs-floor seam anywhere (the single DIV is guarded to
+    // positive operands below)
+    val aSum = x
+      .withColumn("rka", row_number().over(
+        Window.partitionBy(col("aid")).orderBy(col("c6").desc, col("bid"))))
+      .filter(col("rka") <= k)
+      .groupBy(col("aid")).agg(sum(col("c6")).as("sa"))
+    val bSum = x
+      .withColumn("rkb", row_number().over(
+        Window.partitionBy(col("bid")).orderBy(col("c6").desc, col("aid"))))
+      .filter(col("rkb") <= k)
+      .groupBy(col("bid")).agg(sum(col("c6")).as("sb"))
+    x.join(aSum, "aid").join(bSum, "bid")
+      .filter(col("c6") > 0 && (col("sa") + col("sb")) > 0)
+      .withColumn("margin_q6", expr(s"(2000000 * $k * c6) DIV (sa + sb)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("aid"))
+          .orderBy(col("margin_q6").desc, col("bid"))))
+      .filter(col("rn") === 1 && col("margin_q6") >= minMargin)
+      .select(col("aid"), col("bid"), col("c6").as("c_q6"), col("margin_q6"))
+      .orderBy(col("aid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bitext_mine" -> (bitextMine _),
     "q_knn_classify" -> (knnClassify _),
     "q_embed_quantize" -> (embedQuantize _),
     "q_knn_brute" -> (knnBrute _),
@@ -1170,6 +1238,45 @@ object Similarity {
         |  FROM sc)
         |SELECT qid, cid, CAST(rn AS BIGINT) AS rn, adc_dist2
         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // same q6 cosine edge, raw top-k integer sums, single guarded
+    // integer division — margin = 2k·c6/(sa+sb)
+    "q_bitext_mine" ->
+      s"""WITH a AS (
+        |  SELECT vec_id AS aid, embedding AS ae FROM embeddings WHERE label < 5),
+        |b AS (
+        |  SELECT vec_id AS bid, embedding AS be FROM embeddings WHERE label >= 5),
+        |x AS (
+        |  SELECT aid, bid,
+        |    CAST(round(${cosSql("ae", "be")} * 1000000, 0) AS BIGINT) AS c6
+        |  FROM a, b),
+        |ra AS (
+        |  SELECT aid, bid, c6,
+        |    row_number() OVER (PARTITION BY aid ORDER BY c6 DESC, bid) AS rka
+        |  FROM x),
+        |rb AS (
+        |  SELECT aid, bid, c6,
+        |    row_number() OVER (PARTITION BY bid ORDER BY c6 DESC, aid) AS rkb
+        |  FROM x),
+        |aa AS (
+        |  SELECT aid, CAST(SUM(c6) AS BIGINT) AS sa
+        |  FROM ra WHERE rka <= 4 GROUP BY aid),
+        |bb AS (
+        |  SELECT bid, CAST(SUM(c6) AS BIGINT) AS sb
+        |  FROM rb WHERE rkb <= 4 GROUP BY bid),
+        |m AS (
+        |  SELECT x.aid, x.bid, x.c6,
+        |    (2000000 * 4 * x.c6) // (aa.sa + bb.sb) AS margin_q6
+        |  FROM x JOIN aa USING (aid) JOIN bb USING (bid)
+        |  WHERE x.c6 > 0 AND aa.sa + bb.sb > 0),
+        |best AS (
+        |  SELECT aid, bid, c6, margin_q6,
+        |    row_number() OVER (PARTITION BY aid
+        |      ORDER BY margin_q6 DESC, bid) AS rn
+        |  FROM m)
+        |SELECT aid, bid, c6 AS c_q6, margin_q6
+        |FROM best WHERE rn = 1 AND margin_q6 >= 1200000
+        |ORDER BY aid""".stripMargin,
 
     "q_knn_brute" ->
       s"""WITH p AS (

@@ -22,7 +22,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     *   brute baseline's broadcast scan by construction. */
   private val intendedNestedLoop =
     Set("q_band_join", "q_knn_brute", "q_knn_ivf", "q_knn_ivfpq",
-      "q_knn_classify")
+      "q_knn_classify", "q_bitext_mine")
 
   /** Queries whose BUILD already executes jobs (sinks write, streams run,
     * eager caches materialize) — planning them here would re-run half of

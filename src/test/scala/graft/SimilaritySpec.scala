@@ -108,4 +108,47 @@ class SimilaritySpec extends SparkFunSuite {
     assert(rows.exists(r => !r.getAs[Boolean]("is_new")),
       "no delta vector matched the base — fixture vacuous")
   }
+
+  test("bitext margin mining equals a from-scratch driver recompute at sf0.001") {
+    // independent reference: own double cosine fold (same fixed order as
+    // vec_dot), own HALF_UP q6 rounding, own top-k sums and margin
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val aSide = vecs.filter(_._3 < 5)
+    val bSide = vecs.filter(_._3 >= 5)
+    def c6(u: Array[Float], v: Array[Float]): Long = {
+      var du = 0.0; var dv = 0.0; var dot = 0.0; var i = 0
+      while (i < u.length) {
+        dot += u(i).toDouble * v(i).toDouble
+        du += u(i).toDouble * u(i).toDouble
+        dv += v(i).toDouble * v(i).toDouble
+        i += 1
+      }
+      BigDecimal.valueOf(dot / (math.sqrt(du) * math.sqrt(dv)) * 1000000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val x = for ((aid, ae, _) <- aSide; (bid, be, _) <- bSide)
+      yield (aid, bid, c6(ae, be))
+    val sa = x.groupBy(_._1).map { case (aid, ps) =>
+      aid -> ps.sortBy(p => (-p._3, p._2)).take(4).map(_._3).sum
+    }
+    val sb = x.groupBy(_._2).map { case (bid, ps) =>
+      bid -> ps.sortBy(p => (-p._3, p._1)).take(4).map(_._3).sum
+    }
+    val expected = x
+      .filter { case (aid, bid, c) => c > 0 && sa(aid) + sb(bid) > 0 }
+      .map { case (aid, bid, c) =>
+        (aid, bid, c, 2000000L * 4 * c / (sa(aid) + sb(bid)))
+      }
+      .groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+        val best = ps.minBy(p => (-p._4, p._2))
+        if (best._4 >= 1200000L) Some(best) else None
+      }.sortBy(_._1)
+    val got = Similarity.bitextMine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture mined no pairs — threshold vacuous")
+    assert(got.map(_._1).distinct.size === got.size, "one best match per aid")
+  }
 }
