@@ -603,7 +603,49 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** THE COMPOSED CURATION PIPELINE — the end-to-end flow a
+    * pretraining data team actually ships, as one query: the funnel
+    * battery ([[TextAnalysis.funnelFlags]] — len/stop/quality/rep/LM,
+    * the exact expressions `q_filter_funnel` audits) gates into the
+    * odds-ratio classifier vote ([[qualityClassifier]]), and the
+    * surviving docs enter DSIR top-quartile selection
+    * ([[dsirSelectFrom]] over [[dsirWeightsWithSource]], the same
+    * two-phase bucket prefix machinery `q_dsir_select` gates). Output
+    * is the per-source monitoring table: how many docs, how many past
+    * the filters, how many also classifier-positive, and how many the
+    * importance-weighted quota finally kept.
+    *
+    * Every stage REUSES its home operator's code — nothing is
+    * re-derived here, so the composite cannot drift from the pieces
+    * the gate already checks one by one (the funnel's shared-verbatim
+    * discipline, extended to the whole pipeline). Scale shape is the
+    * union of its parts: per-row battery + one LM join, broadcast
+    * classifier vocab, and the only global window still runs over
+    * BUCKETS, not docs. */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val flags = TextAnalysis.funnelFlags(s, d)
+      .select(col("doc_id"), col("source"),
+        (col("first_fail") === "pass").as("f_pass"))
+    val cls = qualityClassifier(s, d).select(col("doc_id"), col("predicted"))
+    val elig = CacheScope.track(flags.join(cls, "doc_id")
+      .withColumn("eligible", col("f_pass") && col("predicted"))
+      .persist())
+    val kept = dsirSelectFrom(
+      dsirWeightsWithSource(s, d)
+        .join(elig.filter(col("eligible")).select(col("doc_id")), "doc_id"))
+      .select(col("source"), col("n_kept"))
+    elig.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("f_pass"), 1L).otherwise(0L)).as("n_filter_pass"),
+        sum(when(col("eligible"), 1L).otherwise(0L)).as("n_eligible"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_filter_pass"),
+        col("n_eligible"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_pipeline" -> (curationPipeline _),
     "q_quality_classifier" -> (qualityClassifier _),
     "q_quality_calibrate" -> (qualityCalibrateOracle _),
     "q_epoch_shuffle" -> (epochShuffle _),
@@ -664,50 +706,93 @@ object Curation {
       |  MIN(h) AS h_min, MAX(h) AS h_max
       |FROM b GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** The classifier to its per-document verdict `cls_out(doc_id,
+    * votes_pos, votes_neg, score, predicted)` — shared by the
+    * `q_quality_classifier` oracle and the `q_curation_pipeline`
+    * oracle (CTE names cls_-prefixed so the composite can stack it
+    * next to the funnel and DSIR chains without collisions). */
+  private val classifierCteSql =
+    """cls_t AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |cls_c AS (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS tot,
+      |    CAST(SUM(CASE WHEN source IN ('src1', 'src2', 'src3')
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS pc
+      |  FROM cls_t GROUP BY token),
+      |cls_c2 AS (SELECT token, pc, tot - pc AS nc FROM cls_c),
+      |cls_tl AS (
+      |  SELECT CAST(SUM(pc) AS BIGINT) AS pt, CAST(SUM(nc) AS BIGINT) AS nt
+      |  FROM cls_c2),
+      |cls_w AS (
+      |  SELECT token,
+      |    (1000000 * (pc + 1) * (nt + 1)) // ((nc + 1) * (pt + 1)) AS w_q6
+      |  FROM cls_c2, cls_tl),
+      |cls_r AS (
+      |  SELECT token,
+      |    row_number() OVER (ORDER BY w_q6 DESC, token) AS rk,
+      |    COUNT(*) OVER () AS v
+      |  FROM cls_w),
+      |cls_vocab AS (
+      |  SELECT token, vote FROM (
+      |    SELECT token,
+      |      (CASE WHEN rk <= 8 THEN 1 ELSE 0 END)
+      |        + (CASE WHEN rk > v - 8 THEN -1 ELSE 0 END) AS vote
+      |    FROM cls_r) WHERE vote <> 0),
+      |cls_sc AS (
+      |  SELECT dt.doc_id,
+      |    CAST(SUM(CASE WHEN vote > 0 THEN 1 ELSE 0 END) AS BIGINT) AS votes_pos,
+      |    CAST(SUM(CASE WHEN vote < 0 THEN 1 ELSE 0 END) AS BIGINT) AS votes_neg
+      |  FROM (SELECT DISTINCT doc_id, token FROM cls_t) dt
+      |  JOIN cls_vocab USING (token) GROUP BY dt.doc_id),
+      |cls_out AS (
+      |  SELECT d.doc_id,
+      |    COALESCE(cls_sc.votes_pos, 0) AS votes_pos,
+      |    COALESCE(cls_sc.votes_neg, 0) AS votes_neg,
+      |    COALESCE(cls_sc.votes_pos, 0) - COALESCE(cls_sc.votes_neg, 0) AS score,
+      |    COALESCE(cls_sc.votes_pos, 0) - COALESCE(cls_sc.votes_neg, 0) > 0 AS predicted
+      |  FROM documents d LEFT JOIN cls_sc ON d.doc_id = cls_sc.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // same single vocab ranking, same q6 odds ratio, same ±K vote
     // cancellation; zero-hit docs ride the LEFT join with 0/0/false
     "q_quality_classifier" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |c AS (
-        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS tot,
-        |    CAST(SUM(CASE WHEN source IN ('src1', 'src2', 'src3')
-        |             THEN 1 ELSE 0 END) AS BIGINT) AS pc
-        |  FROM t GROUP BY token),
-        |c2 AS (SELECT token, pc, tot - pc AS nc FROM c),
-        |tl AS (
-        |  SELECT CAST(SUM(pc) AS BIGINT) AS pt, CAST(SUM(nc) AS BIGINT) AS nt
-        |  FROM c2),
-        |w AS (
-        |  SELECT token,
-        |    (1000000 * (pc + 1) * (nt + 1)) // ((nc + 1) * (pt + 1)) AS w_q6
-        |  FROM c2, tl),
-        |r AS (
-        |  SELECT token,
-        |    row_number() OVER (ORDER BY w_q6 DESC, token) AS rk,
-        |    COUNT(*) OVER () AS v
-        |  FROM w),
-        |vocab AS (
-        |  SELECT token, vote FROM (
-        |    SELECT token,
-        |      (CASE WHEN rk <= 8 THEN 1 ELSE 0 END)
-        |        + (CASE WHEN rk > v - 8 THEN -1 ELSE 0 END) AS vote
-        |    FROM r) WHERE vote <> 0),
-        |sc AS (
-        |  SELECT dt.doc_id,
-        |    CAST(SUM(CASE WHEN vote > 0 THEN 1 ELSE 0 END) AS BIGINT) AS votes_pos,
-        |    CAST(SUM(CASE WHEN vote < 0 THEN 1 ELSE 0 END) AS BIGINT) AS votes_neg
-        |  FROM (SELECT DISTINCT doc_id, token FROM t) dt
-        |  JOIN vocab USING (token) GROUP BY dt.doc_id)
-        |SELECT d.doc_id,
-        |  COALESCE(sc.votes_pos, 0) AS votes_pos,
-        |  COALESCE(sc.votes_neg, 0) AS votes_neg,
-        |  COALESCE(sc.votes_pos, 0) - COALESCE(sc.votes_neg, 0) AS score,
-        |  COALESCE(sc.votes_pos, 0) - COALESCE(sc.votes_neg, 0) > 0 AS predicted
-        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $classifierCteSql
+        |SELECT doc_id, votes_pos, votes_neg, score, predicted
+        |FROM cls_out ORDER BY doc_id""".stripMargin,
+
+    // the composed pipeline: funnel verdicts ∧ classifier vote gate the
+    // DSIR top-quartile selection; single global window — semantically
+    // the engine's two-phase bucket prefix count over eligible docs
+    "q_curation_pipeline" ->
+      s"""WITH ${graft.operators.TextAnalysis.funnelPassCteSql},
+        |$classifierCteSql,
+        |$dsirCteSql,
+        |elig AS (
+        |  SELECT f.doc_id, f.source,
+        |    f.first_fail = 'pass' AS f_pass,
+        |    (f.first_fail = 'pass' AND cls_out.predicted) AS eligible
+        |  FROM f JOIN cls_out USING (doc_id)),
+        |sel AS (
+        |  SELECT w.doc_id, w.source, w.avg_weight_q6
+        |  FROM w JOIN elig USING (doc_id) WHERE elig.eligible),
+        |rsel AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (ORDER BY avg_weight_q6 DESC, doc_id) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM sel),
+        |k AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+        |  FROM rsel WHERE rn <= (n + 3) // 4 GROUP BY source),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN f_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_filter_pass,
+        |    CAST(SUM(CASE WHEN eligible THEN 1 ELSE 0 END) AS BIGINT) AS n_eligible
+        |  FROM elig GROUP BY source)
+        |SELECT agg.source, agg.n_docs, agg.n_filter_pass, agg.n_eligible,
+        |  COALESCE(k.n_kept, 0) AS n_kept
+        |FROM agg LEFT JOIN k USING (source)
+        |ORDER BY agg.source""".stripMargin,
 
     // replay the epoch hash and nibble-shard assignment verbatim
     "q_epoch_shuffle" -> epochOracleSql,

@@ -735,7 +735,23 @@ object TextAnalysis {
     * every stage but LM is a per-row codegen'd expression; the LM flag
     * joins the rare-trigram output back on doc_id (one exchange), then
     * ONE partial-agg exchange over |sources| groups. */
-  def filterFunnel(s: SparkSession, d: String): DataFrame = {
+  def filterFunnel(s: SparkSession, d: String): DataFrame =
+    funnelFlags(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("first_fail") === "len", 1L).otherwise(0L)).as("drop_len"),
+        sum(when(col("first_fail") === "stop", 1L).otherwise(0L)).as("drop_stop"),
+        sum(when(col("first_fail") === "quality", 1L).otherwise(0L)).as("drop_quality"),
+        sum(when(col("first_fail") === "rep", 1L).otherwise(0L)).as("drop_rep"),
+        sum(when(col("first_fail") === "lm", 1L).otherwise(0L)).as("drop_lm"),
+        sum(when(col("first_fail") === "pass", 1L).otherwise(0L)).as("n_survive"))
+      .orderBy(col("source"))
+
+  /** The funnel's per-document verdict frame (doc_id, source,
+    * first_fail) — shared by [[filterFunnel]]'s aggregation and the
+    * end-to-end [[Curation.curationPipeline]], so the composed pipeline
+    * can never drift from the audited battery. */
+  private[operators] def funnelFlags(s: SparkSession, d: String): DataFrame = {
     val lm = lmRareTrigram(s, d).select(col("doc_id"), col("kept").as("r_lm"))
     documents(s, d)
       .withColumn("toks", split(col("text"), " "))
@@ -756,15 +772,7 @@ object TextAnalysis {
           .when(col("top_tok").cast("double") / col("n_words") > 0.2, "rep")
           .when(!coalesce(col("r_lm"), lit(true)), "lm")
           .otherwise("pass"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("first_fail") === "len", 1L).otherwise(0L)).as("drop_len"),
-        sum(when(col("first_fail") === "stop", 1L).otherwise(0L)).as("drop_stop"),
-        sum(when(col("first_fail") === "quality", 1L).otherwise(0L)).as("drop_quality"),
-        sum(when(col("first_fail") === "rep", 1L).otherwise(0L)).as("drop_rep"),
-        sum(when(col("first_fail") === "lm", 1L).otherwise(0L)).as("drop_lm"),
-        sum(when(col("first_fail") === "pass", 1L).otherwise(0L)).as("n_survive"))
-      .orderBy(col("source"))
+      .select(col("doc_id"), col("source"), col("first_fail"))
   }
 
   // --------------------------------------------------------------- wiring
@@ -818,6 +826,36 @@ object TextAnalysis {
       |  SELECT tri.doc_id, COUNT(*) AS n_grams,
       |    CAST(SUM(CASE WHEN cnt.c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
       |  FROM tri JOIN cnt USING (g) GROUP BY tri.doc_id)""".stripMargin
+
+  /** The funnel battery to the per-document verdict `f(doc_id, source,
+    * first_fail)` — shared by the `q_filter_funnel` oracle and
+    * [[Curation]]'s `q_curation_pipeline` oracle, mirroring the
+    * engine-side [[funnelFlags]] sharing. */
+  private[operators] val funnelPassCteSql =
+    s"""$lmScoredCteSql,
+      |lmk AS (
+      |  SELECT doc_id, CAST(n_rare AS DOUBLE) / n_grams <= 0.7 AS r_lm
+      |  FROM scored),
+      |m AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'in', 'of', 'to'))) AS stop_hits,
+      |    list_max(list_transform(list_distinct(string_split(text, ' ')),
+      |      t -> len(list_filter(string_split(text, ' '), x -> x = t)))) AS top_tok,
+      |    round(least(1.0, CAST(length(text) AS DOUBLE) / 400.0) * 0.5 +
+      |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) * 0.5, 6) AS quality
+      |  FROM documents),
+      |f AS (
+      |  SELECT m.doc_id, m.source,
+      |    CASE WHEN NOT (n_words BETWEEN 20 AND 5000) THEN 'len'
+      |         WHEN NOT (stop_hits >= 2) THEN 'stop'
+      |         WHEN NOT (quality >= 0.5) THEN 'quality'
+      |         WHEN NOT (CAST(top_tok AS DOUBLE) / n_words <= 0.2) THEN 'rep'
+      |         WHEN NOT COALESCE(lmk.r_lm, TRUE) THEN 'lm'
+      |         ELSE 'pass' END AS first_fail
+      |  FROM m LEFT JOIN lmk USING (doc_id))""".stripMargin
 
   /** Shared by the two winnowing oracles: k=5 gram hashes, w=8
     * rightmost-min window selection, deduped positions exploded. */
@@ -980,30 +1018,7 @@ object TextAnalysis {
     // LEFT-joined and COALESCEd true so a doc with no trigram positions
     // can only be charged to an earlier stage or pass
     "q_filter_funnel" ->
-      s"""WITH $lmScoredCteSql,
-        |lmk AS (
-        |  SELECT doc_id, CAST(n_rare AS DOUBLE) / n_grams <= 0.7 AS r_lm
-        |  FROM scored),
-        |m AS (
-        |  SELECT doc_id, source,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        |    len(list_filter(string_split(text, ' '),
-        |        t -> t IN ('the', 'a', 'in', 'of', 'to'))) AS stop_hits,
-        |    list_max(list_transform(list_distinct(string_split(text, ' ')),
-        |      t -> len(list_filter(string_split(text, ' '), x -> x = t)))) AS top_tok,
-        |    round(least(1.0, CAST(length(text) AS DOUBLE) / 400.0) * 0.5 +
-        |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |        / len(string_split(text, ' ')) * 0.5, 6) AS quality
-        |  FROM documents),
-        |f AS (
-        |  SELECT m.source,
-        |    CASE WHEN NOT (n_words BETWEEN 20 AND 5000) THEN 'len'
-        |         WHEN NOT (stop_hits >= 2) THEN 'stop'
-        |         WHEN NOT (quality >= 0.5) THEN 'quality'
-        |         WHEN NOT (CAST(top_tok AS DOUBLE) / n_words <= 0.2) THEN 'rep'
-        |         WHEN NOT COALESCE(lmk.r_lm, TRUE) THEN 'lm'
-        |         ELSE 'pass' END AS first_fail
-        |  FROM m LEFT JOIN lmk USING (doc_id))
+      s"""WITH $funnelPassCteSql
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN first_fail = 'len' THEN 1 ELSE 0 END) AS BIGINT) AS drop_len,
         |  CAST(SUM(CASE WHEN first_fail = 'stop' THEN 1 ELSE 0 END) AS BIGINT) AS drop_stop,

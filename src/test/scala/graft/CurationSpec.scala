@@ -203,4 +203,29 @@ class CurationSpec extends SparkFunSuite {
     CacheScope.releaseAll()
     assert(one.groupBy(_.getString(0)).values.forall(_.length == 1))
   }
+
+  test("curation pipeline stages nest and reconcile with their home operators") {
+    val d = "/root/testdata/sf0.01"
+    val rows = Curation.curationPipeline(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    // stages can only shrink, per source
+    rows.foreach { case (src, nd, fp, el, kept) =>
+      assert(fp <= nd && el <= fp && kept <= el, s"$src stages must nest")
+    }
+    // the filter stage agrees with q_filter_funnel's survivor column
+    val survive = operators.TextAnalysis.filterFunnel(spark, d).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_survive")).toMap
+    rows.foreach { case (src, _, fp, _, _) =>
+      assert(fp === survive(src), s"$src filter stage drifted from the funnel")
+    }
+    // the quota is global: total kept = ceil(total eligible / 4)
+    val elTot = rows.map(_._4).sum
+    assert(rows.map(_._5).sum === (elTot + 3) / 4,
+      "selection quota must be the DSIR top quartile of eligible docs")
+    // and something survives each stage on the fixture
+    assert(rows.map(_._3).sum > 0 && rows.map(_._4).sum > 0 && rows.map(_._5).sum > 0)
+  }
 }
