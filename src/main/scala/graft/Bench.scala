@@ -128,33 +128,85 @@ object Bench {
 
   /** Times each query (median of `reps` noop-sink executions). A failing
     * query is returned in the FAILURES list, never as a timing — a broken
-    * query must never look like a fast one. */
+    * query must never look like a fast one.
+    *
+    * Per-rep TIME CAP (`spark.graft.bench.queryTimeoutSec`, default 900 —
+    * generous: the worst healthy catalog query is ~12 s at sf0.1): the
+    * round-10 lesson was one mis-planned query burning ~48 minutes of the
+    * driver's bench budget, getting the whole run killed at rc 124 and
+    * masking two unrelated failures. The action runs on a watchdog thread
+    * under a per-query job group; on timeout the group is CANCELLED
+    * (interrupting its tasks), the query is recorded as a failure named
+    * with its elapsed seconds, and its REMAINING REPS ARE SKIPPED — a
+    * query that ate the cap once must not eat it reps more times. */
   def measure(
       spark: SparkSession, sfDir: String, reps: Int,
       queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
       capture: (String, org.apache.spark.sql.DataFrame) => Unit = (_, _) => ())
       : (Seq[(String, Double)], Seq[String]) = {
+    val timeoutSec = GraftConf.int(spark, "spark.graft.bench.queryTimeoutSec", 900)
+    require(timeoutSec > 0, "spark.graft.bench.queryTimeoutSec must be positive")
+    // cached pool, not single-thread: a cancelled action that wedges on
+    // the way out must not block the next query's submission
+    val watchdog = java.util.concurrent.Executors.newCachedThreadPool { r =>
+      val t = new Thread(r, "bench-watchdog"); t.setDaemon(true); t
+    }
     val attempted = queries.map { case (name, fn) =>
+      var timedOut = false
       val times = (1 to reps).flatMap { _ =>
-        CacheScope.releaseAll()
-        spark.catalog.clearCache()
-        System.gc()
-        val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, sfDir)
-          df.write.mode("overwrite").format("noop").save()
-          capture(name, df)
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
+        if (timedOut) None
+        else {
+          CacheScope.releaseAll()
+          spark.catalog.clearCache()
+          System.gc()
+          val t0 = System.nanoTime()
+          try {
+            val groupId = s"graft-bench-$name"
+            val task = watchdog.submit(new java.util.concurrent.Callable[
+                org.apache.spark.sql.DataFrame] {
+              // the job group is thread-local — set it on the thread that
+              // actually submits the jobs, so the cancel below reaches them
+              def call(): org.apache.spark.sql.DataFrame = {
+                spark.sparkContext.setJobGroup(groupId, name, interruptOnCancel = true)
+                try {
+                  val df = fn(spark, sfDir)
+                  df.write.mode("overwrite").format("noop").save()
+                  df
+                } finally spark.sparkContext.clearJobGroup()
+              }
+            })
+            try {
+              val df = task.get(timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+              capture(name, df)
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch {
+              case _: java.util.concurrent.TimeoutException =>
+                spark.sparkContext.cancelJobGroup(groupId)
+                task.cancel(true)
+                timedOut = true
+                val elapsed = (System.nanoTime() - t0) / 1e9
+                System.err.println(
+                  f"[bench] $name failed: timed-out-after-$elapsed%.0fs (cap " +
+                    s"spark.graft.bench.queryTimeoutSec=$timeoutSec; remaining reps skipped)")
+                None
+              case e: java.util.concurrent.ExecutionException => throw e.getCause
+            }
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+          }
         }
       }.sorted
       // median over the reps that completed; None only if every rep
       // failed (catalog queries are deterministic, so a partial failure
-      // is an environment blip — the completed reps still time the plan)
-      name -> (if (times.nonEmpty) Some(times(times.length / 2)) else None)
+      // is an environment blip — the completed reps still time the plan).
+      // A rep that hit the time cap poisons the query: it reports as a
+      // failure even if an earlier rep finished, because a median over
+      // fewer-than-asked reps of a query that can also run past the cap
+      // is not a number worth trusting.
+      name -> (if (times.nonEmpty && !timedOut) Some(times(times.length / 2)) else None)
     }
+    watchdog.shutdownNow()
     (attempted.collect { case (n, Some(t)) => n -> t },
       attempted.collect { case (n, None) => n })
   }

@@ -42,6 +42,13 @@ import org.apache.spark.sql.SparkSession
   *        trigram position. One-sided approximation (CMS never
   *        underestimates a count): per doc `n_rare` can only shrink, so
   *        the kept set only GROWS — conservative for a keep-filter.
+  *      - `spark.graft.winnow.maxDocsPerFp=10000` — hot-fingerprint
+  *        guard on the winnowing match join (the fp self-equi-join is
+  *        the LSH hot-bucket shape: one boilerplate fingerprint shared
+  *        by m docs emits m²/2 pairs). Result-identical on healthy
+  *        input (adaptive probe, like `lsh.maxBucket`); on
+  *        pathological input it drops boilerplate fingerprints from
+  *        pair counting — MOSS's own common-fragment elimination.
   *
   *     The LSH band GEOMETRY (`spark.graft.lsh.bands` / `.rowsPerBand`)
   *     is intentionally NOT in the preset: geometry is the recall DIAL
@@ -64,7 +71,8 @@ object GraftConf {
     "spark.graft.dedup.reliableCheckpoint" -> "true",
     "spark.graft.dedup.shareClusters" -> "true",
     "spark.graft.index.compactEvery" -> "64",
-    "spark.graft.lm.cms" -> "true")
+    "spark.graft.lm.cms" -> "true",
+    "spark.graft.winnow.maxDocsPerFp" -> "10000")
 
   /** The layered string value for `key`: explicit conf > active profile
     * preset > None. An unknown profile name fails fast. */

@@ -579,8 +579,15 @@ object Curation {
       .collect()(0)
     val (pt, nt) = (totalsRow.getLong(0), totalsRow.getLong(1))
     val vocab = counts
+      // DECIMAL numerator/denominator: 1e6·(pc+1)·(nt+1) breaks Long once
+      // per-token positive counts × total negative-class tokens near 9e12
+      // (pc ~1e5 with nt ~1e8 — a mid-size corpus, not an edge case), and
+      // the ranking silently corrupts on wraparound. DECIMAL(38,0) holds
+      // 1e6·(pc+1)·(nt+1) exactly for any counts below ~1e16 each; the
+      // DIV returns the q6 weight to Long (< 1e6·(nt+1) when pc ≤ pt).
       .withColumn("w_q6",
-        expr(s"(1000000 * (pc + 1) * (${nt}L + 1)) DIV ((nc + 1) * (${pt}L + 1))"))
+        expr(s"(cast(1000000 as decimal(20,0)) * (pc + 1) * (${nt}L + 1)) DIV " +
+          s"(cast(nc + 1 as decimal(20,0)) * (${pt}L + 1))"))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("w_q6").desc, col("token"))))
       .withColumn("v", count(lit(1)).over(Window.partitionBy()))

@@ -118,7 +118,17 @@ object IndexMaintenance {
   // a partition value and flip the column's inferred type mid-rewrite.
   // Here every transient directory lives in `<root>__pcompact_tmp/` /
   // `<root>__pcompact_old/` siblings OUTSIDE the root, so a concurrent
-  // plain read never sees a non-conforming entry. Crash windows mirror
+  // plain read never sees a SCHEMA-non-conforming entry (no staging
+  // name is ever parsed as a partition value). That is a schema
+  // guarantee, NOT read atomicity: between compactSubdir's two renames
+  // the bucket directory is absent from the root, so a concurrent
+  // serving read would silently return results MISSING that bucket's
+  // rows — incomplete answers, not an error. Callers must not serve
+  // queries concurrently with a compaction pass (or must tolerate a
+  // transiently missing partition); the engine's own call sites run
+  // compaction synchronously inside the ingest path, where nothing
+  // serves until the append (and its compaction) returns.
+  // Crash windows mirror
   // the flat swap: tmp is disposable while live is complete; a crash
   // between the two renames leaves the bucket only under old, which
   // [[recoverPartitioned]] (run at the start of every maybe-call)

@@ -44,10 +44,18 @@ object Retrieval {
     * }}}
     *
     * All operands positive, so Spark `DIV` (truncate) ≡ DuckDB `//`
-    * (floor). Overflow bound: 22e6·tf·A needs tf·A < 4.2e11 — fine for
-    * any per-executor fixture and for per-shard corpora; a full 100 TB
-    * corpus (A ≈ 1e13) would rescale A and N by their gcd with the
-    * same algebra (the ratio A/N is what the formula consumes).
+    * (floor). Overflow bounds, per stage: the tf side (22e6·tf·A and
+    * its denominator) needs tf·A < 4.2e11 — fine for any per-executor
+    * fixture and for per-shard corpora; a full 100 TB corpus
+    * (A ≈ 1e13) would rescale A and N by their gcd with the same
+    * algebra (the ratio A/N is what the formula consumes). The
+    * per-term product idf_q6·tf_q6 is the one place Long is NOT
+    * enough (with df=1, idf_q6 ≈ 1.3e6·N and tf_q6 < 2.2e6, so the
+    * product breaks 2⁶³ near N ≈ 3e6 docs — far below real corpora),
+    * so it is computed in DECIMAL(38,0) — exact, no wraparound — and
+    * only the post-DIV contribution returns to Long: contribution
+    * < 2.2·idf_q6 ≈ 2.9e6·N, so the per-doc SUM stays inside Long
+    * for any N below ~10¹⁷/terms — no realistic corpus approaches it.
     *
     * Scale shape: the ONLY corpus-wide work is one map-side-combined
     * agg for the two scalars (N, A), read in a PRELUDE job (one row to
@@ -106,7 +114,10 @@ object Retrieval {
         expr(s"(1000000 * (2 * (${nD}L - df) + 1)) DIV (2 * df + 1)"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
-        sum(expr("(idf_q6 * tf_q6) DIV 1000000")).as("score_q6"))
+        // DECIMAL product: idf_q6·tf_q6 breaks Long near N ≈ 3e6 docs
+        // (see the overflow-bounds scaladoc); DIV returns it to Long
+        sum(expr("(cast(idf_q6 as decimal(20,0)) * tf_q6) DIV 1000000"))
+          .as("score_q6"))
       .orderBy(col("score_q6").desc, col("doc_id"))
       .limit(20)
       .select(col("doc_id"), col("n_terms"), col("score_q6"))
@@ -215,7 +226,9 @@ object Retrieval {
           s"(10 * tf * ${aL}L + 3 * ${aL}L + 9 * dl * ${nD}L)"))
       .withColumn("idf_q6",
         expr(s"(1000000 * (2 * (${nD}L - df) + 1)) DIV (2 * df + 1)"))
-      .withColumn("contrib_q6", expr("(idf_q6 * tf_q6) DIV 1000000"))
+      // DECIMAL product, as in bm25ScoreFrom: exact past the Long break
+      .withColumn("contrib_q6",
+        expr("(cast(idf_q6 as decimal(20,0)) * tf_q6) DIV 1000000"))
       .join(broadcast(qterms), "token")
       .groupBy(col("qid"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("contrib_q6")).as("score_q6"))
@@ -244,8 +257,22 @@ object Retrieval {
       .select(col("doc_id").as("qid"),
         explode(split(col("text"), " ")).as("token"))
       .distinct()
-    val terms = qterms.select(col("token")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // The distinct query-term list comes to the DRIVER (the IVF
+    // probed-cell idiom) — sound because query frames are
+    // benchmark-sized by contract. `spark.graft.search.maxQueryTerms`
+    // makes that contract a fail-fast bound: a mis-pointed corpus-sized
+    // "query" frame dies here with the conf named, instead of OOMing
+    // the driver. limit(cap+1) bounds the collect itself, so even the
+    // failing probe never materializes more than cap+1 rows.
+    val maxTerms = GraftConf.int(s, "spark.graft.search.maxQueryTerms", 1000000)
+    require(maxTerms >= 1, "spark.graft.search.maxQueryTerms must be >= 1")
+    val collected = qterms.select(col("token")).distinct()
+      .limit(maxTerms + 1).collect()
+    require(collected.length <= maxTerms,
+      s"bm25BatchFromIndex: query frame has more than $maxTerms distinct " +
+        "terms (spark.graft.search.maxQueryTerms) — that is corpus-sized, " +
+        "not benchmark-sized; index it and swap the sides, or raise the conf")
+    val terms = collected.map(_.getString(0)).toSeq
     val buckets = terms.map(tokenBucket).distinct
     val meta = s.read.parquet(indexPath + "/_postings_meta")
       .select(col("n_d"), col("a_l")).collect()(0)

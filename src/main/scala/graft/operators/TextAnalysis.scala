@@ -150,47 +150,67 @@ object TextAnalysis {
     * oracle-pinned); gram hashes are the engine's 24-bit md5 prefix.
     * Docs shorter than k yield no grams (and no fingerprints); docs
     * with fewer than w grams winnow one degenerate window (the whole
-    * gram list), so every doc with ≥ k tokens fingerprints.
+    * gram list), so every doc with ≥ k tokens fingerprints. `pos` is
+    * the 1-BASED k-gram index of the selected gram (unlike the repo's
+    * 0-based token offsets elsewhere — phrase `first_pos`, CDC
+    * `tok_start`); the 0-based token offset of the gram start is
+    * pos − 1.
     *
     * Scale shape: gram hashing, window minima, and tie resolution are
     * ONE per-row higher-order-function projection ([[Corpus]]'s CDC
     * plan: scan → generate, no exchange); only the output sort pays. */
   def winnowFingerprints(s: SparkSession, d: String): DataFrame =
-    winnowSelected(s, d)
-      .select(col("doc_id"), col("p").cast("long").as("pos"),
-        expr("element_at(gh, cast(p as int))").as("fp"))
-      .orderBy(col("doc_id"), col("pos"))
+    winnowSelected(s, d).orderBy(col("doc_id"), col("pos"))
 
   private def winnowSelected(s: SparkSession, d: String): DataFrame =
     winnowSelectedOf(s, documents(s, d))
 
   /** [[winnowFingerprints]]'s selection core over any (doc_id, text)
     * frame — the unit the guarantee test drives with synthetic shared
-    * runs. */
+    * runs. Returns (doc_id, pos, fp), pos 1-based.
+    *
+    * PLAN-SHAPE CONSTRAINT (the round-10 971-second lesson): the
+    * selection must reach the generator as ONE struct-array expression
+    * exploded with `explode_outer`. With a plain `explode`,
+    * `InferFiltersFromGenerate` adds a `size(sel) > 0` predicate that
+    * predicate pushdown then rewrites below these projections,
+    * substituting the `gh` alias SEVEN times (three per-window slice
+    * references, nested) into one Filter condition — that filter
+    * re-evaluates the full m-gram md5 array per window, per row:
+    * O(m²·k) hash work per document where the honest pass is O(m·k)
+    * (measured 89.5 s vs ~2.5 s for the same-shape CDC/span-dedup
+    * siblings at sf0.01). The inference rule skips OUTER generates,
+    * and the null-compaction filter below sits on the generator
+    * OUTPUT, which cannot be pushed under the Generate — so `gh` is
+    * evaluated exactly once per row. PlanHygieneSpec pins the
+    * no-expensive-expression-in-any-Filter shape for the HOF family. */
   private[graft] def winnowSelectedOf(s: SparkSession, docs: DataFrame): DataFrame = {
     val k = graft.GraftConf.int(s, "spark.graft.winnow.gram", 5)
     val w = graft.GraftConf.int(s, "spark.graft.winnow.window", 8)
     require(k >= 1 && w >= 1, "winnow.gram and winnow.window must be >= 1")
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("n", size(col("toks")))
       .withColumn("gh", expr(
-        s"""CASE WHEN n >= $k THEN
-           |  transform(sequence(1, n - $k + 1), i -> cast(conv(substr(
+        s"""CASE WHEN size(toks) >= $k THEN
+           |  transform(sequence(1, size(toks) - $k + 1), i -> cast(conv(substr(
            |    md5(array_join(slice(toks, i, $k), ' ')), 1, 6), 16, 10) as bigint))
            |ELSE cast(array() as array<bigint>) END""".stripMargin))
-      .withColumn("m", size(col("gh")))
       // rightmost-min via reverse + first-position: in window j..j+w-1,
       // selected = j - 1 + (w + 1 - pos_in_reversed(min)); windows and
       // slices clamp to m, so short docs winnow one degenerate window
       .withColumn("sel", expr(
-        s"""CASE WHEN m = 0 THEN cast(array() as array<bigint>)
-           |ELSE array_distinct(transform(sequence(1, greatest(m - $w + 1, 1)), j ->
-           |  j - 1 + (least($w, m) + 1 -
-           |    array_position(reverse(slice(gh, j, least($w, m))),
-           |                   array_min(slice(gh, j, least($w, m)))))))
+        s"""CASE WHEN size(gh) = 0
+           |  THEN cast(array() as array<struct<pos: bigint, fp: bigint>>)
+           |ELSE transform(
+           |  array_distinct(transform(sequence(1, greatest(size(gh) - $w + 1, 1)), j ->
+           |    j - 1 + (least($w, size(gh)) + 1 -
+           |      array_position(reverse(slice(gh, j, least($w, size(gh)))),
+           |                     array_min(slice(gh, j, least($w, size(gh)))))))),
+           |  p -> named_struct('pos', p, 'fp', element_at(gh, cast(p as int))))
            |END""".stripMargin))
-      .select(col("doc_id"), col("gh"), explode(col("sel")).as("p"))
+      .select(col("doc_id"), explode_outer(col("sel")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
   }
 
   /** Fingerprint MATCH candidates: document pairs sharing ≥
@@ -198,24 +218,54 @@ object TextAnalysis {
     * — MOSS's own pair report, and the span-contamination shortlist a
     * pipeline feeds into exact verification. Pair generation is an
     * equi-join on the fingerprint value — the inverted-index family
-    * (one exchange keyed by fp, partial-agg'd pair counts). A
-    * boilerplate fingerprint shared by millions of docs is the same
-    * hot-key shape as an LSH hot bucket; at corpus scale the
-    * `lsh.maxBucket`-style guard applies verbatim (count per fp, route
-    * hot fingerprints out of the pairwise join). */
+    * (one exchange keyed by fp, partial-agg'd pair counts).
+    *
+    * A boilerplate fingerprint shared by millions of docs is the same
+    * hot-key shape as an LSH hot bucket — an m-doc fingerprint emits
+    * m²/2 pairs. `spark.graft.winnow.maxDocsPerFp` (0 = unguarded, the
+    * oracle default; 10000 under the `scale` profile) is the
+    * degenerate-key guard: count docs per fp, DROP fingerprints hotter
+    * than the cap from the pairwise join entirely. Dropping (not
+    * star-routing, as LSH does) is MOSS's own move — the paper ignores
+    * fingerprints appearing in many submissions as boilerplate, since
+    * a fragment shared by thousands of documents identifies no
+    * specific pair. Hot fps no longer count toward n_shared — the
+    * documented recall trade for never going quadratic. The adaptive
+    * probe ([[Dedup]]'s pattern) runs the EXACT unguarded plan when no
+    * fingerprint is hot, so healthy corpora pay one counting pass and
+    * lose nothing (WinnowGuardSpec pins the cold-path set equality). */
   def winnowMatches(s: SparkSession, d: String): DataFrame = {
     val minShared = graft.GraftConf.int(s, "spark.graft.winnow.minShared", 3)
     require(minShared >= 1, "winnow.minShared must be >= 1")
-    val fps = winnowSelected(s, d)
-      .select(col("doc_id"), expr("element_at(gh, cast(p as int))").as("fp"))
-      .distinct()
-    fps.as("a")
-      .join(fps.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-      .orderBy(col("d1"), col("d2"))
+    val cap = graft.GraftConf.int(s, "spark.graft.winnow.maxDocsPerFp", 0)
+    winnowMatchesOf(winnowSelected(s, d), minShared, cap)
+  }
+
+  /** [[winnowMatches]]' pair core over any (doc_id, pos, fp) selection
+    * frame — the guard's test seam. */
+  private[graft] def winnowMatchesOf(
+      selected: DataFrame, minShared: Int, cap: Int): DataFrame = {
+    val fps = selected.select(col("doc_id"), col("fp")).distinct()
+    def pairsOf(f: DataFrame) =
+      f.as("a")
+        .join(f.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .orderBy(col("d1"), col("d2"))
+    if (cap <= 0) pairsOf(fps)
+    else {
+      // the distinct'd fp frame feeds both the hot probe and the join —
+      // persist so the guard's counting pass isn't a second corpus scan
+      val cached = graft.CacheScope.track(fps.persist())
+      val hot = graft.CacheScope.track(
+        cached.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > cap).select(col("fp")).persist())
+      // adaptive: healthy input (no hot fp) runs the exact unguarded plan
+      if (hot.isEmpty) pairsOf(cached)
+      else pairsOf(cached.join(broadcast(hot), Seq("fp"), "left_anti"))
+    }
   }
 
   /** Heavy hitters (tokens with ≥ 2% of all occurrences) via Count-Min

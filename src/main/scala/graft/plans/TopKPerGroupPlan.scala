@@ -204,7 +204,20 @@ case class TopKPerGroupExec(group: Expression, score: Expression, tie: Expressio
         val sv = svRaw match {
           case null                 => 0.0
           case d: java.lang.Double  => d.doubleValue()
-          case l: java.lang.Long    => l.toDouble // exact below 2^53
+          case l: java.lang.Long    =>
+            // Double widening is exact below 2^53; above it, distinct Long
+            // scores collapse into EQUAL doubles and the heap can keep the
+            // wrong row — mis-ordering, not tie-breaking. The q6 envelopes
+            // upstream keep scores far below this, but they are corpus-
+            // size-dependent claims, so enforce the boundary here: fail
+            // loudly instead of silently mis-ranking.
+            val v = l.longValue()
+            if (v > (1L << 53) || v < -(1L << 53))
+              throw new IllegalStateException(
+                s"TopKPerGroup: integer score $v exceeds 2^53 — Double " +
+                  "widening would mis-order; rescale the score column " +
+                  "(see the BM25 q6 overflow-bounds recipe)")
+            v.toDouble
           case i: java.lang.Integer => i.toDouble
         }
         val tv = tBound.eval(rowIn) match {

@@ -156,7 +156,7 @@ class ExtensionsSpec extends SparkFunSuite {
       20L -> s"bx1 $shared bx2 bx3 bx4 bx5 bx6 bx7 bx8 bx9"
     ).toDF("doc_id", "text")
     val fps = TextAnalysis.winnowSelectedOf(spark, frame)
-      .selectExpr("doc_id", "element_at(gh, cast(p as int)) as fp").collect()
+      .select("doc_id", "fp").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
     assert((fps(10L) & fps(20L)).nonEmpty,

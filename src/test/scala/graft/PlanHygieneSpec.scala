@@ -170,6 +170,50 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"unintended join strategies:\n${bad.mkString("\n")}")
   }
 
+  test("HOF-family filters never duplicate an expensive expression (the winnow-pushdown trap)") {
+    // Round-10 pathology: explode(sel) made InferFiltersFromGenerate add a
+    // size(sel)>0 predicate, and pushdown substituted the md5 gram-hash
+    // transform SEVEN times (nested per-window) into one Filter condition
+    // — O(m²·k) hash work per row, 971 s at sf0.1, caught only by the
+    // bench. This walk turns that plan shape into a unit-test failure:
+    // over the scan→HOF→generate family, any optimized-plan Filter whose
+    // condition embeds more than one md5/conv/transform subtree is a
+    // duplicated-evaluation regression. (One embedded copy would already
+    // be waste; the generate-side queries are pinned at ZERO below via
+    // the explode_outer restructure — see TextAnalysis.winnowSelectedOf.)
+    import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, Conv, Expression, Md5}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val family = Seq("q_winnow_fingerprints", "q_winnow_matches", "q_cdc_chunks",
+      "q_cdc_dedup", "q_span_dedup", "q_udtf_shingles")
+    def expensive(e: Expression): Int = {
+      val self = e match {
+        case _: Md5 | _: Conv | _: ArrayTransform => 1
+        case _ => 0
+      }
+      self + e.children.map(expensive).sum
+    }
+    val bad = family.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, SparkSpecBase.sf)
+        .queryExecution.optimizedPlan
+      plan.collect { case f: Filter => name -> expensive(f.condition) }
+        .filter(_._2 > 1)
+        .map { case (n, c) => s"$n: Filter embedding $c expensive subtrees" }
+    }
+    assert(bad.isEmpty,
+      s"expensive expressions duplicated into Filter conditions:\n${bad.mkString("\n")}")
+    // the two winnow queries are pinned tighter: their restructure
+    // guarantees NO expensive expression reaches any Filter at all
+    val winnowLeaks = Seq("q_winnow_fingerprints", "q_winnow_matches").flatMap { name =>
+      SparkEntry.queries(name)(spark, SparkSpecBase.sf)
+        .queryExecution.optimizedPlan
+        .collect { case f: Filter => name -> expensive(f.condition) }
+        .filter(_._2 > 0)
+        .map { case (n, c) => s"$n: $c expensive subtrees in a Filter" }
+    }
+    assert(winnowLeaks.isEmpty,
+      s"winnowing regressed — expensive work back inside a Filter:\n${winnowLeaks.mkString("\n")}")
+  }
+
   test("funnel plans without an Expand (no multi-distinct row multiplication)") {
     // four countDistincts over the windowed stream would plan an Expand
     // that quadruples the rows into the final exchange; the per-user
