@@ -268,6 +268,70 @@ object TextAnalysis {
     }
   }
 
+  /** CROSS-CORPUS winnowing contamination: for every EVAL document (the
+    * `doc_id % 97 = 0` benchmark stand-in, as in [[Corpus.contamination]]
+    * and [[Retrieval.bm25Batch]]), the TRAIN documents sharing ≥
+    * `spark.graft.winnow.minShared` winnowed fingerprints, with the
+    * FIRST shared-fingerprint gram index on each side (1-based, per
+    * [[winnowFingerprints]]). [[Corpus.contamination]]'s n-gram
+    * containment says THAT a benchmark item leaks and
+    * [[Retrieval.bm25Batch]] ranks WHAT to pull; this says WHERE — the
+    * (eval_first, train_first) positions point a reviewer at the exact
+    * spans, and the winnowing guarantee (any shared run of w+k−1 = 12
+    * tokens shares a selected fingerprint) bounds what can hide.
+    *
+    * Scale shape: only winnow-SELECTED grams leave the row (~2/(w+1) of
+    * the gram stream — the full containment query's cost savings), each
+    * side collapses to one row per (doc, fp) map-side before the join,
+    * and the join is fp-keyed — the inverted-index family. The pair
+    * fan-out per fingerprint is |eval docs| × |train docs| sharing it,
+    * so a fp hot on EITHER side blows up: `spark.graft.winnow
+    * .maxDocsPerFp` counts over the two sides COMBINED and drops hot
+    * fingerprints from both (same MOSS boilerplate-elimination trade
+    * and adaptive cold-path identity as [[winnowMatches]]). */
+  def winnowContamination(s: SparkSession, d: String): DataFrame = {
+    val minShared = graft.GraftConf.int(s, "spark.graft.winnow.minShared", 3)
+    require(minShared >= 1, "winnow.minShared must be >= 1")
+    val cap = graft.GraftConf.int(s, "spark.graft.winnow.maxDocsPerFp", 0)
+    val docs = documents(s, d)
+    winnowContaminationOf(
+      winnowSelectedOf(s, docs.filter(col("doc_id") % 97 === 0)),
+      winnowSelectedOf(s, docs.filter(col("doc_id") % 97 =!= 0)),
+      minShared, cap)
+  }
+
+  /** [[winnowContamination]]'s pair core over two (doc_id, pos, fp)
+    * selection frames — the guard's test seam. */
+  private[graft] def winnowContaminationOf(
+      evalSel: DataFrame, trainSel: DataFrame,
+      minShared: Int, cap: Int): DataFrame = {
+    def sideFps(sel: DataFrame) =
+      sel.groupBy(col("doc_id"), col("fp")).agg(min(col("pos")).as("first_pos"))
+    def pairsOf(e: DataFrame, t: DataFrame) =
+      e.as("e").join(t.as("t"), col("e.fp") === col("t.fp"))
+        .groupBy(col("e.doc_id").as("eval_id"), col("t.doc_id").as("train_id"))
+        .agg(count(lit(1)).as("n_shared"),
+          min(col("e.first_pos")).as("eval_first"),
+          min(col("t.first_pos")).as("train_first"))
+        .filter(col("n_shared") >= minShared)
+        .orderBy(col("eval_id"), col("train_id"))
+    val e = sideFps(evalSel)
+    val t = sideFps(trainSel)
+    if (cap <= 0) pairsOf(e, t)
+    else {
+      val ec = graft.CacheScope.track(e.persist())
+      val tc = graft.CacheScope.track(t.persist())
+      val hot = graft.CacheScope.track(
+        ec.select(col("fp")).union(tc.select(col("fp")))
+          .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > cap).select(col("fp")).persist())
+      if (hot.isEmpty) pairsOf(ec, tc)
+      else pairsOf(
+        ec.join(broadcast(hot), Seq("fp"), "left_anti"),
+        tc.join(broadcast(hot), Seq("fp"), "left_anti"))
+    }
+  }
+
   /** Heavy hitters (tokens with ≥ 2% of all occurrences) via Count-Min
     * sketch pruning + exact verification. The sketch — Spark's own
     * `count_min_sketch` aggregate, queried through
@@ -847,6 +911,7 @@ object TextAnalysis {
     "q_fingerprint" -> (fingerprint _),
     "q_winnow_fingerprints" -> (winnowFingerprints _),
     "q_winnow_matches" -> (winnowMatches _),
+    "q_winnow_contamination" -> (winnowContamination _),
     "q_token_count" -> (tokenCount _),
     "q_heavy_hitters_cms" -> (heavyHittersCms _)
   )
@@ -1239,6 +1304,22 @@ object TextAnalysis {
         |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 3
         |ORDER BY d1, d2""".stripMargin,
+
+    // eval side = doc_id % 97 = 0 (the Corpus.contamination split);
+    // first_pos = min selected 1-based gram index per (doc, fp)
+    "q_winnow_contamination" ->
+      s"""WITH $winnowCteSql,
+        |ev AS (SELECT doc_id, gh[u] AS fp, MIN(u) AS first_pos
+        |       FROM sel_u WHERE doc_id % 97 = 0 GROUP BY doc_id, gh[u]),
+        |tr AS (SELECT doc_id, gh[u] AS fp, MIN(u) AS first_pos
+        |       FROM sel_u WHERE doc_id % 97 <> 0 GROUP BY doc_id, gh[u])
+        |SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared,
+        |  CAST(MIN(ev.first_pos) AS BIGINT) AS eval_first,
+        |  CAST(MIN(tr.first_pos) AS BIGINT) AS train_first
+        |FROM ev JOIN tr ON ev.fp = tr.fp
+        |GROUP BY ev.doc_id, tr.doc_id HAVING COUNT(*) >= 3
+        |ORDER BY eval_id, train_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

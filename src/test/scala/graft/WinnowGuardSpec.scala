@@ -58,6 +58,53 @@ class WinnowGuardSpec extends SparkFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("cross-corpus contamination: a planted 12-token leak is caught with span positions") {
+    import spark.implicits._
+    // w + k − 1 = 12 shared tokens planted mid-doc on both sides; the
+    // winnowing guarantee promises at least one shared fingerprint
+    val leak = (1 to 12).map(i => s"lk$i").mkString(" ")
+    val evalDocs = Seq( // doc_id % 97 == 0 by construction of the seam call
+      0L -> s"ev1 ev2 ev3 $leak ev4 ev5 ev6 ev7 ev8")
+      .toDF("doc_id", "text")
+    val trainDocs = Seq(
+      5L -> s"tr1 tr2 tr3 tr4 tr5 tr6 tr7 $leak tr8",
+      6L -> "clean6a clean6b clean6c clean6d clean6e clean6f clean6g clean6h")
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis.winnowContaminationOf(
+      operators.TextAnalysis.winnowSelectedOf(spark, evalDocs),
+      operators.TextAnalysis.winnowSelectedOf(spark, trainDocs),
+      minShared = 1, cap = 0).collect()
+    assert(got.map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("train_id")))
+      .toSeq === Seq((0L, 5L)), "planted leak not caught (or a clean doc flagged)")
+    val r = got.head
+    assert(r.getAs[Long]("n_shared") >= 1L)
+    // the shared fingerprint's gram sits inside the planted span: eval
+    // leak starts at token 4 (1-based gram index ≥ 4), train at token 8
+    assert(r.getAs[Long]("eval_first") >= 4L && r.getAs[Long]("train_first") >= 8L,
+      s"span positions point outside the planted leak: $r")
+  }
+
+  test("contamination guard: cross-side hot fingerprint dropped, cold pair survives") {
+    import spark.implicits._
+    // fp 7 is shared by 50 eval docs and 60 train docs (110 > cap 50 →
+    // 3000 pairs if unguarded); fps 10/11/12 link one cold pair
+    val evalSel = ((0L until 50L).map(d => (d, 1L, 7L))
+      ++ Seq(10L, 11L, 12L).map(fp => (900L, fp, fp))).toDF("doc_id", "pos", "fp")
+    val trainSel = ((100L until 160L).map(d => (d, 1L, 7L))
+      ++ Seq(10L, 11L, 12L).map(fp => (800L, fp, fp))).toDF("doc_id", "pos", "fp")
+    def run(cap: Int) = operators.TextAnalysis
+      .winnowContaminationOf(evalSel, trainSel, minShared = 3, cap = cap).collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("train_id"),
+        r.getAs[Long]("n_shared"))).toSet
+    assert(run(cap = 50) === Set((900L, 800L, 3L)),
+      "hot cross-side fingerprint leaked through, or the cold pair was lost")
+    // minShared=3 already hides the single-fp hot pairs from the
+    // unguarded output too — the guard's job is the JOIN bound, so prove
+    // cap-above-everything matches unguarded exactly
+    assert(run(cap = 1000000) === run(cap = 0))
+    CacheScope.releaseAll()
+  }
+
   test("conf wiring: winnow.maxDocsPerFp reaches winnowMatches; big cap equals default") {
     val default = TextAnalysis.winnowMatches(spark, sf).collect().map(_.toString).sorted.toSeq
     spark.conf.set("spark.graft.winnow.maxDocsPerFp", "1000000")
