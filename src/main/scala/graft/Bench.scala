@@ -139,6 +139,8 @@ object Bench {
     * (interrupting its tasks), the query is recorded as a failure named
     * with its elapsed seconds, and its REMAINING REPS ARE SKIPPED — a
     * query that ate the cap once must not eat it reps more times. */
+  private val groupSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   def measure(
       spark: SparkSession, sfDir: String, reps: Int,
       queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
@@ -161,7 +163,10 @@ object Bench {
           System.gc()
           val t0 = System.nanoTime()
           try {
-            val groupId = s"graft-bench-$name"
+            // unique per attempt: cancelJobGroupAndFutureJobs poisons a
+            // group id for the rest of the session, so a reused name must
+            // never land in a previously-cancelled group
+            val groupId = s"graft-bench-$name-${groupSeq.incrementAndGet()}"
             val task = watchdog.submit(new java.util.concurrent.Callable[
                 org.apache.spark.sql.DataFrame] {
               // the job group is thread-local — set it on the thread that
@@ -181,7 +186,11 @@ object Bench {
               Some((System.nanoTime() - t0) / 1e9)
             } catch {
               case _: java.util.concurrent.TimeoutException =>
-                spark.sparkContext.cancelJobGroup(groupId)
+                // AndFutureJobs: if the interrupted watchdog thread is
+                // wedged in non-interruptible driver code, jobs it submits
+                // AFTER this cancel are killed too — cancelJobGroup alone
+                // only reaches currently-active jobs
+                spark.sparkContext.cancelJobGroupAndFutureJobs(groupId)
                 task.cancel(true)
                 timedOut = true
                 val elapsed = (System.nanoTime() - t0) / 1e9

@@ -276,10 +276,18 @@ object Relational {
       .select($c("s_suppkey"), $c("s_name"))
       .orderBy($c("s_suppkey"))
 
-  /** LEFT ANTI (NOT EXISTS): parts never ordered. */
+  /** LEFT ANTI (NOT EXISTS): parts never shipped in near-full quantity
+    * (≥ 48). The restriction on the probe side is fixture-aware: every
+    * part has some lineitem at the test SFs, so an unrestricted anti
+    * join hash-matched the oracle on 0 rows — a vacuous gate. With the
+    * quantity predicate the result is non-empty at every SF
+    * (21 / 357 / 3297 parts at sf0.001/0.01/0.1) so the cross-engine
+    * comparison exercises real anti-join output. The predicate is
+    * pushed below the join build side — same plan family either way. */
   def joinAnti(s: SparkSession, d: String): DataFrame =
     part(s, d)
-      .join(lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_anti")
+      .join(lineitem(s, d).filter(col("l_quantity") >= 48),
+        col("p_partkey") === col("l_partkey"), "left_anti")
       .select($c("p_partkey"), $c("p_name"))
       .orderBy($c("p_partkey"))
 
@@ -366,11 +374,18 @@ object Relational {
       .intersect(supplier(s, d).select(col("s_nationkey").cast("long").as("nk")))
       .orderBy($c("nk"))
 
-  /** EXCEPT: nations with customers but no suppliers. */
+  /** EXCEPT: customers who never placed a high-value (> 300k) order.
+    * Fixture-aware like [[joinAnti]]: the old nation-key EXCEPT
+    * (customer nations minus supplier nations) was empty at every SF —
+    * both sides cover all 25 nations — so the oracle gate certified
+    * nothing. Custkeys-minus-big-order-custkeys is non-empty at every
+    * SF (3 / 30 / 308 at sf0.001/0.01/0.1) and still the same
+    * operator: EXCEPT = distinct + left-anti under Catalyst. */
   def setExcept(s: SparkSession, d: String): DataFrame =
-    customer(s, d).select(col("c_nationkey").cast("long").as("nk"))
-      .except(supplier(s, d).select(col("s_nationkey").cast("long").as("nk")))
-      .orderBy($c("nk"))
+    customer(s, d).select(col("c_custkey").cast("long").as("ck"))
+      .except(orders(s, d).filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").cast("long").as("ck")))
+      .orderBy($c("ck"))
 
   // ----------------------------------------------------- scalar functions
 
@@ -620,7 +635,8 @@ object Relational {
 
     "q_join_anti" ->
       """SELECT p_partkey, p_name FROM part
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity >= 48)
         |ORDER BY p_partkey""".stripMargin,
 
     "q_join_theta" ->
@@ -675,9 +691,10 @@ object Relational {
         |ORDER BY nk""".stripMargin,
 
     "q_set_except" ->
-      """SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
-        |EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier
-        |ORDER BY nk""".stripMargin,
+      """SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer
+        |EXCEPT SELECT CAST(o_custkey AS BIGINT) FROM orders
+        |  WHERE o_totalprice > 300000
+        |ORDER BY ck""".stripMargin,
 
     "q_string_fns" ->
       """SELECT p_partkey,

@@ -266,8 +266,11 @@ object Retrieval {
     // failing probe never materializes more than cap+1 rows.
     val maxTerms = GraftConf.int(s, "spark.graft.search.maxQueryTerms", 1000000)
     require(maxTerms >= 1, "spark.graft.search.maxQueryTerms must be >= 1")
+    // maxTerms + 1 must not wrap negative at Int.MaxValue — the probe
+    // limit saturates instead (the cap check below still fires exactly)
+    val probeLimit = math.min(maxTerms.toLong + 1, Int.MaxValue.toLong).toInt
     val collected = qterms.select(col("token")).distinct()
-      .limit(maxTerms + 1).collect()
+      .limit(probeLimit).collect()
     require(collected.length <= maxTerms,
       s"bm25BatchFromIndex: query frame has more than $maxTerms distinct " +
         "terms (spark.graft.search.maxQueryTerms) — that is corpus-sized, " +

@@ -269,8 +269,14 @@ object TextAnalysis {
   }
 
   /** CROSS-CORPUS winnowing contamination: for every EVAL document (the
-    * `doc_id % 97 = 0` benchmark stand-in, as in [[Corpus.contamination]]
-    * and [[Retrieval.bm25Batch]]), the TRAIN documents sharing ≥
+    * `doc_id % evalMod = 0` benchmark stand-in; `spark.graft.winnow
+    * .evalMod`, default 7 — deliberately WIDER than the `% 97` split of
+    * [[Corpus.contamination]] / [[Retrieval.bm25Batch]], because at the
+    * oracle fixture `% 97` selects only 6 of 500 docs, none of which
+    * shares a winnowed fingerprint, and the cross-engine gate
+    * hash-matched an empty set; `% 7` yields 6/8/49 genuine pairs at
+    * sf0.001/0.01/0.1 so the join, HAVING, and position columns are
+    * actually exercised), the TRAIN documents sharing ≥
     * `spark.graft.winnow.minShared` winnowed fingerprints, with the
     * FIRST shared-fingerprint gram index on each side (1-based, per
     * [[winnowFingerprints]]). [[Corpus.contamination]]'s n-gram
@@ -293,10 +299,12 @@ object TextAnalysis {
     val minShared = graft.GraftConf.int(s, "spark.graft.winnow.minShared", 3)
     require(minShared >= 1, "winnow.minShared must be >= 1")
     val cap = graft.GraftConf.int(s, "spark.graft.winnow.maxDocsPerFp", 0)
+    val evalMod = graft.GraftConf.int(s, "spark.graft.winnow.evalMod", 7)
+    require(evalMod >= 2, "winnow.evalMod must be >= 2")
     val docs = documents(s, d)
     winnowContaminationOf(
-      winnowSelectedOf(s, docs.filter(col("doc_id") % 97 === 0)),
-      winnowSelectedOf(s, docs.filter(col("doc_id") % 97 =!= 0)),
+      winnowSelectedOf(s, docs.filter(col("doc_id") % evalMod === 0)),
+      winnowSelectedOf(s, docs.filter(col("doc_id") % evalMod =!= 0)),
       minShared, cap)
   }
 
@@ -1305,14 +1313,15 @@ object TextAnalysis {
         |GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 3
         |ORDER BY d1, d2""".stripMargin,
 
-    // eval side = doc_id % 97 = 0 (the Corpus.contamination split);
+    // eval side = doc_id % 7 = 0 (winnow.evalMod default — wider than
+    // the %97 contamination split so the fixture yields real pairs);
     // first_pos = min selected 1-based gram index per (doc, fp)
     "q_winnow_contamination" ->
       s"""WITH $winnowCteSql,
         |ev AS (SELECT doc_id, gh[u] AS fp, MIN(u) AS first_pos
-        |       FROM sel_u WHERE doc_id % 97 = 0 GROUP BY doc_id, gh[u]),
+        |       FROM sel_u WHERE doc_id % 7 = 0 GROUP BY doc_id, gh[u]),
         |tr AS (SELECT doc_id, gh[u] AS fp, MIN(u) AS first_pos
-        |       FROM sel_u WHERE doc_id % 97 <> 0 GROUP BY doc_id, gh[u])
+        |       FROM sel_u WHERE doc_id % 7 <> 0 GROUP BY doc_id, gh[u])
         |SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_shared,
         |  CAST(MIN(ev.first_pos) AS BIGINT) AS eval_first,

@@ -183,7 +183,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     // the explode_outer restructure — see TextAnalysis.winnowSelectedOf.)
     import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, Conv, Expression, Md5}
     import org.apache.spark.sql.catalyst.plans.logical.Filter
-    val family = Seq("q_winnow_fingerprints", "q_winnow_matches", "q_cdc_chunks",
+    val family = Seq("q_winnow_fingerprints", "q_winnow_matches",
+      "q_winnow_contamination", "q_cdc_chunks",
       "q_cdc_dedup", "q_span_dedup", "q_udtf_shingles")
     def expensive(e: Expression): Int = {
       val self = e match {
@@ -203,7 +204,8 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"expensive expressions duplicated into Filter conditions:\n${bad.mkString("\n")}")
     // the two winnow queries are pinned tighter: their restructure
     // guarantees NO expensive expression reaches any Filter at all
-    val winnowLeaks = Seq("q_winnow_fingerprints", "q_winnow_matches").flatMap { name =>
+    val winnowLeaks = Seq("q_winnow_fingerprints", "q_winnow_matches",
+      "q_winnow_contamination").flatMap { name =>
       SparkEntry.queries(name)(spark, SparkSpecBase.sf)
         .queryExecution.optimizedPlan
         .collect { case f: Filter => name -> expensive(f.condition) }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Relational
+import org.apache.spark.sql.functions.col
 
 class RelationalSpec extends SparkFunSuite {
 
@@ -29,8 +30,21 @@ class RelationalSpec extends SparkFunSuite {
     val semi = Relational.joinSemi(spark, sf).count()
     val anti = Relational.joinAnti(spark, sf).count()
     assert(semi <= Tables.supplier(spark, sf).count())
+    // anti's probe side is lineitems at near-full quantity — complement
+    // of the parts that DO have such a line; non-empty by fixture design
     assert(anti === Tables.part(spark, sf).count() -
-      Tables.lineitem(spark, sf).select("l_partkey").distinct().count())
+      Tables.lineitem(spark, sf).filter(col("l_quantity") >= 48)
+        .select("l_partkey").distinct().count())
+    assert(anti > 0, "anti-join gate must be non-vacuous at sf0.001")
+  }
+
+  test("set EXCEPT is non-empty and disjoint from the subtracted side") {
+    val except = Relational.setExcept(spark, sf)
+    val big = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").cast("long").as("ck"))
+    assert(except.count() > 0, "EXCEPT gate must be non-vacuous at sf0.001")
+    assert(except.join(big, Seq("ck"), "left_semi").count() === 0)
   }
 
   test("custom physical operator top-k equals the window form") {

@@ -105,6 +105,20 @@ class WinnowGuardSpec extends SparkFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("catalog contamination query is non-vacuous on the fixture") {
+    // the round-11 gate hash-matched an EMPTY result (the %97 split
+    // selected 6 docs, none sharing a fingerprint) — certify the widened
+    // %7 split produces real cross-split pairs, so the oracle comparison
+    // actually exercises the join, threshold, and position columns
+    val rows = TextAnalysis.winnowContamination(spark, sf).collect()
+    assert(rows.nonEmpty, "contamination gate is vacuous again at sf0.001")
+    assert(rows.forall { r =>
+      r.getAs[Long]("eval_id") % 7 == 0 && r.getAs[Long]("train_id") % 7 != 0 &&
+        r.getAs[Long]("n_shared") >= 3 &&
+        r.getAs[Long]("eval_first") >= 1 && r.getAs[Long]("train_first") >= 1
+    })
+  }
+
   test("conf wiring: winnow.maxDocsPerFp reaches winnowMatches; big cap equals default") {
     val default = TextAnalysis.winnowMatches(spark, sf).collect().map(_.toString).sorted.toSeq
     spark.conf.set("spark.graft.winnow.maxDocsPerFp", "1000000")
