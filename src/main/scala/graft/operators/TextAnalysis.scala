@@ -312,9 +312,20 @@ object TextAnalysis {
     * selection frames — the guard's test seam. */
   private[graft] def winnowContaminationOf(
       evalSel: DataFrame, trainSel: DataFrame,
-      minShared: Int, cap: Int): DataFrame = {
-    def sideFps(sel: DataFrame) =
-      sel.groupBy(col("doc_id"), col("fp")).agg(min(col("pos")).as("first_pos"))
+      minShared: Int, cap: Int): DataFrame =
+    contaminationPairs(sideFps(evalSel), sideFps(trainSel), minShared, cap)
+
+  /** Map-side collapse to one row per (doc, fp) with the first selected
+    * gram index — the frame the winnow INDEX persists and both
+    * contamination faces join on. */
+  private def sideFps(sel: DataFrame): DataFrame =
+    sel.groupBy(col("doc_id"), col("fp")).agg(min(col("pos")).as("first_pos"))
+
+  /** The shared pair tail over two COLLAPSED (doc_id, fp, first_pos)
+    * frames: fp-keyed join, per-pair shared count + first positions,
+    * threshold, with the combined-sides hot-fingerprint guard. */
+  private def contaminationPairs(
+      e: DataFrame, t: DataFrame, minShared: Int, cap: Int): DataFrame = {
     def pairsOf(e: DataFrame, t: DataFrame) =
       e.as("e").join(t.as("t"), col("e.fp") === col("t.fp"))
         .groupBy(col("e.doc_id").as("eval_id"), col("t.doc_id").as("train_id"))
@@ -323,8 +334,6 @@ object TextAnalysis {
           min(col("t.first_pos")).as("train_first"))
         .filter(col("n_shared") >= minShared)
         .orderBy(col("eval_id"), col("train_id"))
-    val e = sideFps(evalSel)
-    val t = sideFps(trainSel)
     if (cap <= 0) pairsOf(e, t)
     else {
       val ec = graft.CacheScope.track(e.persist())
@@ -338,6 +347,122 @@ object TextAnalysis {
         ec.join(broadcast(hot), Seq("fp"), "left_anti"),
         tc.join(broadcast(hot), Seq("fp"), "left_anti"))
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted winnow-fingerprint index — the production face of
+  // contamination forensics. [[winnowContamination]] re-winnows the
+  // ENTIRE train corpus inside every query; at 100 TB that is a full
+  // corpus pass per eval probe. A real deployment winnows the corpus
+  // ONCE into a stored (doc_id, fp, first_pos) table and probes eval
+  // sets against the files forever — the same index lifecycle as the
+  // MinHash signature index ([[Dedup]]), the IVF cells ([[Similarity]])
+  // and the postings index ([[Retrieval]]).
+  // ------------------------------------------------------------------
+
+  /** fp-hash partition count. The fp is already a uniform 24-bit md5
+    * prefix, so `fp % 64` partitions evenly with no re-hash; a probe
+    * whose fingerprints land in few buckets prunes the rest of the
+    * index statically. 64 mirrors [[Retrieval.IndexBuckets]]. */
+  private[graft] val WinnowBuckets = 64
+
+  private def winnowBucketCol = pmod(col("fp"), lit(WinnowBuckets.toLong)).cast("int")
+
+  /** Fail-fast geometry check: an index winnowed at one (k, w) is
+    * meaningless to a probe selected at another — the fingerprints
+    * simply don't align. The `_winnow_meta` sidecar records the build
+    * geometry; every reader and appender verifies it against the
+    * session conf before touching the data. */
+  private def requireWinnowMeta(s: SparkSession, path: String): Unit = {
+    val k = graft.GraftConf.int(s, "spark.graft.winnow.gram", 5)
+    val w = graft.GraftConf.int(s, "spark.graft.winnow.window", 8)
+    val m = s.read.parquet(path + "/_winnow_meta").select(col("k"), col("w")).collect()(0)
+    require(m.getInt(0) == k && m.getInt(1) == w,
+      s"winnow index at $path was built with k=${m.getInt(0)}, w=${m.getInt(1)} " +
+        s"but the session confs (spark.graft.winnow.gram/.window) say k=$k, w=$w " +
+        "— rebuild the index or align the confs")
+  }
+
+  /** Build the winnow-fingerprint index at `path`: the collapsed
+    * (doc_id, fp, first_pos) selection, parquet PARTITIONED BY
+    * `fp % 64` (probes prune to their fingerprints' buckets),
+    * repartitioned so each bucket writes one file instead of one per
+    * task, plus the one-row `_winnow_meta` (k, w) geometry sidecar. */
+  def writeWinnowIndex(s: SparkSession, d: String, path: String): Unit =
+    writeWinnowIndexOf(documents(s, d), path)
+
+  /** [[writeWinnowIndex]] over any (doc_id, text) frame — the unit
+    * [[winnowContaminationIndexed]] uses to index the train side only. */
+  def writeWinnowIndexOf(docs: DataFrame, path: String): Unit = {
+    val s = docs.sparkSession
+    val k = graft.GraftConf.int(s, "spark.graft.winnow.gram", 5)
+    val w = graft.GraftConf.int(s, "spark.graft.winnow.window", 8)
+    sideFps(winnowSelectedOf(s, docs))
+      .withColumn("bucket", winnowBucketCol)
+      .repartition(WinnowBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    s.range(1).select(lit(k).as("k"), lit(w).as("w"))
+      .coalesce(1).write.mode("overwrite").parquet(path + "/_winnow_meta")
+  }
+
+  /** Index GROWTH, replay-safe under at-least-once delivery: already
+    * indexed doc_ids are anti-joined out (column-pruned read of the id
+    * column only), fresh docs winnow and append into their bucket
+    * partitions. Same grow-the-index contract as
+    * [[Retrieval.appendToPostingsIndex]], including the conf-gated
+    * per-bucket small-file compaction. */
+  def appendToWinnowIndex(batch: DataFrame, path: String): Unit = {
+    val s = batch.sparkSession
+    requireWinnowMeta(s, path)
+    val existing = s.read.parquet(path).select(col("doc_id")).distinct()
+    val fresh = batch.join(existing, Seq("doc_id"), "left_anti")
+    sideFps(winnowSelectedOf(s, fresh))
+      .withColumn("bucket", winnowBucketCol)
+      .repartition(col("bucket")) // one new file per bucket per batch
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    IndexMaintenance.maybeCompactPartitioned(s, path)
+  }
+
+  /** Serve [[winnowContamination]] from a [[writeWinnowIndex]] table —
+    * bit-equal by construction: the probe side winnows with the SAME
+    * selection core and the pair tail is the SAME [[contaminationPairs]]
+    * (WinnowIndexSpec asserts equality against the in-query face).
+    *
+    * Scan pruning: the probe's fingerprint BUCKETS are collected to the
+    * driver — at most 64 ints regardless of probe size (unlike the bm25
+    * term collect, which needs a conf cap) — and pushed as a literal
+    * partition filter. A one-benchmark probe touches a handful of
+    * bucket directories; a corpus-sized probe degrades gracefully to a
+    * full (still column-pruned) index read. The train corpus is NEVER
+    * re-winnowed here — that is the whole point of the index. */
+  def contaminationFromIndex(evalDocs: DataFrame, indexPath: String): DataFrame = {
+    val s = evalDocs.sparkSession
+    requireWinnowMeta(s, indexPath)
+    val minShared = graft.GraftConf.int(s, "spark.graft.winnow.minShared", 3)
+    require(minShared >= 1, "winnow.minShared must be >= 1")
+    val cap = graft.GraftConf.int(s, "spark.graft.winnow.maxDocsPerFp", 0)
+    val e = graft.CacheScope.track(
+      sideFps(winnowSelectedOf(s, evalDocs)).persist())
+    val buckets = e.select(winnowBucketCol.as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ 64 rows by construction
+    val t = s.read.parquet(indexPath)
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("doc_id"), col("fp"), col("first_pos"))
+    contaminationPairs(e, t, minShared, cap)
+  }
+
+  /** Catalog face: index the train side in scratch, probe the eval side
+    * from the files — same oracle as the scan-side
+    * [[winnowContamination]] (the persisted hop must be invisible). */
+  def winnowContaminationIndexed(s: SparkSession, d: String): DataFrame = {
+    val evalMod = graft.GraftConf.int(s, "spark.graft.winnow.evalMod", 7)
+    require(evalMod >= 2, "winnow.evalMod must be >= 2")
+    val path = graft.TempDirs.scratch("graft_winnowidx_").resolve("train").toString
+    val docs = documents(s, d)
+    writeWinnowIndexOf(docs.filter(col("doc_id") % evalMod =!= 0), path)
+    contaminationFromIndex(
+      docs.filter(col("doc_id") % evalMod === 0).select(col("doc_id"), col("text")),
+      path)
   }
 
   /** Heavy hitters (tokens with ≥ 2% of all occurrences) via Count-Min
@@ -920,6 +1045,7 @@ object TextAnalysis {
     "q_winnow_fingerprints" -> (winnowFingerprints _),
     "q_winnow_matches" -> (winnowMatches _),
     "q_winnow_contamination" -> (winnowContamination _),
+    "q_winnow_contamination_indexed" -> (winnowContaminationIndexed _),
     "q_token_count" -> (tokenCount _),
     "q_heavy_hitters_cms" -> (heavyHittersCms _)
   )
@@ -1007,6 +1133,23 @@ object TextAnalysis {
       |    END AS sel
       |  FROM g),
       |sel_u AS (SELECT doc_id, gh, unnest(sel) AS u FROM s)""".stripMargin
+
+  /** One oracle, two engine faces: [[winnowContamination]] (scan-side)
+    * and [[winnowContaminationIndexed]] (persisted index) must both
+    * match it — the index hop is invisible to results by contract. */
+  private val winnowContaminationOracle =
+    s"""WITH $winnowCteSql,
+      |ev AS (SELECT doc_id, gh[u] AS fp, MIN(u) AS first_pos
+      |       FROM sel_u WHERE doc_id % 7 = 0 GROUP BY doc_id, gh[u]),
+      |tr AS (SELECT doc_id, gh[u] AS fp, MIN(u) AS first_pos
+      |       FROM sel_u WHERE doc_id % 7 <> 0 GROUP BY doc_id, gh[u])
+      |SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared,
+      |  CAST(MIN(ev.first_pos) AS BIGINT) AS eval_first,
+      |  CAST(MIN(tr.first_pos) AS BIGINT) AS train_first
+      |FROM ev JOIN tr ON ev.fp = tr.fp
+      |GROUP BY ev.doc_id, tr.doc_id HAVING COUNT(*) >= 3
+      |ORDER BY eval_id, train_id""".stripMargin
 
   /** The [[bpeMerges]]/[[bpeEncode]] oracle CTE chain, generated (not
     * hand-copied ×5): per round k, `p_k` counts pairs over wire `w_k`,
@@ -1316,19 +1459,10 @@ object TextAnalysis {
     // eval side = doc_id % 7 = 0 (winnow.evalMod default — wider than
     // the %97 contamination split so the fixture yields real pairs);
     // first_pos = min selected 1-based gram index per (doc, fp)
-    "q_winnow_contamination" ->
-      s"""WITH $winnowCteSql,
-        |ev AS (SELECT doc_id, gh[u] AS fp, MIN(u) AS first_pos
-        |       FROM sel_u WHERE doc_id % 7 = 0 GROUP BY doc_id, gh[u]),
-        |tr AS (SELECT doc_id, gh[u] AS fp, MIN(u) AS first_pos
-        |       FROM sel_u WHERE doc_id % 7 <> 0 GROUP BY doc_id, gh[u])
-        |SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id,
-        |  CAST(COUNT(*) AS BIGINT) AS n_shared,
-        |  CAST(MIN(ev.first_pos) AS BIGINT) AS eval_first,
-        |  CAST(MIN(tr.first_pos) AS BIGINT) AS train_first
-        |FROM ev JOIN tr ON ev.fp = tr.fp
-        |GROUP BY ev.doc_id, tr.doc_id HAVING COUNT(*) >= 3
-        |ORDER BY eval_id, train_id""".stripMargin,
+    "q_winnow_contamination" -> winnowContaminationOracle,
+
+    // the persisted-index hop must be invisible: same oracle exactly
+    "q_winnow_contamination_indexed" -> winnowContaminationOracle,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -33,6 +33,7 @@ class PlanHygieneSpec extends AnyFunSuite {
         "q_dedup_ngram", "q_dedup_clusters", "q_dedup_incremental",
         "q_knn_ivf", "q_knn_ivf_indexed", "q_bm25_indexed",
         "q_bm25_batch_indexed", "q_phrase_indexed",
+        "q_winnow_contamination_indexed",
         "q_bucketed_join").contains(name)
 
   private def offenders(p: SparkPlan): Seq[String] = {
