@@ -450,6 +450,17 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"), col("weight"), col("avg_weight_q6"))
       .orderBy(col("doc_id"))
 
+  /** The per-bucket q6 ratio over `tc`/`rc` count columns, shared with
+    * the overflow property suite. DECIMAL numerator: in pure Long
+    * `1e6·(tc+1)` wrapped silently at tc ≥ 9.2e12 — a ~10 PB bucket,
+    * but a cliff with no guard; in decimal the product is exact and the
+    * post-DIV quotient fits Long trivially (tc ≤ rc per bucket by
+    * construction, so r_q6 ≤ 1e6, and the per-doc SUM of r_q6 is
+    * ≤ 1e6·n_tokens — inside Long for any document under ~9e12
+    * tokens). */
+  private[graft] def dsirRatioQ6Expr =
+    expr("(cast(1000000 as decimal(20,0)) * (tc + 1)) DIV (rc + 1)")
+
   /** [[dsirWeights]] core, keeping `source` in flight (doc_id is unique,
     * so grouping on both adds no exchange) for [[dsirSelect]]'s report. */
   private def dsirWeightsWithSource(s: SparkSession, d: String): DataFrame = {
@@ -463,7 +474,7 @@ object Curation {
       .agg(count(lit(1)).as("rc"),
         sum(when(col("source").isin("src1", "src2", "src3"), 1L)
           .otherwise(0L)).as("tc"))
-      .select(col("b"), expr("(1000000 * (tc + 1)) DIV (rc + 1)").as("r_q6"))
+      .select(col("b"), dsirRatioQ6Expr.as("r_q6"))
     feat
       .join(broadcast(ratio), "b")
       .groupBy(col("doc_id"), col("source"))
@@ -559,6 +570,19 @@ object Curation {
     * join — no corpus-sized shuffle beyond the per-doc groupBy, which
     * partial-aggregates map-side. `spark.graft.classifier.vocabK`
     * (default 8, oracle-pinned) is the feature-budget dial. */
+  /** The per-token odds-ratio weight over `pc`/`nc` count columns with
+    * the (pt, nt) class totals as literals — shared with the overflow
+    * property suite. DECIMAL numerator AND denominator: 1e6·(pc+1)·(nt+1)
+    * breaks Long once per-token positive counts × total negative-class
+    * tokens near 9e12 (pc ~1e5 with nt ~1e8 — a mid-size corpus, not an
+    * edge case), and the ranking silently corrupts on wraparound.
+    * DECIMAL(38,0) holds both products exactly for any counts below
+    * ~1e16 each; the DIV returns the q6 weight to Long (< 1e6·(nt+1)
+    * when pc ≤ pt). */
+  private[graft] def classifierWq6Expr(pt: Long, nt: Long) =
+    expr(s"(cast(1000000 as decimal(20,0)) * (pc + 1) * (${nt}L + 1)) DIV " +
+      s"(cast(nc + 1 as decimal(20,0)) * (${pt}L + 1))")
+
   def qualityClassifier(s: SparkSession, d: String): DataFrame = {
     val k = graft.GraftConf.int(s, "spark.graft.classifier.vocabK", 8)
     require(k >= 1, "spark.graft.classifier.vocabK must be >= 1")
@@ -579,15 +603,7 @@ object Curation {
       .collect()(0)
     val (pt, nt) = (totalsRow.getLong(0), totalsRow.getLong(1))
     val vocab = counts
-      // DECIMAL numerator/denominator: 1e6·(pc+1)·(nt+1) breaks Long once
-      // per-token positive counts × total negative-class tokens near 9e12
-      // (pc ~1e5 with nt ~1e8 — a mid-size corpus, not an edge case), and
-      // the ranking silently corrupts on wraparound. DECIMAL(38,0) holds
-      // 1e6·(pc+1)·(nt+1) exactly for any counts below ~1e16 each; the
-      // DIV returns the q6 weight to Long (< 1e6·(nt+1) when pc ≤ pt).
-      .withColumn("w_q6",
-        expr(s"(cast(1000000 as decimal(20,0)) * (pc + 1) * (${nt}L + 1)) DIV " +
-          s"(cast(nc + 1 as decimal(20,0)) * (${pt}L + 1))"))
+      .withColumn("w_q6", classifierWq6Expr(pt, nt))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("w_q6").desc, col("token"))))
       .withColumn("v", count(lit(1)).over(Window.partitionBy()))

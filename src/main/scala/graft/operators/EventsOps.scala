@@ -277,9 +277,17 @@ object EventsOps {
     * out-of-range run fails loudly instead of under-reporting (the
     * DuckDB oracle's HUGEINT has no such cliff, which is why silence
     * here would also be a cross-engine divergence). */
-  def anomalyZscore(s: SparkSession, d: String): DataFrame = {
+  def anomalyZscore(s: SparkSession, d: String): DataFrame =
+    anomalyZscoreOf(events(s, d))
+
+  /** [[anomalyZscore]]'s core over any (event_id, event_type, value)
+    * frame — the seam the overflow property suite drives both inside
+    * the decimal(38) envelope (exact against a BigInt reference) and
+    * past it (the raise_error guard must fire, never silently
+    * under-report). */
+  private[graft] def anomalyZscoreOf(ev: DataFrame): DataFrame = {
     val DEC = DecimalType(19, 0)
-    val e = events(s, d)
+    val e = ev
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("value") * 100, 0).cast(DEC).as("c"))
     val stats = e.groupBy(col("event_type")).agg(

@@ -44,18 +44,17 @@ object Retrieval {
     * }}}
     *
     * All operands positive, so Spark `DIV` (truncate) ≡ DuckDB `//`
-    * (floor). Overflow bounds, per stage: the tf side (22e6·tf·A and
-    * its denominator) needs tf·A < 4.2e11 — fine for any per-executor
-    * fixture and for per-shard corpora; a full 100 TB corpus
-    * (A ≈ 1e13) would rescale A and N by their gcd with the same
-    * algebra (the ratio A/N is what the formula consumes). The
-    * per-term product idf_q6·tf_q6 is the one place Long is NOT
-    * enough (with df=1, idf_q6 ≈ 1.3e6·N and tf_q6 < 2.2e6, so the
-    * product breaks 2⁶³ near N ≈ 3e6 docs — far below real corpora),
-    * so it is computed in DECIMAL(38,0) — exact, no wraparound — and
-    * only the post-DIV contribution returns to Long: contribution
-    * < 2.2·idf_q6 ≈ 2.9e6·N, so the per-doc SUM stays inside Long
-    * for any N below ~10¹⁷/terms — no realistic corpus approaches it.
+    * (floor). Overflow bounds, per stage: every multi-factor product —
+    * the tf side (22e6·tf·A, 10·tf·A, 9·dl·N in [[tfQ6Expr]]), the idf
+    * numerator ([[idfQ6Expr]]), and the per-term idf_q6·tf_q6 — is
+    * computed in DECIMAL (exact, no wraparound; in pure Long the tf
+    * side wrapped silently once tf·A ≥ 4.2e11, a ~200 GB corpus at
+    * tf=10). Only post-DIV quotients return to Long: tf_q6 < 2.2e6 by
+    * construction, idf_q6 ≤ 1e6·(2N+1)/3 (inside Long for N < 1.4e13
+    * docs), and the per-doc SUM of contributions < 2.2·idf_q6 ≈
+    * 2.9e6·N stays inside Long for any N below ~10¹⁷/terms.
+    * Q6OverflowSpec drives the expressions at 100-TB-scale (N, A)
+    * against a BigInt reference.
     *
     * Scale shape: the ONLY corpus-wide work is one map-side-combined
     * agg for the two scalars (N, A), read in a PRELUDE job (one row to
@@ -99,19 +98,38 @@ object Retrieval {
     phrase
   }
 
+  /** The per-hit q6 expressions, shared by all four serve paths and the
+    * overflow property suite ([[graft.Q6OverflowSpec]]). Inputs are the
+    * hit columns `tf`/`dl`/`df` plus the (N, A) corpus scalars.
+    *
+    * DECIMAL(38,0) numerators AND denominators: in pure Long the tf
+    * side (22e6·tf·A, 10·tf·A, 9·dl·N) silently wrapped once
+    * tf·A ≥ 4.2e11 — a ~200 GB corpus at tf=10, far below the design
+    * scale. In decimal the products are exact to 38 digits
+    * (2.2e7 · tf ≤ 1e6 · A ≤ 1e15 ≈ 10^28 — no corpus approaches the
+    * cap) and only the post-DIV quotients return to Long:
+    * tf_q6 < 2.2e6 by construction, and idf_q6 ≤ 1e6·(2N+1)/3, inside
+    * Long for N < 1.4e13 docs (a 100 TB corpus is ~1e11). */
+  private[graft] def tfQ6Expr(nD: Long, aL: Long) =
+    expr(s"(cast(22000000 as decimal(20,0)) * tf * ${aL}L) DIV " +
+      s"(cast(10 as decimal(20,0)) * tf * ${aL}L + " +
+      s"cast(3 as decimal(20,0)) * ${aL}L + " +
+      s"cast(9 as decimal(20,0)) * dl * ${nD}L)")
+
+  private[graft] def idfQ6Expr(nD: Long) =
+    expr(s"(cast(1000000 as decimal(20,0)) * (2 * (${nD}L - df) + 1)) " +
+      "DIV (2 * df + 1)")
+
   /** The q6 scoring tail shared by the scan path ([[bm25TopK]]) and the
     * index path ([[bm25FromIndex]]): `hits` = (doc_id, dl, token, tf)
     * already cut to query terms, `dfs` = (token, df) — term-count-sized,
     * broadcast. */
-  private def bm25ScoreFrom(
+  private[graft] def bm25ScoreFrom(
       hits: DataFrame, dfs: DataFrame, nD: Long, aL: Long): DataFrame =
     hits
       .join(broadcast(dfs), "token")
-      .withColumn("tf_q6",
-        expr(s"(22000000 * tf * ${aL}L) DIV " +
-          s"(10 * tf * ${aL}L + 3 * ${aL}L + 9 * dl * ${nD}L)"))
-      .withColumn("idf_q6",
-        expr(s"(1000000 * (2 * (${nD}L - df) + 1)) DIV (2 * df + 1)"))
+      .withColumn("tf_q6", tfQ6Expr(nD, aL))
+      .withColumn("idf_q6", idfQ6Expr(nD))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
         // DECIMAL product: idf_q6·tf_q6 breaks Long near N ≈ 3e6 docs
@@ -221,11 +239,8 @@ object Retrieval {
     import org.apache.spark.sql.expressions.Window
     val scored = hits
       .join(broadcast(dfs), "token")
-      .withColumn("tf_q6",
-        expr(s"(22000000 * tf * ${aL}L) DIV " +
-          s"(10 * tf * ${aL}L + 3 * ${aL}L + 9 * dl * ${nD}L)"))
-      .withColumn("idf_q6",
-        expr(s"(1000000 * (2 * (${nD}L - df) + 1)) DIV (2 * df + 1)"))
+      .withColumn("tf_q6", tfQ6Expr(nD, aL))
+      .withColumn("idf_q6", idfQ6Expr(nD))
       // DECIMAL product, as in bm25ScoreFrom: exact past the Long break
       .withColumn("contrib_q6",
         expr("(cast(idf_q6 as decimal(20,0)) * tf_q6) DIV 1000000"))

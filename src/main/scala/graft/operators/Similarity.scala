@@ -1080,7 +1080,11 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val k = graft.GraftConf.int(s, "spark.graft.bitext.k", 4)
     val minMargin = graft.GraftConf.long(s, "spark.graft.bitext.minMargin", 1200000L)
-    require(k >= 1, "spark.graft.bitext.k must be >= 1")
+    // upper bound is the margin product's Long envelope: 2e6·k·c6 with
+    // c6 ≤ 1e6 stays under 2⁶³ for k ≤ 1e6 (Q6OverflowSpec pins the
+    // edge); a top-k beyond 1e6 neighbors is meaningless anyway
+    require(k >= 1 && k <= 1000000,
+      "spark.graft.bitext.k must be in [1, 1000000]")
     val e = embeddings(s, d)
     val a = e.filter(col("label") < 5)
       .select(col("vec_id").as("aid"), col("embedding").as("ae"),
