@@ -417,6 +417,9 @@ object Corpus {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("src_docs"), sum(col("n_tokens")).as("src_tokens"))
+      // global window over the per-source AGGREGATE — ≤|sources| rows
+      // (tens) through one partition, never the corpus; PlanHygieneSpec
+      // allowlists exactly this bounded shape
       .withColumn("total", sum(col("src_tokens")).over().cast("double"))
       .withColumn("w", round(sqrt(col("src_tokens").cast("double") / col("total")), 9))
       .withColumn("sumw",

@@ -515,6 +515,10 @@ object Curation {
       weights
         .withColumn("bucket", expr("avg_weight_q6 DIV 1024"))
         .persist())
+    // global window over the BUCKET table only: avg_weight_q6 ≤ 1e6
+    // (tc ≤ rc per bucket), so bucket = w DIV 1024 spans ≤978 values —
+    // ≤978 rows through one partition, never the corpus
+    // (PlanHygieneSpec allowlists exactly this bounded shape)
     val buckets = docs.groupBy(col("bucket"))
       .agg(count(lit(1)).as("bcnt"))
       .withColumn("before_b", coalesce(
@@ -602,6 +606,9 @@ object Curation {
     val totalsRow = counts.agg(sum(col("pc")).as("pt"), sum(col("nc")).as("nt"))
       .collect()(0)
     val (pt, nt) = (totalsRow.getLong(0), totalsRow.getLong(1))
+    // the two global windows below rank the VOCAB table (one row per
+    // distinct token — ~1e5 for a BPE vocab), never the corpus
+    // (PlanHygieneSpec allowlists exactly this bounded shape)
     val vocab = counts
       .withColumn("w_q6", classifierWq6Expr(pt, nt))
       .withColumn("rk", row_number().over(

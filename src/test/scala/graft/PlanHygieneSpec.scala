@@ -217,6 +217,41 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"winnowing regressed — expensive work back inside a Filter:\n${winnowLeaks.mkString("\n")}")
   }
 
+  test("global (unpartitioned) windows appear only over bounded bucket/vocab tables") {
+    // WindowExec with an empty partitionSpec moves ALL rows to one
+    // partition — the classic 100 TB serialization point. The engine's
+    // two-phase pattern (bucket map-side, window the tiny bucket table,
+    // broadcast back) means every global window in main runs over a
+    // frame bounded BY CONSTRUCTION (≤257 quality buckets, ≤978 weight
+    // buckets, vocab-sized token table). Pin that: any catalog query
+    // planning a global window outside this allowlist is a regression —
+    // either restructure it two-phase or, if its input is provably
+    // bounded, add it here WITH the bound in a comment at the site.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val allowed = Map(
+      "q_token_budget" -> "≤257 quality buckets",
+      "q_dsir_select" -> "≤978 weight buckets (avg_weight_q6 ≤ 1e6 DIV 1024)",
+      "q_quality_classifier" -> "vocab-sized count table",
+      "q_curation_pipeline" -> "composes the three above",
+      "q_mix_sources" -> "per-source aggregate (≤|sources| rows)",
+      "q_mix_temperature" -> "per-source aggregate (≤|sources| rows)")
+    val haveGlobal = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => skip(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, SparkSpecBase.sf).queryExecution.optimizedPlan
+        val globals = plan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (globals.nonEmpty) Seq(name) else Nil
+      }.toSet
+    val offenders = haveGlobal -- allowed.keySet
+    assert(offenders.isEmpty,
+      s"unaudited global windows (all-to-one-partition at scale): $offenders")
+    // two-way: a stale allowlist entry is a dormant permission — prune it
+    val stale = allowed.keySet -- haveGlobal
+    assert(stale.isEmpty, s"allowlisted queries no longer plan a global window: $stale")
+  }
+
   test("funnel plans without an Expand (no multi-distinct row multiplication)") {
     // four countDistincts over the windowed stream would plan an Expand
     // that quadruples the rows into the final exchange; the per-user
