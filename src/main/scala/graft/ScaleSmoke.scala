@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-proof smoke: runs the heavy document/embedding query families
+  * at the base fixture and at an N× corpus DERIVED from it, under the
+  * `scale` profile, and prints per-query (base, scaled, ratio) JSON —
+  * the evidence that the plan shapes stay ≲ linear in the data.
+  *
+  * The N× corpus is NOT naive replication (exact copies would inflate
+  * the true duplicate-pair structure quadratically and any honest
+  * dedup would rightly go superlinear on it). Each copy i is made a
+  * DISJOINT sub-corpus:
+  *  - documents: every token is prefixed `c<i>` (copy 0 verbatim), so
+  *    within-copy structure — duplicate groups, shingles, winnow grams,
+  *    BM25 df/tf — is preserved exactly while cross-copy similarity is
+  *    destroyed; true pair structure grows ×N, not ×N².
+  *  - embeddings: dimensions are circularly rotated by i (copy 0
+  *    verbatim), preserving norms and within-copy geometry exactly
+  *    while decorrelating copies.
+  * doc_id/vec_id shift by i·10⁹ so splits like `% 97` and `% 7` keep
+  * proportional eval/train sides.
+  *
+  * Usage: runMain graft.ScaleSmoke <baseSfDir> <factor> <workDir>
+  */
+object ScaleSmoke {
+
+  /** Heavy families whose SCALE-PATH plans must stay ≲ linear. The
+    * quadratic-by-contract oracle kernels (knn_brute, embed_neardup,
+    * bitext_mine, semantic_dedup exact) are excluded: their cost is
+    * the pair count, which the catalog documents as the reason the
+    * `_lsh`/`_ivf` variants exist. */
+  val heavyQueries: Seq[String] = Seq(
+    "q_dedup_minhash", "q_dedup_ngram", "q_dedup_containment",
+    "q_dedup_clusters", "q_span_dedup", "q_cdc_dedup",
+    "q_semantic_dedup_lsh", "q_knn_ivf_indexed",
+    "q_winnow_fingerprints", "q_winnow_matches",
+    "q_winnow_contamination", "q_winnow_contamination_indexed",
+    "q_bm25_batch", "q_bm25_batch_indexed",
+    "q_curation_pipeline", "q_repetition_filter", "q_bpe_merges")
+
+  /** Build the N× derived fixture under `outDir` (documents +
+    * embeddings; the heavy families read nothing else). */
+  def buildScaled(s: SparkSession, baseDir: String, factor: Int,
+      outDir: String): Unit = {
+    val docs = s.read.parquet(s"$baseDir/documents.parquet")
+    val scaledDocs = (0 until factor).map { i =>
+      val text =
+        if (i == 0) col("text")
+        else array_join(
+          transform(split(col("text"), " "), t => concat(lit(s"c$i"), t)), " ")
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+    }.reduce(_ unionByName _)
+    scaledDocs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = s.read.parquet(s"$baseDir/embeddings.parquet")
+    val scaledEmb = (0 until factor).map { i =>
+      val rotated =
+        if (i == 0) col("embedding")
+        else expr(s"transform(sequence(1, size(embedding)), " +
+          s"j -> element_at(embedding, ((j - 1 + $i) % size(embedding)) + 1))")
+      emb.select(
+        (col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+    scaledEmb.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args(0)
+    val factor = args(1).toInt
+    val workDir = args(2)
+    require(factor >= 2, "factor must be >= 2")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .config("spark.graft.profile", "scale")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildScaled(spark, baseDir, factor, workDir)
+    val qs = SparkEntry.queries.filter { case (n, _) => heavyQueries.contains(n) }
+      .toSeq.sortBy(_._1)
+    val (baseTimes, baseFails) = Bench.measure(spark, baseDir, reps = 1, qs)
+    val (scaledTimes, scaledFails) = Bench.measure(spark, workDir, reps = 1, qs)
+    val bt = baseTimes.toMap
+    val st = scaledTimes.toMap
+    val rows = heavyQueries.sorted.map { n =>
+      val b = bt.get(n)
+      val t = st.get(n)
+      val ratio = for (x <- b; y <- t) yield y / x
+      f"""{"query":"$n","base_sec":${b.map(v => f"$v%.2f").getOrElse("null")},""" +
+        f""""scaled_sec":${t.map(v => f"$v%.2f").getOrElse("null")},""" +
+        f""""ratio":${ratio.map(v => f"$v%.2f").getOrElse("null")}}"""
+    }
+    println(s"""{"factor":$factor,"base":"$baseDir",""" +
+      s""""fails_base":${baseFails.size},"fails_scaled":${scaledFails.size},""" +
+      s""""rows":[${rows.mkString(",")}]}""")
+    if (baseFails.nonEmpty || scaledFails.nonEmpty)
+      System.err.println(s"[scale-smoke] failures: base=$baseFails scaled=$scaledFails")
+    spark.stop()
+  }
+}
