@@ -202,6 +202,51 @@ class IndexCompactionSpec extends SparkFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(gated + "__pcompact_old")))
   }
 
+  test("winnow-index grow loop under compactEvery: bounded buckets, serving identical") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val evalDocs = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+    def grow(idx: String): Unit = {
+      TextAnalysis.writeWinnowIndexOf(train.filter(col("doc_id") < 100), idx)
+      for (b <- 0 until 4)
+        TextAnalysis.appendToWinnowIndex(
+          train.filter(col("doc_id") >= 100 * (b + 1) &&
+            col("doc_id") < 100 * (b + 2)).select(col("doc_id"), col("text")),
+          idx)
+      // close the gap so both twins index the identical train set
+      TextAnalysis.appendToWinnowIndex(
+        train.filter(col("doc_id") >= 500).select(col("doc_id"), col("text")), idx)
+    }
+    def bucketFileCounts(idx: String): Seq[Int] = {
+      val root = new org.apache.hadoop.fs.Path(idx)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("bucket="))
+        .map(d => fs.listStatus(d.getPath)
+          .count(_.getPath.getName.startsWith("part-"))).toSeq
+    }
+    val plain = TempDirs.scratch("graft_wincompact_plain_").resolve("idx").toString
+    grow(plain)
+    val plainServe = TextAnalysis.contaminationFromIndex(evalDocs, plain)
+      .collect().map(_.toString).toSeq
+    CacheScope.releaseAll()
+    val gated = TempDirs.scratch("graft_wincompact_gated_").resolve("idx").toString
+    spark.conf.set("spark.graft.index.compactEvery", "2")
+    try grow(gated)
+    finally spark.conf.unset("spark.graft.index.compactEvery")
+    assert(TextAnalysis.contaminationFromIndex(evalDocs, gated)
+      .collect().map(_.toString).toSeq === plainServe,
+      "compaction changed contamination serving")
+    CacheScope.releaseAll()
+    // per-bucket bound: at most compactEvery survivors plus one batch's
+    // appends before the next trigger; the plain twin keeps growing
+    assert(bucketFileCounts(gated).forall(_ <= 2 + 2),
+      s"compaction did not bound winnow bucket files: ${bucketFileCounts(gated)}")
+    assert(plainServe.nonEmpty, "fixture degenerate — serving proof vacuous")
+  }
+
   test("partitioned compaction crash recovery restores a stranded bucket") {
     import graft.operators.Retrieval
     val idx = TempDirs.scratch("graft_pcompact_crash_").resolve("idx").toString
