@@ -451,6 +451,49 @@ object TextAnalysis {
     contaminationPairs(e, t, minShared, cap)
   }
 
+  /** Standing EVAL selection for the streaming monitor: the collapsed
+    * (doc_id, fp, first_pos) frame of a benchmark set, built once per
+    * session under the current (k, w) confs and probed by every
+    * [[contaminationMonitorBatch]] call. Benchmark suites are small —
+    * persist/broadcast-sized by contract. */
+  def winnowSelectionOf(docs: DataFrame): DataFrame =
+    sideFps(winnowSelectedOf(docs.sparkSession, docs))
+
+  /** STREAMING contamination monitor — the foreachBatch body of a
+    * continuous ingest pipeline ([[Dedup.dedupBatchAndGrowIndex]]'s
+    * pattern, for benchmark leakage instead of duplication): winnow the
+    * incoming TRAIN batch once, report which standing EVAL documents
+    * share ≥ minShared fingerprints with it (the contamination columns,
+    * positions included — data about to enter the corpus is flagged
+    * BEFORE it trains anything), and append the batch's fingerprints to
+    * the train winnow index so offline forensics
+    * ([[contaminationFromIndex]]) stay complete without re-winnowing.
+    *
+    * Replay-safe under at-least-once foreachBatch: the report is a pure
+    * function of (batch, evalSel) — a committed batch replays verbatim —
+    * and the append anti-joins doc_ids already in the index, so nothing
+    * regrows. The batch selection is lineage-truncated (computed once,
+    * not re-winnowed for report and append separately); the index
+    * geometry stamp is verified before anything runs. */
+  def contaminationMonitorBatch(batch: DataFrame, evalSel: DataFrame,
+      indexPath: String): DataFrame = {
+    val s = batch.sparkSession
+    requireWinnowMeta(s, indexPath)
+    val minShared = graft.GraftConf.int(s, "spark.graft.winnow.minShared", 3)
+    require(minShared >= 1, "winnow.minShared must be >= 1")
+    val cap = graft.GraftConf.int(s, "spark.graft.winnow.maxDocsPerFp", 0)
+    val sel = Dedup.truncateLineage(winnowSelectionOf(batch))
+    val report = contaminationPairs(evalSel, sel, minShared, cap)
+    val fresh = sel.join(
+      s.read.parquet(indexPath).select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    fresh.withColumn("bucket", winnowBucketCol)
+      .repartition(col("bucket")) // one new file per bucket per batch
+      .write.mode("append").partitionBy("bucket").parquet(indexPath)
+    IndexMaintenance.maybeCompactPartitioned(s, indexPath)
+    report
+  }
+
   /** Catalog face: index the train side in scratch, probe the eval side
     * from the files — same oracle as the scan-side
     * [[winnowContamination]] (the persisted hop must be invisible). */

@@ -294,6 +294,75 @@ class StreamingSpec extends SparkFunSuite {
     assert(s.read.parquet(idx).select(col("doc_id")).distinct().count() === docs.size)
   }
 
+  test("contamination monitor flags a leaky batch at ingest; index grows replay-safely") {
+    // continuous benchmark-leakage monitoring: train batches stream in,
+    // each is winnowed once, probed against the standing eval selection
+    // (leaks flagged BEFORE the data enters the corpus), and its
+    // fingerprints appended into the train winnow index so offline
+    // forensics agree with the online reports
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val leak = (1 to 12).map(i => s"lk$i").mkString(" ") // w + k − 1 tokens
+    val evalDocs = Seq(
+      901L -> s"e1 e2 e3 $leak e4 e5 e6 e7 e8",
+      902L -> "clean2a clean2b clean2c clean2d clean2e clean2f clean2g clean2h")
+      .toDF("doc_id", "text")
+    val idx = TempDirs.scratch("graft_monitor_idx_").resolve("train").toString
+    operators.TextAnalysis.writeWinnowIndexOf(
+      Seq(1L -> "seed1a seed1b seed1c seed1d seed1e seed1f seed1g seed1h")
+        .toDF("doc_id", "text"), idx)
+    s.conf.set("spark.graft.winnow.minShared", "1")
+    try {
+      val evalSel = CacheScope.track(
+        operators.TextAnalysis.winnowSelectionOf(evalDocs).persist())
+      val cleanBatch = Seq(
+        10L -> "c10a c10b c10c c10d c10e c10f c10g c10h",
+        11L -> "c11a c11b c11c c11d c11e c11f c11g c11h")
+      val leakyBatch = Seq(
+        20L -> s"t1 t2 t3 t4 t5 t6 t7 $leak t8",
+        21L -> "c21a c21b c21c c21d c21e c21f c21g c21h")
+      val reports = collection.mutable.ArrayBuffer.empty[Seq[String]]
+      val ms = MemoryStream[(Long, String)]
+      val q = ms.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          reports += operators.TextAnalysis
+            .contaminationMonitorBatch(b.toDF(), evalSel, idx)
+            .collect().map(_.toString).toSeq
+          ()
+        }
+        .start()
+      try {
+        ms.addData(cleanBatch); q.processAllAvailable()
+        ms.addData(leakyBatch); q.processAllAvailable()
+      } finally q.stop()
+      assert(reports.head.isEmpty, "clean batch reported a leak")
+      val flagged = operators.TextAnalysis
+        .contaminationMonitorBatch(leakyBatch.toDF("doc_id", "text"), evalSel, idx)
+      // replay of the committed leaky batch: identical report…
+      assert(reports(1).nonEmpty, "leaky batch not flagged at ingest")
+      assert(flagged.collect().map(_.toString).toSeq === reports(1),
+        "replayed batch diverged from its first run")
+      // …and no index regrowth
+      val ids = s.read.parquet(idx).select(col("doc_id")).distinct()
+        .as[Long].collect().toSet
+      assert(ids === Set(1L, 10L, 11L, 20L, 21L), s"index ids wrong: $ids")
+      // the report points at the right pair, with in-span positions
+      // (eval leak starts at gram 4, train at gram 8 — 1-based)
+      val r = reports(1).mkString(" ")
+      assert(r.contains("[901,20,") && !r.contains("902") && !r.contains("[901,21,"),
+        s"wrong pair set: ${reports(1)}")
+      // offline forensics over the grown index agree with the monitor
+      val offline = operators.TextAnalysis.contaminationFromIndex(
+        evalDocs.select(col("doc_id"), col("text")), idx).collect()
+      assert(offline.map(x => (x.getAs[Long]("eval_id"), x.getAs[Long]("train_id")))
+        .toSet === Set((901L, 20L)), "offline forensics diverge from the monitor")
+    } finally {
+      s.conf.unset("spark.graft.winnow.minShared")
+      CacheScope.releaseAll()
+    }
+  }
+
   test("vector index growth: batch-N accepted vectors detected by batch N+1") {
     // the ANN twin of the signature-index growth test: embeddings arrive
     // as micro-batches, each matched against the vector band index and
