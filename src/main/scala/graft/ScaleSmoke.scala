@@ -12,15 +12,27 @@ import org.apache.spark.sql.functions._
   * the true duplicate-pair structure quadratically and any honest
   * dedup would rightly go superlinear on it). Each copy i is made a
   * DISJOINT sub-corpus:
-  *  - documents: every token is prefixed `c<i>` (copy 0 verbatim), so
-  *    within-copy structure — duplicate groups, shingles, winnow grams,
-  *    BM25 df/tf — is preserved exactly while cross-copy similarity is
-  *    destroyed; true pair structure grows ×N, not ×N².
+  *  - documents: copy i's letters are mapped into their own 26-char
+  *    Unicode range (Latin Extended, 0x0100 + 26·i; copy 0 verbatim).
+  *    A bijective character map preserves within-copy structure EXACTLY
+  *    at every granularity the engine fingerprints — duplicate groups,
+  *    CHARACTER 3-gram shingle sets, token k-gram winnow selections,
+  *    BM25 df/tf — and the DISJOINT ranges make cross-copy trigram
+  *    collisions impossible, so true pair structure grows ×N, not ×N².
+  *    (Two earlier schemes failed exactly there: token prefixes left
+  *    cross-copy char-gram Jaccard at 0.42, and a Caesar rotation
+  *    saturated the fixture's tiny ~25-letter trigram universe, both
+  *    inflating the candidate stage of the shingle families
+  *    quadratically.)
   *  - embeddings: dimensions are circularly rotated by i (copy 0
   *    verbatim), preserving norms and within-copy geometry exactly
   *    while decorrelating copies.
   * doc_id/vec_id shift by i·10⁹ so splits like `% 97` and `% 7` keep
-  * proportional eval/train sides.
+  * proportional eval/train sides. Caveat: language-/stopword-sensitive
+  * stages (the curation funnel's langID) see the shifted copies as
+  * non-English and may route them down cheaper branches — their ratios
+  * understate slightly; the pair-join families this smoke exists for
+  * are unaffected.
   *
   * Usage: runMain graft.ScaleSmoke <baseSfDir> <factor> <workDir>
   */
@@ -45,11 +57,12 @@ object ScaleSmoke {
   def buildScaled(s: SparkSession, baseDir: String, factor: Int,
       outDir: String): Unit = {
     val docs = s.read.parquet(s"$baseDir/documents.parquet")
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
     val scaledDocs = (0 until factor).map { i =>
       val text =
         if (i == 0) col("text")
-        else array_join(
-          transform(split(col("text"), " "), t => concat(lit(s"c$i"), t)), " ")
+        else translate(col("text"), alphabet,
+          (0 until 26).map(k => (0x0100 + 26 * i + k).toChar).mkString)
       docs.select(
         (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
         text.as("text"), col("lang"), col("source"),
