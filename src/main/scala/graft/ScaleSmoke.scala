@@ -82,10 +82,38 @@ object ScaleSmoke {
     scaledEmb.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** Guard-engagement subset for `hot` mode: the pair-join families
+    * whose degenerate-key guards must keep a planted 20k-doc
+    * boilerplate group from going quadratic under the scale profile. */
+  val guardedQueries: Seq[String] = Seq(
+    "q_dedup_minhash", "q_dedup_clusters",
+    "q_winnow_matches", "q_winnow_contamination")
+
+  // far above any copy's id range (copy i shifts by i·1e9) so the
+  // hot-pair counts below can never pick up ordinary cross-copy ids
+  private val HotIdBase = 1000000000000L
+  private val HotGroupSize = 20000L // > every scale-profile cap (10000)
+
+  /** Append the hot group to a derived fixture: 20k EXACT copies of one
+    * boilerplate paragraph — the pathological shape (one minhash bucket,
+    * one winnow fingerprint set, shared by every copy) that would emit
+    * ~2·10⁸ pairs through an unguarded pair join. */
+  private def appendHotGroup(s: SparkSession, dir: String): Unit = {
+    val boiler = "boiler plate disclaimer all rights reserved this " +
+      "document is confidential and intended solely for the named " +
+      "addressee do not distribute"
+    s.range(HotGroupSize).select(
+      (col("id") + HotIdBase).as("doc_id"),
+      lit(boiler).as("text"), lit("en").as("lang"), lit("src1").as("source"),
+      lit(boiler.length.toLong).as("n_chars"))
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args(0)
     val factor = args(1).toInt
     val workDir = args(2)
+    val hotMode = args.length > 3 && args(3) == "hot"
     require(factor >= 2, "factor must be >= 2")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -117,6 +145,44 @@ object ScaleSmoke {
       s""""rows":[${rows.mkString(",")}]}""")
     if (baseFails.nonEmpty || scaledFails.nonEmpty)
       System.err.println(s"[scale-smoke] failures: base=$baseFails scaled=$scaledFails")
+    if (hotMode) hotPhase(spark, workDir, st)
     spark.stop()
+  }
+
+  /** Guard-engagement phase: the 10× corpus PLUS the planted hot group,
+    * guarded queries only, under the already-active scale profile. The
+    * proof is two-sided: wall-clock stays near the no-hot run (the
+    * guards drop/star-route the degenerate key instead of joining it
+    * quadratically), and the reported hot-pair counts show WHAT each
+    * guard did — winnow drops the boilerplate fingerprint outright
+    * (0 hot-hot pairs), the LSH guard keeps the exact-dup group
+    * connected through ~linear star edges. */
+  private def hotPhase(spark: SparkSession, workDir: String,
+      noHot: Map[String, Double]): Unit = {
+    appendHotGroup(spark, workDir)
+    val qs = SparkEntry.queries.filter { case (n, _) => guardedQueries.contains(n) }
+      .toSeq.sortBy(_._1)
+    // capture only stores the frame (it runs inside the timed window);
+    // the hot-pair counts run after measurement
+    val frames = scala.collection.mutable.Map.empty[String, DataFrame]
+    val (times, fails) = Bench.measure(spark, workDir, reps = 1, qs,
+      capture = (n, df) => { frames(n) = df; () })
+    val counted = frames.flatMap { case (n, df) =>
+      Seq("d1" -> "d2", "eval_id" -> "train_id")
+        .find { case (a, b) =>
+          df.columns.contains(a) && df.columns.contains(b) }
+        .map { case (a, b) =>
+          n -> df.filter(col(a) >= HotIdBase && col(b) >= HotIdBase).count() }
+    }.toMap
+    val tm = times.toMap
+    val rows = guardedQueries.sorted.map { n =>
+      f"""{"query":"$n","no_hot_sec":${noHot.get(n).map(v => f"$v%.2f").getOrElse("null")},""" +
+        f""""hot_sec":${tm.get(n).map(v => f"$v%.2f").getOrElse("null")},""" +
+        f""""hot_pairs":${counted.get(n).map(_.toString).getOrElse("null")}}"""
+    }
+    println(s"""{"phase":"hot_guard","group_size":$HotGroupSize,""" +
+      s""""fails":${fails.size},"rows":[${rows.mkString(",")}]}""")
+    if (fails.nonEmpty)
+      System.err.println(s"[scale-smoke] hot-phase failures: $fails")
   }
 }
