@@ -60,6 +60,7 @@ object Bench {
     // explicit shareClusters conf above still wins over the preset.
     sys.env.get("SPARK_GRAFT_PROFILE").foreach(p =>
       spark.conf.set(GraftConf.ProfileKey, p))
+    GraftConf.requireKnown(spark)
     // warmup: session + codegen + parquet reader init
     spark.range(1000).selectExpr("sum(id)").collect()
     val only: Option[Set[String]] = if (args.nonEmpty) Some(args.toSet) else None

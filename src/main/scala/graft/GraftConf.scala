@@ -138,4 +138,76 @@ object GraftConf {
           s"$key must be true or false, got '$v'")
       }
     }.getOrElse(default)
+
+  /** Every conf key the engine reads — the typo firewall behind
+    * [[requireKnown]]. Kept equal to the quoted `spark.graft.*`
+    * literals in main source by ConfRegistrySpec's source scan, so
+    * neither the registry nor the read sites can drift. */
+  val KnownKeys: Set[String] = Set(
+    "spark.graft.bench.queryTimeoutSec",
+    "spark.graft.bitext.k",
+    "spark.graft.bitext.minMargin",
+    "spark.graft.checkpointDir",
+    "spark.graft.classifier.vocabK",
+    "spark.graft.corpus.boilerBlock",
+    "spark.graft.corpus.boilerDf",
+    "spark.graft.corpus.cdcDivisor",
+    "spark.graft.corpus.chunkStride",
+    "spark.graft.corpus.chunkWindow",
+    "spark.graft.corpus.contaminationGram",
+    "spark.graft.corpus.lengthBatch",
+    "spark.graft.corpus.lineBlock",
+    "spark.graft.corpus.mixRatio",
+    "spark.graft.corpus.packBudget",
+    "spark.graft.corpus.packShards",
+    "spark.graft.curation.calibrateKeep",
+    "spark.graft.curation.domainCapTokens",
+    "spark.graft.curation.tokenBudget",
+    "spark.graft.curation.weightFactor",
+    "spark.graft.dedup.reliableCheckpoint",
+    "spark.graft.dedup.shareClusters",
+    "spark.graft.index.compactEvery",
+    "spark.graft.index.compactTargetBytes",
+    "spark.graft.ivf.lloydIters",
+    "spark.graft.ivf.nprobe",
+    "spark.graft.ivf.objectiveEps",
+    "spark.graft.ivf.seeding",
+    "spark.graft.layout.compactTargetBytes",
+    "spark.graft.lm.cms",
+    "spark.graft.lm.rareCount",
+    "spark.graft.lsh.bands",
+    "spark.graft.lsh.maxBucket",
+    "spark.graft.lsh.rowsPerBand",
+    "spark.graft.pagerank.dangling",
+    "spark.graft.pq.lloydIters",
+    "spark.graft.profile",
+    "spark.graft.quality.approxThreshold",
+    "spark.graft.sampling.stratumK",
+    "spark.graft.search.batchK",
+    "spark.graft.search.maxQueryTerms",
+    "spark.graft.search.phrase",
+    "spark.graft.search.terms",
+    "spark.graft.semdedup.lsh",
+    "spark.graft.text.hhLocalCandidates",
+    "spark.graft.topkPerGroup.maxBufferedRows",
+    "spark.graft.winnow.evalMod",
+    "spark.graft.winnow.gram",
+    "spark.graft.winnow.maxDocsPerFp",
+    "spark.graft.winnow.minShared",
+    "spark.graft.winnow.window")
+
+  /** Fail fast on any `spark.graft.*` session conf the engine does not
+    * read. A typo'd dial otherwise silently reverts to its default —
+    * which for guard confs (`lsh.maxBucket`, `winnow.maxDocsPerFp`)
+    * means an UNGUARDED production run that looks configured. Called by
+    * the entry points (Verify, Bench, ScaleSmoke); library users call
+    * it once after session setup. */
+  def requireKnown(s: SparkSession): Unit = {
+    val unknown = s.conf.getAll.keysIterator
+      .filter(_.startsWith("spark.graft."))
+      .filterNot(KnownKeys.contains).toSeq.sorted
+    require(unknown.isEmpty,
+      s"unknown spark.graft conf${if (unknown.size == 1) "" else "s"} " +
+        s"(typo?): ${unknown.mkString(", ")}")
+  }
 }

@@ -125,6 +125,7 @@ object ScaleSmoke {
       .config("spark.graft.profile", "scale")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftConf.requireKnown(spark)
     buildScaled(spark, baseDir, factor, workDir)
     val qs = SparkEntry.queries.filter { case (n, _) => heavyQueries.contains(n) }
       .toSeq.sortBy(_._1)
