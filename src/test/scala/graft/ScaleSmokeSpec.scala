@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The derived-corpus invariants behind the NOTES scale-proof table:
+  * each ScaleSmoke copy must be an exact within-copy bijection of the
+  * base fixture (identical duplicate/fingerprint structure) while
+  * sharing NOTHING across copies at any granularity the engine
+  * fingerprints — the property whose two failed predecessors
+  * (token prefixes, Caesar rotation) quadratically inflated the
+  * shingle families' candidate stages. */
+class ScaleSmokeSpec extends SparkFunSuite {
+
+  private def build(factor: Int): String = {
+    val out = TempDirs.scratch("graft_smokespec_").toString
+    ScaleSmoke.buildScaled(spark, sf, factor, out)
+    out
+  }
+
+  test("each copy preserves within-copy set structure exactly (Jaccard pairs, tf/df, length)") {
+    // What a char BIJECTION preserves exactly: every SET-structural
+    // relation — trigram/token set intersections (so ngram-Jaccard
+    // pairs), tf/df histograms, text lengths. (Hash-ORDER-dependent
+    // selections — minhash signatures, winnow minima — are permuted by
+    // design; their pair GUARANTEES hold but their incidental pair sets
+    // vary, which is why the NOTES table reads those families by output
+    // counts, not bit-equality.)
+    val out = build(2)
+    val scaled = spark.read.parquet(s"$out/documents.parquet")
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    assert(scaled.count() === 2 * base.count())
+    val stage = TempDirs.scratch("graft_smokespec_stage_")
+    scaled.filter(col("doc_id") >= 1000000000L)
+      .write.mode("overwrite").parquet(stage.resolve("documents.parquet").toString)
+    // exact-Jaccard dedup pairs: bijection ⇒ identical pair set
+    // (shifted ids), identical intersection sizes and jaccard values
+    val basePairs = operators.Dedup.dedupNgram(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Long]("inter"))).toSet
+    CacheScope.releaseAll()
+    val copyPairs = operators.Dedup.dedupNgram(spark, stage.toString).collect()
+      .map(r => (r.getAs[Long]("d1") - 1000000000L,
+        r.getAs[Long]("d2") - 1000000000L, r.getAs[Long]("inter"))).toSet
+    CacheScope.releaseAll()
+    assert(copyPairs === basePairs,
+      "copy 1's exact-Jaccard pair structure diverged — not a set bijection")
+    assert(basePairs.nonEmpty, "fixture degenerate — bijection proof vacuous")
+    // 1:1 char map: per-doc lengths unchanged
+    val badLen = scaled.filter(col("doc_id") >= 1000000000L)
+      .select((col("doc_id") - 1000000000L).as("doc_id"),
+        length(col("text")).as("l1"))
+      .join(base.select(col("doc_id"), length(col("text")).as("l0")), "doc_id")
+      .filter(col("l1") =!= col("l0")).count()
+    assert(badLen === 0, "character map changed text lengths")
+    // token-level tf/df histogram shape: the multiset of per-token
+    // document frequencies is invariant under a token bijection
+    def dfHist(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .distinct().groupBy(col("t")).count()
+      .groupBy(col("count")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dfHist(scaled.filter(col("doc_id") >= 1000000000L)) === dfHist(base),
+      "token df histogram diverged — BM25 stats not preserved")
+  }
+
+  test("copies share nothing: zero cross-copy trigram and token overlap") {
+    val out = build(3)
+    val scaled = spark.read.parquet(s"$out/documents.parquet")
+    def grams(copyLo: Long, copyHi: Long) = scaled
+      .filter(col("doc_id") >= copyLo && col("doc_id") < copyHi)
+      .select(explode(expr(
+        """transform(sequence(1, greatest(length(text) - 2, 0)),
+          |  i -> substring(text, i, 3))""".stripMargin)).as("g"))
+      .distinct()
+    val overlap01 = grams(0L, 1000000000L)
+      .join(grams(1000000000L, 2000000000L), "g").count()
+    val overlap12 = grams(1000000000L, 2000000000L)
+      .join(grams(2000000000L, 3000000000L), "g").count()
+    assert(overlap01 === 0 && overlap12 === 0,
+      s"cross-copy trigram overlap ($overlap01, $overlap12) — shingle " +
+        "families would see phantom cross-copy candidates")
+    def toks(copyLo: Long, copyHi: Long) = scaled
+      .filter(col("doc_id") >= copyLo && col("doc_id") < copyHi)
+      .select(explode(split(col("text"), " ")).as("t")).distinct()
+    assert(toks(0L, 1000000000L)
+      .join(toks(1000000000L, 2000000000L), "t").count() === 0,
+      "cross-copy token overlap — winnow/BM25 would see phantom matches")
+  }
+
+  test("embedding copies keep norms exactly and decorrelate across copies") {
+    graft.functions.VectorFunctions.register(spark)
+    val out = build(2)
+    val scaled = spark.read.parquet(s"$out/embeddings.parquet")
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val drift = scaled.filter(col("vec_id") >= 1000000000L)
+      .select((col("vec_id") - 1000000000L).as("vec_id"),
+        expr("vec_dot(embedding, embedding)").as("n1"))
+      .join(base.select(col("vec_id"),
+        expr("vec_dot(embedding, embedding)").as("n0")), "vec_id")
+      .filter(abs(col("n1") - col("n0")) > 1e-3).count()
+    assert(drift === 0, "dimension rotation changed vector norms")
+  }
+}
