@@ -49,6 +49,12 @@ import org.apache.spark.sql.SparkSession
   *        input (adaptive probe, like `lsh.maxBucket`); on
   *        pathological input it drops boilerplate fingerprints from
   *        pair counting — MOSS's own common-fragment elimination.
+  *      - `spark.graft.winnow.maxSpanMatchesPerPair=1000000` —
+  *        degenerate-pair guard on exact span extraction (a token
+  *        repeated m× on both sides of one flagged pair yields m²
+  *        position matches). Result-identical on healthy pairs
+  *        (adaptive probe); a pathological pair stays FLAGGED by the
+  *        contamination gate — only its span enumeration is declined.
   *
   *     The LSH band GEOMETRY (`spark.graft.lsh.bands` / `.rowsPerBand`)
   *     is intentionally NOT in the preset: geometry is the recall DIAL
@@ -72,7 +78,8 @@ object GraftConf {
     "spark.graft.dedup.shareClusters" -> "true",
     "spark.graft.index.compactEvery" -> "64",
     "spark.graft.lm.cms" -> "true",
-    "spark.graft.winnow.maxDocsPerFp" -> "10000")
+    "spark.graft.winnow.maxDocsPerFp" -> "10000",
+    "spark.graft.winnow.maxSpanMatchesPerPair" -> "1000000")
 
   /** The layered string value for `key`: explicit conf > active profile
     * preset > None. An unknown profile name fails fast. */
@@ -193,7 +200,9 @@ object GraftConf {
     "spark.graft.winnow.evalMod",
     "spark.graft.winnow.gram",
     "spark.graft.winnow.maxDocsPerFp",
+    "spark.graft.winnow.maxSpanMatchesPerPair",
     "spark.graft.winnow.minShared",
+    "spark.graft.winnow.spanMinRun",
     "spark.graft.winnow.window")
 
   /** Fail fast on any `spark.graft.*` session conf the engine does not

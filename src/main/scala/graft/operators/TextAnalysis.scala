@@ -494,6 +494,91 @@ object TextAnalysis {
     report
   }
 
+  /** EXACT shared-span extraction — the verify stage MOSS runs after
+    * fingerprint matching, and the last mile of the contamination
+    * pipeline: for every pair [[winnowContamination]] flags, every
+    * maximal shared contiguous token run of length ≥
+    * `spark.graft.winnow.spanMinRun` (default 12 = w + k − 1, the
+    * winnowing guarantee length), with exact 0-based token offsets on
+    * both sides (the phrase/CDC offset convention, NOT winnow's
+    * 1-based gram index) and the run length. Fingerprints say a pair
+    * leaks and roughly where; this says exactly what to excise.
+    *
+    * Mechanism: token-position streams of the two sides join per
+    * flagged pair on token equality; a match (i, j) lies on diagonal
+    * i − j, and a shared run of length L is exactly L consecutive-i
+    * matches on one diagonal — so runs fall out of the classic
+    * gaps-and-islands grouping (i − row_number per (pair, diagonal)),
+    * no alignment DP, no UDF.
+    *
+    * Scale shape: the flagged pair list (already thresholded by the
+    * contamination gate) BROADCASTS into the token streams, so only
+    * flagged docs' tokens survive the scan; the join is keyed
+    * (doc, token) — the inverted-index family. Degenerate pairs (the
+    * same token repeated m× on both sides → m² matches on m diagonals)
+    * are the familiar hot-key shape: `spark.graft.winnow
+    * .maxSpanMatchesPerPair` (0 = unguarded, the oracle default;
+    * 1e6 under the scale profile) drops pairs whose raw match count
+    * exceeds the cap from the SPAN report — they remain flagged by the
+    * contamination gate itself; only their span enumeration is
+    * declined (documented MOSS-style trade, adaptive like its
+    * siblings: no hot pair → the exact unguarded plan). */
+  def contaminationSpans(s: SparkSession, d: String): DataFrame = {
+    val minRun = graft.GraftConf.int(s, "spark.graft.winnow.spanMinRun", 12)
+    require(minRun >= 1, "winnow.spanMinRun must be >= 1")
+    val cap = graft.GraftConf.long(s, "spark.graft.winnow.maxSpanMatchesPerPair", 0L)
+    val evalMod = graft.GraftConf.int(s, "spark.graft.winnow.evalMod", 7)
+    require(evalMod >= 2, "winnow.evalMod must be >= 2")
+    val docs = documents(s, d)
+    contaminationSpansOf(
+      winnowContamination(s, d).select(col("eval_id"), col("train_id")),
+      docs.filter(col("doc_id") % evalMod === 0),
+      docs.filter(col("doc_id") % evalMod =!= 0),
+      minRun, cap)
+  }
+
+  /** [[contaminationSpans]]' core over an explicit flagged-pair frame
+    * and two (doc_id, text) sides — the guard's and the planted-leak
+    * spec's seam. */
+  private[graft] def contaminationSpansOf(
+      pairs: DataFrame, evalDocs: DataFrame, trainDocs: DataFrame,
+      minRun: Int, cap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def toks(docs: DataFrame, id: String, pos: String, tok: String) = docs
+      .select(col("doc_id").as(id),
+        posexplode(split(col("text"), " ")).as(Seq(pos, tok)))
+    val m = toks(evalDocs, "eval_id", "i", "tok")
+      .join(broadcast(pairs), "eval_id")
+      .join(toks(trainDocs, "train_id", "j", "tok"), Seq("train_id", "tok"))
+      .select(col("eval_id"), col("train_id"), col("i"), col("j"))
+    def spansOf(mm: DataFrame) = mm
+      .withColumn("diag", col("i") - col("j"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("eval_id"), col("train_id"), col("diag"))
+          .orderBy(col("i"))))
+      .groupBy(col("eval_id"), col("train_id"), col("diag"),
+        (col("i") - col("rn")).as("grp"))
+      .agg(count(lit(1)).as("run_len"),
+        min(col("i")).cast("long").as("eval_start"),
+        min(col("j")).cast("long").as("train_start"))
+      .filter(col("run_len") >= minRun)
+      .select(col("eval_id"), col("train_id"),
+        col("eval_start"), col("train_start"), col("run_len"))
+      .orderBy(col("eval_id"), col("train_id"),
+        col("eval_start"), col("train_start"))
+    if (cap <= 0) spansOf(m)
+    else {
+      val mc = graft.CacheScope.track(m.persist())
+      val hot = graft.CacheScope.track(
+        mc.groupBy(col("eval_id"), col("train_id"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+          .select(col("eval_id"), col("train_id")).persist())
+      if (hot.isEmpty) spansOf(mc)
+      else spansOf(mc.join(broadcast(hot),
+        Seq("eval_id", "train_id"), "left_anti"))
+    }
+  }
+
   /** Catalog face: index the train side in scratch, probe the eval side
     * from the files — same oracle as the scan-side
     * [[winnowContamination]] (the persisted hop must be invisible). */
@@ -1089,6 +1174,7 @@ object TextAnalysis {
     "q_winnow_matches" -> (winnowMatches _),
     "q_winnow_contamination" -> (winnowContamination _),
     "q_winnow_contamination_indexed" -> (winnowContaminationIndexed _),
+    "q_contamination_spans" -> (contaminationSpans _),
     "q_token_count" -> (tokenCount _),
     "q_heavy_hitters_cms" -> (heavyHittersCms _)
   )
@@ -1506,6 +1592,36 @@ object TextAnalysis {
 
     // the persisted-index hop must be invisible: same oracle exactly
     "q_winnow_contamination_indexed" -> winnowContaminationOracle,
+
+    // exact maximal shared runs for flagged pairs via the diagonal
+    // gaps-and-islands grouping; 0-based token offsets; zipped unnest
+    // gives DuckDB the (tok, pos) stream posexplode gives Spark
+    "q_contamination_spans" ->
+      s"""WITH $winnowCteSql,
+        |ev AS (SELECT doc_id, gh[u] AS fp FROM sel_u
+        |       WHERE doc_id % 7 = 0 GROUP BY doc_id, gh[u]),
+        |tr AS (SELECT doc_id, gh[u] AS fp FROM sel_u
+        |       WHERE doc_id % 7 <> 0 GROUP BY doc_id, gh[u]),
+        |pairs AS (SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id
+        |          FROM ev JOIN tr ON ev.fp = tr.fp
+        |          GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |ev_t AS (SELECT doc_id AS eval_id, unnest(toks) AS tok,
+        |         unnest(range(0, n)) AS i FROM t WHERE doc_id % 7 = 0),
+        |tr_t AS (SELECT doc_id AS train_id, unnest(toks) AS tok,
+        |         unnest(range(0, n)) AS j FROM t WHERE doc_id % 7 <> 0),
+        |m AS (SELECT p.eval_id, p.train_id, e.i, tt.j
+        |      FROM pairs p JOIN ev_t e ON e.eval_id = p.eval_id
+        |      JOIN tr_t tt ON tt.train_id = p.train_id AND tt.tok = e.tok),
+        |runs AS (SELECT eval_id, train_id, i - j AS diag, i, j,
+        |         ROW_NUMBER() OVER (PARTITION BY eval_id, train_id, i - j
+        |                            ORDER BY i) AS rn FROM m)
+        |SELECT eval_id, train_id,
+        |  CAST(MIN(i) AS BIGINT) AS eval_start,
+        |  CAST(MIN(j) AS BIGINT) AS train_start,
+        |  CAST(COUNT(*) AS BIGINT) AS run_len
+        |FROM runs GROUP BY eval_id, train_id, diag, i - rn
+        |HAVING COUNT(*) >= 12
+        |ORDER BY eval_id, train_id, eval_start, train_start""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

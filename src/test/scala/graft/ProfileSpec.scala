@@ -39,7 +39,8 @@ class ProfileSpec extends SparkFunSuite {
       "spark.graft.dedup.shareClusters",
       "spark.graft.index.compactEvery",
       "spark.graft.lm.cms",
-      "spark.graft.winnow.maxDocsPerFp"),
+      "spark.graft.winnow.maxDocsPerFp",
+      "spark.graft.winnow.maxSpanMatchesPerPair"),
       "the scale preset's conf bundle changed — update the doc, this " +
         "spec, and NOTES deliberately")
     // band geometry must NOT be in the preset: it is a recall dial, not

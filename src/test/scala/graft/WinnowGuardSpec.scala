@@ -105,6 +105,50 @@ class WinnowGuardSpec extends SparkFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("exact span extraction recovers a planted run with exact offsets and length") {
+    import spark.implicits._
+    // 14 planted tokens at eval offset 3 (0-based), train offset 7; a
+    // second 5-token echo ('lk1..lk5' again) must NOT reach the report
+    // (below minRun) — only the maximal 14-run does
+    val leak = (1 to 14).map(i => s"lk$i").mkString(" ")
+    val evalDocs = Seq(0L -> s"e1 e2 e3 $leak e4 e5 e6").toDF("doc_id", "text")
+    val trainDocs = Seq(
+      5L -> s"t1 t2 t3 t4 t5 t6 t7 $leak lk1 lk2 lk3 lk4 lk5 t8",
+      6L -> "c1 c2 c3 c4 c5 c6 c7 c8").toDF("doc_id", "text")
+    val pairs = Seq((0L, 5L)).toDF("eval_id", "train_id")
+    val got = TextAnalysis.contaminationSpansOf(
+      pairs, evalDocs, trainDocs, minRun = 12, cap = 0).collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("train_id"),
+        r.getAs[Long]("eval_start"), r.getAs[Long]("train_start"),
+        r.getAs[Long]("run_len")))
+    assert(got.toSeq === Seq((0L, 5L, 3L, 7L, 14L)),
+      s"planted span not recovered exactly: ${got.toSeq}")
+  }
+
+  test("span guard: a degenerate pair is declined, healthy pairs exact (adaptive)") {
+    import spark.implicits._
+    val run = (1 to 12).map(i => s"r$i").mkString(" ")
+    // pair (0,5) healthy; pair (1,6) degenerate: 60×60 repeats of one
+    // token → 3600 raw matches, over any small cap
+    val evalDocs = Seq(
+      0L -> s"a1 a2 $run a3", 1L -> Seq.fill(60)("x").mkString(" "))
+      .toDF("doc_id", "text")
+    val trainDocs = Seq(
+      5L -> s"b1 $run b2", 6L -> Seq.fill(60)("x").mkString(" "))
+      .toDF("doc_id", "text")
+    val pairs = Seq((0L, 5L), (1L, 6L)).toDF("eval_id", "train_id")
+    def spans(cap: Long) = TextAnalysis.contaminationSpansOf(
+      pairs, evalDocs, trainDocs, minRun = 12, cap = cap).collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("train_id"))).toSet
+    assert(spans(cap = 0) === Set((0L, 5L), (1L, 6L)),
+      "unguarded must enumerate both (the degenerate pair has 60-runs)")
+    assert(spans(cap = 1000) === Set((0L, 5L)),
+      "guard must decline the degenerate pair and keep the healthy one exact")
+    // cap above everything = unguarded exactly (adaptive cold path)
+    assert(spans(cap = 1000000) === spans(cap = 0))
+    CacheScope.releaseAll()
+  }
+
   test("catalog contamination query is non-vacuous on the fixture") {
     // the round-11 gate hash-matched an EMPTY result (the %97 split
     // selected 6 docs, none sharing a fingerprint) — certify the widened
