@@ -195,6 +195,7 @@ object GraftConf {
     "spark.graft.search.phrase",
     "spark.graft.search.terms",
     "spark.graft.semdedup.lsh",
+    "spark.graft.span.minCut",
     "spark.graft.text.hhLocalCandidates",
     "spark.graft.topkPerGroup.maxBufferedRows",
     "spark.graft.winnow.evalMod",

@@ -1005,16 +1005,7 @@ object Dedup {
     * length. Grams travel as md5 hashes, never as 10-token strings. */
   def spanDedup(s: SparkSession, d: String): DataFrame = {
     val w = 10
-    val g = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("n", size(col("toks")).cast("long"))
-      .filter(col("n") >= w)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, CAST(n AS INT) - ${w - 1}),
-           |  i -> struct(CAST(i AS BIGINT) AS i,
-           |    md5(array_join(slice(toks, i, $w), ' ')) AS gh))""".stripMargin))
-        .as("p"))
-      .select(col("doc_id"), col("p.i").as("i"), col("p.gh").as("gh"))
+    val g = gramPositions(tokenized(documents(s, d)), w)
     val counts = g.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
     val dg = graft.CacheScope.track(
       g.join(counts, "gh")
@@ -1031,6 +1022,93 @@ object Dedup {
     base.join(longest, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_pos"), col("n_dup_pos"),
         coalesce(col("longest"), lit(0L)).as("longest_dup_run"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** `(doc_id, toks, n)` token frame — the shared tokenization of the
+    * span family (exact-substring semantics live at token granularity). */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+
+  /** Token `w`-gram positions `(doc_id, i, gh)` with 1-based `i` — shared
+    * by [[spanDedup]] (the profile face) and [[spanRemoval]] (the
+    * application face) so the two can never disagree on gram semantics.
+    * Grams travel as md5 hashes, never as w-token strings. */
+  private def gramPositions(docs: DataFrame, w: Int): DataFrame =
+    docs
+      .filter(col("n") >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, CAST(n AS INT) - ${w - 1}),
+           |  i -> struct(CAST(i AS BIGINT) AS i,
+           |    md5(array_join(slice(toks, i, $w), ' ')) AS gh))""".stripMargin))
+        .as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.gh").as("gh"))
+
+  /** Exact-substring span REMOVAL — the application half of Lee et al.'s
+    * dedup (the paper's actual output is the cleaned corpus, not the
+    * profile): every maximal run of corpus-repeated 10-gram positions
+    * covering ≥ `spark.graft.span.minCut` tokens (default 50, the
+    * paper's own threshold) is cut from the document, and the cleaned
+    * text is emitted alongside the removal accounting. Overlapping or
+    * adjacent cut runs remove the UNION of their covered token ranges
+    * (a position is deleted once, however many runs cover it), so
+    * `n_removed` is exact even when spans abut; `n_spans_cut` counts the
+    * qualifying maximal runs before the union. A fully-duplicated doc
+    * comes out as `text_clean = ''` — exactly how near-verbatim copies
+    * die under exact-substring dedup.
+    *
+    * Scale shape: the gram side is [[spanDedup]]'s (per-row HOF gram
+    * hashing, one partial-aggregated count per distinct gram, one
+    * gram-hash join back); the removal side explodes only the CUT runs
+    * into positions (output-proportional, tiny after the ≥50-token
+    * filter) and reassembles text with one token-stream exchange on
+    * doc_id — the q_line_dedup shape. Per-doc windows/groups are
+    * doc-sized (bounded multiplicity), never content-keyed. */
+  def spanRemoval(s: SparkSession, d: String): DataFrame =
+    spanRemovalOf(s, documents(s, d),
+      graft.GraftConf.int(s, "spark.graft.span.minCut", 50))
+
+  private[graft] def spanRemovalOf(
+      s: SparkSession, docsIn: DataFrame, minCut: Int): DataFrame = {
+    require(minCut >= 1,
+      s"spark.graft.span.minCut must be >= 1, got $minCut")
+    val w = 10
+    val docs = tokenized(docsIn)
+    val g = gramPositions(docs, w)
+    val counts = g.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
+    val dup = g.join(counts, "gh").filter(col("cnt") > 1)
+      .select(col("doc_id"), col("i"))
+    // gaps-and-islands over dup positions; a run of rl consecutive gram
+    // positions covers rl + w - 1 tokens
+    val cut = dup
+      .withColumn("isl", col("i") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("i")).as("start"), count(lit(1)).as("rl"))
+      .filter(col("rl") + (w - 1) >= minCut)
+    val nsp = cut.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans_cut"))
+    val removed = cut
+      .select(col("doc_id"),
+        explode(expr(s"sequence(start, start + rl + ${w - 2})")).as("pos"))
+      .distinct()
+    val toks = docs
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("tok"))
+    val kept = toks.join(removed, Seq("doc_id", "pos"), "left_anti")
+    val clean = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+          .as("text_clean"))
+    docs.select(col("doc_id"), col("n").as("n_tokens"))
+      .join(nsp, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
       .orderBy(col("doc_id"))
   }
 
@@ -1084,6 +1162,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_udaf" -> (minhashUdaf _),
     "q_span_dedup" -> (spanDedup _),
+    "q_span_removal" -> (spanRemoval _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_normalized" -> (dedupNormalized _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -1177,6 +1256,51 @@ object Dedup {
         |  COALESCE(lr.longest, 0) AS longest_dup_run
         |FROM base LEFT JOIN lr USING (doc_id)
         |ORDER BY base.doc_id""".stripMargin,
+    // same gram/count/runs chain as q_span_dedup, then the cut runs are
+    // exploded into covered positions, unioned (DISTINCT), anti-joined
+    // out of the token stream, and the survivors reassembled in order
+    "q_span_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |ix AS (
+        |  SELECT doc_id, toks, unnest(range(1, n - 8)) AS i
+        |  FROM t WHERE n >= 10),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS gh
+        |  FROM ix),
+        |c AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1),
+        |dup AS (SELECT doc_id, i FROM g JOIN c USING (gh)),
+        |runs AS (
+        |  SELECT doc_id, i,
+        |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+        |  FROM dup),
+        |cut AS (
+        |  SELECT doc_id, MIN(i) AS start, COUNT(*) AS rl
+        |  FROM runs GROUP BY doc_id, isl
+        |  HAVING COUNT(*) + 9 >= 50),
+        |nsp AS (SELECT doc_id, COUNT(*) AS n_spans_cut FROM cut GROUP BY doc_id),
+        |rem AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, unnest(range(start, start + rl + 9)) AS pos FROM cut)),
+        |tokix AS (SELECT doc_id, toks, unnest(range(1, n + 1)) AS pos FROM t),
+        |tok AS (SELECT doc_id, pos, toks[pos] AS tok FROM tokix),
+        |kept AS (SELECT doc_id, pos, tok FROM tok ANTI JOIN rem USING (doc_id, pos)),
+        |clean AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, t.n AS n_tokens,
+        |  COALESCE(nsp.n_spans_cut, 0) AS n_spans_cut,
+        |  t.n - COALESCE(clean.n_kept, 0) AS n_removed,
+        |  COALESCE(clean.text_clean, '') AS text_clean
+        |FROM t
+        |LEFT JOIN nsp USING (doc_id)
+        |LEFT JOIN clean USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
     "q_minhash_udaf" ->
       """WITH sig AS (
         |  SELECT doc_id,

@@ -152,4 +152,92 @@ class DedupSpec extends SparkFunSuite {
         "fixture has no repeated 10-gram — test vacuous")
     } finally CacheScope.releaseAll()
   }
+
+  /** Independent JVM re-derivation of [[Dedup.spanRemovalOf]]: gram
+    * counting on the gram STRINGS (md5 equality on the engine side is
+    * string equality up to negligible collisions), gaps-and-islands in
+    * a mutable loop, coverage union via a position set. */
+  private def refSpanRemoval(docs: Seq[(Long, String)], minCut: Int)
+      : Seq[(Long, Long, Long, Long, String)] = {
+    val w = 10
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val grams = toks.flatMap { case (id, ts) =>
+      if (ts.length >= w)
+        (0 to ts.length - w).map(i => (id, i + 1L, ts.slice(i, i + w).mkString(" ")))
+      else Nil
+    }
+    val cnt = grams.groupBy(_._3).map { case (gr, v) => gr -> v.size }
+    toks.map { case (id, ts) =>
+      val dupPos = grams.collect {
+        case (d, i, gr) if d == id && cnt(gr) > 1 => i
+      }.sorted
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (p <- dupPos) {
+        if (runs.nonEmpty && runs.last._1 + runs.last._2 == p)
+          runs(runs.size - 1) = (runs.last._1, runs.last._2 + 1)
+        else runs += ((p, 1L))
+      }
+      val cut = runs.filter { case (_, rl) => rl + w - 1 >= minCut }
+      val removed = cut.flatMap { case (st, rl) => st to (st + rl + w - 2) }.toSet
+      val kept = ts.zipWithIndex.collect { case (t, j) if !removed(j + 1L) => t }
+      (id, ts.length.toLong, cut.size.toLong,
+        (ts.length - kept.length).toLong, kept.mkString(" "))
+    }.sortBy(_._1)
+  }
+
+  test("span removal: planted long passage cut on both copies, short passage survives") {
+    import spark.implicits._
+    val passage = (1 to 60).map(i => s"p$i").mkString(" ")   // 60 tokens ≥ minCut
+    val short = (1 to 12).map(i => s"s$i").mkString(" ")     // 12 tokens < minCut
+    val docs = Seq(
+      1L -> s"${(1 to 10).map(i => s"a$i").mkString(" ")} $passage ${(1 to 10).map(i => s"z$i").mkString(" ")}",
+      2L -> s"${(1 to 10).map(i => s"b$i").mkString(" ")} $passage ${(1 to 10).map(i => s"y$i").mkString(" ")}",
+      3L -> s"${(1 to 10).map(i => s"c$i").mkString(" ")} $short ${(1 to 10).map(i => s"x$i").mkString(" ")}",
+      4L -> s"${(1 to 10).map(i => s"d$i").mkString(" ")} $short ${(1 to 10).map(i => s"w$i").mkString(" ")}",
+      5L -> (1 to 40).map(i => s"u$i").mkString(" ")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanRemovalOf(spark, docs, 50).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the shared 60-token passage dies on BOTH copies; surroundings survive.
+    // The cut run extends w-1 grams into each unique flank (grams
+    // STRADDLING the junction are themselves corpus-unique, but every gram
+    // fully inside the passage is duplicated) — so removal is exactly the
+    // passage: run = 51 positions starting at flank+1, covering 60 tokens.
+    for (id <- Seq(1L, 2L)) {
+      val r = out(id)
+      assert(r.getAs[Long]("n_spans_cut") === 1L)
+      assert(r.getAs[Long]("n_removed") === 60L, s"doc $id removed wrong span")
+      val clean = r.getAs[String]("text_clean")
+      assert(!clean.contains("p1 "), s"doc $id passage survived")
+      assert(clean.split(" ").length === 20, s"doc $id flanks damaged")
+    }
+    // the 12-token shared passage is detected as dup but under the cut bar
+    for (id <- Seq(3L, 4L, 5L)) {
+      val r = out(id)
+      assert(r.getAs[Long]("n_removed") === 0L, s"doc $id wrongly cut")
+      assert(r.getAs[Long]("n_spans_cut") === 0L)
+    }
+    // and the whole frame agrees with the independent reference
+    val got = Dedup.spanRemovalOf(spark, docs, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    assert(got === refSpanRemoval(docs.as[(Long, String)].collect().toSeq, 50))
+  }
+
+  test("span removal: engine equals the JVM reference on the real corpus at two thresholds") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    for (minCut <- Seq(50, 20)) {
+      val got = Dedup.spanRemovalOf(spark, Tables.documents(spark, sf), minCut)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .sortBy(_._1).toSeq
+      assert(got === refSpanRemoval(docs, minCut), s"mismatch at minCut=$minCut")
+    }
+    // the catalog gate (minCut=50) must certify real cuts, not a no-op
+    val cutDocs = Dedup.spanRemoval(spark, sf)
+      .filter(col("n_removed") > 0).count()
+    assert(cutDocs > 0, "no spans cut at sf0.001 — the oracle gate would be vacuous")
+  }
 }

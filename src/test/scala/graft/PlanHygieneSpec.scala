@@ -186,7 +186,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.logical.Filter
     val family = Seq("q_winnow_fingerprints", "q_winnow_matches",
       "q_winnow_contamination", "q_cdc_chunks",
-      "q_cdc_dedup", "q_span_dedup", "q_udtf_shingles")
+      "q_cdc_dedup", "q_span_dedup", "q_span_removal", "q_udtf_shingles")
     def expensive(e: Expression): Int = {
       val self = e match {
         case _: Md5 | _: Conv | _: ArrayTransform => 1
