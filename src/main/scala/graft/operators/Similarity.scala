@@ -1142,8 +1142,13 @@ object Similarity {
 
   /** The q_knn_ivf SQL replay, shared with q_knn_ivf_indexed (the
     * indexed face is bit-equal by spec). */
-  private val ivfOracleSql =
-    s"""WITH seeds AS (
+  /** The IVF training replay (oracle-pinned seeds `vec_id < 16`, one
+    * exact-integer Lloyd step, q6-cosine rescoring) up through the
+    * per-vector assignment — shared verbatim by the `q_knn_ivf` family
+    * and `q_cluster_profile` so the faces cannot drift on what the
+    * trained quantizer IS. */
+  private val ivfTrainCtes =
+    s"""seeds AS (
         |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
         |s0 AS (
         |  SELECT e.vec_id, c.cent_id,
@@ -1169,7 +1174,10 @@ object Similarity {
         |      ORDER BY round(${cosSql("e.embedding", "c.cv")}, 6) DESC, c.cent_id) AS crk
         |  FROM embeddings e, cents c),
         |assigned AS (
-        |  SELECT vec_id AS cid, cent_id AS cell FROM scored WHERE crk = 1),
+        |  SELECT vec_id AS cid, cent_id AS cell FROM scored WHERE crk = 1)""".stripMargin
+
+  private val ivfOracleSql =
+    s"""WITH $ivfTrainCtes,
         |qprobes AS (
         |  SELECT vec_id AS qid, cent_id AS cell FROM scored
         |  WHERE vec_id < 30 AND crk <= 2),
