@@ -44,7 +44,8 @@ object ScaleSmoke {
     * the pair count, which the catalog documents as the reason the
     * `_lsh`/`_ivf` variants exist. */
   val heavyQueries: Seq[String] = Seq(
-    "q_dedup_minhash", "q_dedup_ngram", "q_dedup_containment",
+    "q_dedup_minhash", "q_dedup_minhash_bucketed",
+    "q_dedup_ngram", "q_dedup_containment",
     "q_dedup_clusters", "q_span_dedup", "q_cdc_dedup",
     "q_semantic_dedup_lsh", "q_knn_ivf_indexed",
     "q_winnow_fingerprints", "q_winnow_matches",

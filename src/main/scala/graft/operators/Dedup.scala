@@ -106,6 +106,59 @@ object Dedup {
         (col("matches") / lshGeometry(s).width.toDouble).as("est_jaccard"))
       .orderBy(col("d1"), col("d2"))
 
+  // ------------------------------------------------------------------
+  // Bucketed pair-report — the PRODUCTION write shape of dedupMinhash.
+  // ScaleSmoke measured the catalog face's gate-imposed global ORDER BY
+  // (range exchange + full sort over the complete pair report) at
+  // ×21.3 wall-clock for ×9.4 output at sf0.1 ×10 — the machinery is
+  // linear, the total order is not. At 100 TB a pair report is never
+  // globally ordered: it is written hash-bucketed with each file
+  // sorted WITHIN itself, which downstream consumers (clustering,
+  // removal joins, audits) actually want — bucket pruning by doc id
+  // plus per-file ordered runs — at the cost of ONE hash exchange and
+  // a per-partition sort, no range exchange, no global merge.
+  // ------------------------------------------------------------------
+
+  /** Pair-report bucket count; `d1 % 64` (not a re-hash: doc ids are
+    * already uniform) mirrors [[graft.operators.TextAnalysis.WinnowBuckets]]. */
+  private[graft] val PairBuckets = 64
+
+  /** Write any (d1, d2, ...) pair frame hash-bucketed by `d1 % 64`,
+    * each bucket one file, rows (d1, d2)-sorted within the file. */
+  private[graft] def writePairReport(pairs: DataFrame, path: String): Unit =
+    pairs
+      .withColumn("bucket", pmod(col("d1"), lit(PairBuckets.toLong)).cast("int"))
+      .repartition(PairBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("d1"), col("d2"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** The [[dedupMinhash]] report (same pipeline, same columns, no total
+    * order) written via [[writePairReport]] — seam shared by the catalog
+    * face and PairReportSpec's content-equality/sortedness proof. */
+  private[graft] def writeMinhashPairReport(
+      s: SparkSession, d: String, path: String): Unit =
+    writePairReport(
+      minhashPairs(s, d)
+        .select(col("d1"), col("d2"), col("matches").cast("long").as("matches"),
+          (col("matches") / lshGeometry(s).width.toDouble).as("est_jaccard")),
+      path)
+
+  /** Catalog face: write the bucketed report to scratch, then digest it
+    * per bucket (n_pairs + exact sums — 64 rows, so the oracle gate's
+    * total order costs nothing). The full report content is certified
+    * by the digest here (any lost/corrupted pair moves a sum) plus
+    * PairReportSpec's row-level set equality to [[dedupMinhash]]. */
+  def dedupMinhashBucketed(s: SparkSession, d: String): DataFrame = {
+    val path = graft.TempDirs.scratch("graft_pairrep_").resolve("pairs").toString
+    writeMinhashPairReport(s, d, path)
+    s.read.parquet(path)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("matches")).as("sum_matches"),
+        sum(col("d1")).as("sum_d1"), sum(col("d2")).as("sum_d2"))
+      .orderBy(col("bucket"))
+  }
+
   /** The LSH candidate/match pipeline shared by [[dedupMinhash]] (adds the
     * estimate + total order) and [[dedupClusters]] (consumes the raw pair
     * set — no point globally sorting 4.5M pairs just to re-shuffle them
@@ -1166,6 +1219,7 @@ object Dedup {
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_normalized" -> (dedupNormalized _),
     "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_minhash_bucketed" -> (dedupMinhashBucketed _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
@@ -1205,6 +1259,31 @@ object Dedup {
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
       |LEFT JOIN best ON d.doc_id = best.delta_doc
       |ORDER BY d.doc_id""".stripMargin
+
+  /** The sig→bands→pairs→est replay shared VERBATIM by `q_dedup_minhash`
+    * (ordered report) and `q_dedup_minhash_bucketed` (per-bucket digest
+    * of the production hash-bucketed report) — the two faces must
+    * describe the same pair set by construction. */
+  private val minhashEstCtes =
+    """sig AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 8), h ->
+      |      list_min(list_transform(list_distinct(string_split(text, ' ')),
+      |        t -> md5(t || '#' || CAST(h AS VARCHAR))))) AS s
+      |  FROM documents),
+      |bands AS (
+      |  SELECT doc_id, b,
+      |    md5(s[4*b+1] || s[4*b+2] || s[4*b+3] || s[4*b+4]) AS bucket
+      |  FROM sig, range(0, 2) r(b)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+      |  FROM bands a JOIN bands c
+      |    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+      |est AS (
+      |  SELECT d1, d2,
+      |    list_sum(list_transform(range(0, 8),
+      |      i -> CASE WHEN x.s[i+1] = y.s[i+1] THEN 1 ELSE 0 END)) AS m
+      |  FROM pairs JOIN sig x ON d1 = x.doc_id JOIN sig y ON d2 = y.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // brute-force directed containment over the same shingle sets — the
@@ -1321,27 +1400,22 @@ object Dedup {
         |FROM documents GROUP BY 1 ORDER BY bow_key""".stripMargin,
 
     "q_dedup_minhash" ->
-      """WITH sig AS (
-        |  SELECT doc_id,
-        |    list_transform(range(0, 8), h ->
-        |      list_min(list_transform(list_distinct(string_split(text, ' ')),
-        |        t -> md5(t || '#' || CAST(h AS VARCHAR))))) AS s
-        |  FROM documents),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |    md5(s[4*b+1] || s[4*b+2] || s[4*b+3] || s[4*b+4]) AS bucket
-        |  FROM sig, range(0, 2) r(b)),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
-        |  FROM bands a JOIN bands c
-        |    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
-        |est AS (
-        |  SELECT d1, d2,
-        |    list_sum(list_transform(range(0, 8),
-        |      i -> CASE WHEN x.s[i+1] = y.s[i+1] THEN 1 ELSE 0 END)) AS m
-        |  FROM pairs JOIN sig x ON d1 = x.doc_id JOIN sig y ON d2 = y.doc_id)
+      s"""WITH $minhashEstCtes
         |SELECT d1, d2, CAST(m AS BIGINT) AS matches, m / 8.0 AS est_jaccard
         |FROM est WHERE m >= 6 ORDER BY d1, d2""".stripMargin,
+
+    // per-bucket digest of the SAME pair set (bucket = d1 % 64 — the
+    // production report's hash-bucketed layout); exact sums certify the
+    // report content without the gate ever ordering the full pair set
+    "q_dedup_minhash_bucketed" ->
+      s"""WITH $minhashEstCtes
+        |SELECT CAST(d1 % 64 AS INT) AS bucket,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(SUM(m) AS BIGINT) AS sum_matches,
+        |  CAST(SUM(d1) AS BIGINT) AS sum_d1,
+        |  CAST(SUM(d2) AS BIGINT) AS sum_d2
+        |FROM est WHERE m >= 6
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // same sig/band pipeline; base = doc_id%10<8, delta = the rest; the
     // oracle's DISTINCT equals the engine's minimal-band exactly-once trick

@@ -284,6 +284,41 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Per-cell diagnostics over the trained IVF quantizer — the table an
+    * index operator reads before retuning `nprobe`/recall on a
+    * billion-vector deployment: cell population (posting-list length —
+    * the scan cost of probing that cell), mean and minimum member cosine
+    * to the centroid (cell coherence / radius), and the count of EDGE
+    * vectors whose top-2 centroid margin is < 0.01 (vectors that flip
+    * cells under retraining and are exactly the ones multi-probe exists
+    * to rescue). All quantizer knobs are pinned to the oracle replay
+    * (first-16 seeds, one Lloyd step) like [[knnIvfPq]], so session
+    * confs can't diverge this face from `q_knn_ivf`'s trained model.
+    *
+    * Hash-exactness: means are exact-integer accumulated (qcs =
+    * floor(cs·10⁶ + 0.5) as BIGINT, one IEEE division at the end — the
+    * [[ivfModel]] Lloyd-step rule), and the edge test compares the
+    * INTEGER quantities (q1 − q2 < 10⁴), so no float-boundary flake in
+    * either engine. Scale shape: one pass over the already-persisted
+    * top-2 assignment, a 16-group aggregate — free next to training. */
+  def clusterProfile(s: SparkSession, d: String): DataFrame = {
+    val top2 = ivfTop2(s, d, lloydIters = 1, seeding = "first", objectiveEps = 0.0)
+    val q = top2.select(col("vec_id"), col("cent_id"), col("crk"),
+      expr("CAST(floor(cs * 1000000.0D + 0.5D) AS BIGINT)").as("qcs"))
+    val a1 = q.filter(col("crk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("qcs").as("q1"))
+    val a2 = q.filter(col("crk") === 2)
+      .select(col("vec_id"), col("qcs").as("q2"))
+    a1.join(a2, Seq("vec_id"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_size"),
+        (sum(col("q1")).cast("double") /
+          (count(lit(1)) * 1000000L).cast("double")).as("mean_cos"),
+        (min(col("q1")).cast("double") / 1000000.0).as("min_cos"),
+        sum(when(col("q1") - col("q2") < 10000L, 1L).otherwise(0L)).as("n_edge"))
+      .orderBy(col("cell"))
+  }
+
   /** (vec_id, s, sub): every vector split into its 8 double-typed
     * 8-dim subvectors — the frame both PQ stages run on. */
   private def pqSubs(s: SparkSession, d: String): DataFrame =
@@ -1131,6 +1166,7 @@ object Similarity {
     "q_knn_lsh" -> (knnLsh _),
     "q_knn_ivf" -> (knnIvf _),
     "q_knn_ivf_indexed" -> (knnIvfIndexed _),
+    "q_cluster_profile" -> (clusterProfile _),
     "q_knn_pq" -> (knnPq _),
     "q_knn_ivfpq" -> (knnIvfPq _),
     "q_embed_neardup" -> (embedNearDup _),
@@ -1140,8 +1176,6 @@ object Similarity {
     "q_semantic_dedup_lsh" -> (semanticDedupLsh _)
   )
 
-  /** The q_knn_ivf SQL replay, shared with q_knn_ivf_indexed (the
-    * indexed face is bit-equal by spec). */
   /** The IVF training replay (oracle-pinned seeds `vec_id < 16`, one
     * exact-integer Lloyd step, q6-cosine rescoring) up through the
     * per-vector assignment — shared verbatim by the `q_knn_ivf` family
@@ -1347,6 +1381,24 @@ object Similarity {
     // replays the SAME oracle — the DuckDB side has no notion of which
     // storage the engine served from
     "q_knn_ivf_indexed" -> ivfOracleSql,
+
+    // shares ivfTrainCtes verbatim with the q_knn_ivf family, so the
+    // profile and the serving faces describe the SAME trained quantizer
+    "q_cluster_profile" ->
+      s"""WITH $ivfTrainCtes,
+         |q AS (
+         |  SELECT vec_id, cent_id, crk,
+         |    CAST(floor(cs * 1000000.0 + 0.5) AS BIGINT) AS qcs
+         |  FROM scored),
+         |a1 AS (SELECT vec_id, cent_id AS cell, qcs AS q1 FROM q WHERE crk = 1),
+         |a2 AS (SELECT vec_id, qcs AS q2 FROM q WHERE crk = 2)
+         |SELECT a1.cell, COUNT(*) AS cell_size,
+         |  CAST(CAST(SUM(q1) AS BIGINT) AS DOUBLE)
+         |    / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mean_cos,
+         |  CAST(MIN(q1) AS DOUBLE) / 1000000.0 AS min_cos,
+         |  CAST(SUM(CASE WHEN q1 - q2 < 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_edge
+         |FROM a1 JOIN a2 USING (vec_id)
+         |GROUP BY a1.cell ORDER BY a1.cell""".stripMargin,
 
 
 

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Dedup
+import scala.jdk.CollectionConverters._
+
+/** The production (hash-bucketed, within-file-sorted) pair report must be
+  * a LAYOUT change only: identical pair content to the ordered catalog
+  * face, bucket = d1 % 64 on every row, every physical file an ordered
+  * (d1, d2) run. Runs at sf0.01 — the sf0.001 fixture can legitimately
+  * yield zero minhash pairs (CatalogSpec's mayBeEmpty allowlist), which
+  * would make the equality vacuous. */
+class PairReportSpec extends SparkFunSuite {
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("bucketed pair report: content-equal to ordered face, bucketed by d1, files sorted") {
+    val path = TempDirs.scratch("graft_pairrep_spec_").resolve("pairs").toString
+    try {
+      Dedup.writeMinhashPairReport(spark, sf01, path)
+      CacheScope.releaseAll()
+      val ordered = Dedup.dedupMinhash(spark, sf01).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+          r.getAs[Long]("matches"), r.getAs[Double]("est_jaccard")))
+      assert(ordered.nonEmpty, "fixture yields no pairs — equality would be vacuous")
+      val rows = spark.read.parquet(path).collect()
+      assert(rows.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Long]("matches"), r.getAs[Double]("est_jaccard"))).toSet
+        === ordered.toSet, "bucketed report content differs from the ordered face")
+      assert(rows.length === ordered.length,
+        "row count differs — a pair was dropped or double-written across buckets")
+      assert(rows.forall(r =>
+        r.getAs[Int]("bucket") === (r.getAs[Long]("d1") % 64).toInt),
+        "a row landed outside its d1 % 64 bucket")
+      // every physical file must be an internally (d1, d2)-ordered run —
+      // the property sortWithinPartitions buys INSTEAD of a global sort
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        .iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      assert(files.size > 1, "report should split across bucket files")
+      for (f <- files) {
+        val fr = spark.read.parquet(f).select("d1", "d2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(fr === fr.sorted, s"file $f is not (d1, d2)-sorted")
+      }
+    } finally CacheScope.releaseAll()
+  }
+}

@@ -151,4 +151,20 @@ class SimilaritySpec extends SparkFunSuite {
     assert(got.nonEmpty, "fixture mined no pairs — threshold vacuous")
     assert(got.map(_._1).distinct.size === got.size, "one best match per aid")
   }
+
+  test("cluster profile: partitions the corpus, coherent bounds, edge count sane") {
+    try {
+      val prof = Similarity.clusterProfile(spark, sf).collect()
+      val nVec = Tables.embeddings(spark, sf).count()
+      assert(prof.nonEmpty && prof.length <= 16, "trained quantizer has 16 seeds")
+      assert(prof.map(_.getAs[Long]("cell_size")).sum === nVec,
+        "crk=1 assignment must partition the corpus — sizes must sum to |vectors|")
+      prof.foreach { r =>
+        val (mean, min) = (r.getAs[Double]("mean_cos"), r.getAs[Double]("min_cos"))
+        assert(min <= mean && mean <= 1.000001 && min >= -1.000001,
+          s"cell ${r.getAs[Long]("cell")}: min_cos $min / mean_cos $mean out of order")
+        assert(r.getAs[Long]("n_edge") <= r.getAs[Long]("cell_size"))
+      }
+    } finally CacheScope.releaseAll()
+  }
 }
