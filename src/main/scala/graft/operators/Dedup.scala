@@ -1057,8 +1057,7 @@ object Dedup {
     * doc-local windows (doc-sized groups) for the gaps-and-islands run
     * length. Grams travel as md5 hashes, never as 10-token strings. */
   def spanDedup(s: SparkSession, d: String): DataFrame = {
-    val w = 10
-    val g = gramPositions(tokenized(documents(s, d)), w)
+    val g = gramPositions(tokenized(documents(s, d)), SpanGramWidth)
     val counts = g.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
     val dg = graft.CacheScope.track(
       g.join(counts, "gh")
@@ -1127,12 +1126,22 @@ object Dedup {
       s: SparkSession, docsIn: DataFrame, minCut: Int): DataFrame = {
     require(minCut >= 1,
       s"spark.graft.span.minCut must be >= 1, got $minCut")
-    val w = 10
     val docs = tokenized(docsIn)
-    val g = gramPositions(docs, w)
+    val g = gramPositions(docs, SpanGramWidth)
     val counts = g.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
     val dup = g.join(counts, "gh").filter(col("cnt") > 1)
       .select(col("doc_id"), col("i"))
+    spanRemovalTail(docs, dup, minCut)
+  }
+
+  /** The removal tail shared by the scan face ([[spanRemovalOf]]) and the
+    * index-served face ([[spanRemovalFromIndex]]): given the tokenized
+    * docs and their corpus-repeated gram positions `dup (doc_id, i)`,
+    * cut every qualifying maximal run and reassemble the cleaned text.
+    * The two faces can only differ in WHERE the gram counts came from. */
+  private def spanRemovalTail(
+      docs: DataFrame, dup: DataFrame, minCut: Int): DataFrame = {
+    val w = SpanGramWidth
     // gaps-and-islands over dup positions; a run of rl consecutive gram
     // positions covers rl + w - 1 tokens
     val cut = dup
@@ -1163,6 +1172,120 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
       .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted gram-count index — the production face of the span family.
+  // spanDedup/spanRemoval recompute the corpus-wide 10-gram counts
+  // inside every query; at 100 TB the gram-count table is built ONCE
+  // and grown incrementally — the postings/winnow index lifecycle
+  // (build/append/compact/serve with a geometry sidecar). Rows are
+  // per-(gram, doc) partial counts, so the index carries its own doc
+  // registry: append replay-safety is a column-pruned anti-join on the
+  // index's doc_id (exactly [[Retrieval.appendToPostingsIndex]]'s
+  // contract) and serving sums partials per gram hash — growth never
+  // rewrites existing data, and within-doc repeats keep their exact
+  // multiplicity.
+  // ------------------------------------------------------------------
+
+  /** Token gram width of the span family — the index GEOMETRY: counts
+    * collected at one width are meaningless to a reader expecting
+    * another, so the `_gram_meta` sidecar records it fail-fast. */
+  private[graft] val SpanGramWidth = 10
+
+  /** Gram-hash partition count; the first 4 hex chars of the md5 gram
+    * hash are already uniform, so `% 64` buckets evenly with no re-hash
+    * (mirrors [[TextAnalysis.WinnowBuckets]] / [[PairBuckets]]). */
+  private[graft] val GramBuckets = 64
+
+  private def gramBucketCol =
+    pmod(conv(substring(col("gh"), 1, 4), 16, 10).cast("long"),
+      lit(GramBuckets.toLong)).cast("int")
+
+  private def requireGramMeta(s: SparkSession, path: String): Unit = {
+    val m = s.read.parquet(path + "/_gram_meta").select(col("w")).collect()(0)
+    require(m.getInt(0) == SpanGramWidth,
+      s"gram index at $path was built at w=${m.getInt(0)} but this engine's " +
+        s"span family runs at w=$SpanGramWidth — rebuild the index")
+  }
+
+  /** Build the gram-count index at `path`: per-(gram, doc) counts
+    * partitioned by `gh`-prefix % 64, one file per bucket, plus the
+    * one-row `_gram_meta` (w) geometry sidecar. */
+  def writeGramIndex(s: SparkSession, d: String, path: String): Unit =
+    writeGramIndexOf(documents(s, d), path)
+
+  /** [[writeGramIndex]] over any (doc_id, text) frame — the unit the
+    * spec uses to index a partial corpus before growing it. */
+  def writeGramIndexOf(docs: DataFrame, path: String): Unit = {
+    val s = docs.sparkSession
+    gramPositions(tokenized(docs), SpanGramWidth)
+      .groupBy(col("gh"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", gramBucketCol)
+      .repartition(GramBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    s.range(1).select(lit(SpanGramWidth).as("w"))
+      .coalesce(1).write.mode("overwrite").parquet(path + "/_gram_meta")
+  }
+
+  /** Index GROWTH, replay-safe under at-least-once delivery: already
+    * indexed doc_ids are anti-joined out (column-pruned read of the
+    * index's own doc_id column — no separate registry to drift), fresh
+    * docs' partial counts append into their bucket partitions, one new
+    * file per bucket per batch, conf-gated small-file compaction. */
+  def appendToGramIndex(batch: DataFrame, path: String): Unit = {
+    val s = batch.sparkSession
+    requireGramMeta(s, path)
+    val existing = s.read.parquet(path).select(col("doc_id")).distinct()
+    val fresh = batch.join(existing, Seq("doc_id"), "left_anti")
+    gramPositions(tokenized(fresh), SpanGramWidth)
+      .groupBy(col("gh"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", gramBucketCol)
+      .repartition(col("bucket")) // one new file per bucket per batch
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    IndexMaintenance.maybeCompactPartitioned(s, path)
+  }
+
+  /** Serve [[spanRemoval]] from a [[writeGramIndex]] table — bit-equal
+    * by construction: the probe side grams with the SAME
+    * [[gramPositions]] core and the cut/reassemble tail is the SAME
+    * [[spanRemovalTail]]; only the origin of the counts differs
+    * (SUM of stored partials instead of an in-query corpus pass —
+    * SpanIndexSpec asserts equality at two SFs). The index read is
+    * pruned to the PROBE's gram buckets (≤ 64 ints collected to the
+    * driver, pushed as a literal partition filter — one cheap pass over
+    * the persisted probe grams): a gram absent from the probe cannot
+    * produce a cut, so skipping its bucket is sound, and a small probe
+    * set touches a handful of bucket directories. The corpus is never
+    * re-grammed here — that is the point of the index. */
+  def spanRemovalFromIndex(
+      docsIn: DataFrame, indexPath: String, minCut: Int): DataFrame = {
+    val s = docsIn.sparkSession
+    requireGramMeta(s, indexPath)
+    require(minCut >= 1,
+      s"spark.graft.span.minCut must be >= 1, got $minCut")
+    val docs = tokenized(docsIn)
+    val g = graft.CacheScope.track(
+      gramPositions(docs, SpanGramWidth).persist())
+    val buckets = g.select(gramBucketCol.as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ 64 rows by construction
+    val dupGrams = s.read.parquet(indexPath)
+      .filter(col("bucket").isin(buckets: _*))
+      .groupBy(col("gh")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") > 1).select(col("gh"))
+    val dup = g.join(dupGrams, "gh").select(col("doc_id"), col("i"))
+    spanRemovalTail(docs, dup, minCut)
+  }
+
+  /** Catalog face: index the corpus in scratch, then serve the removal
+    * of the SAME corpus from the files — shares `q_span_removal`'s
+    * oracle verbatim (the persisted hop must be bit-invisible: the
+    * index holds every doc, so summed partials equal the scan counts). */
+  def spanRemovalIndexed(s: SparkSession, d: String): DataFrame = {
+    val path = graft.TempDirs.scratch("graft_gramidx_").resolve("grams").toString
+    writeGramIndex(s, d, path)
+    spanRemovalFromIndex(documents(s, d), path,
+      graft.GraftConf.int(s, "spark.graft.span.minCut", 50))
   }
 
   /** 32-bit SimHash per document, computed entirely per-row (nested
@@ -1216,6 +1339,7 @@ object Dedup {
     "q_minhash_udaf" -> (minhashUdaf _),
     "q_span_dedup" -> (spanDedup _),
     "q_span_removal" -> (spanRemoval _),
+    "q_span_removal_indexed" -> (spanRemovalIndexed _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_normalized" -> (dedupNormalized _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -1259,6 +1383,51 @@ object Dedup {
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
       |LEFT JOIN best ON d.doc_id = best.delta_doc
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Shared VERBATIM by `q_span_removal` (in-query corpus gram counts)
+    * and `q_span_removal_indexed` (counts summed from the persisted
+    * gram index): the index hop must be bit-invisible in the result. */
+  private val spanRemovalOracleSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |ix AS (
+      |  SELECT doc_id, toks, unnest(range(1, n - 8)) AS i
+      |  FROM t WHERE n >= 10),
+      |g AS (
+      |  SELECT doc_id, i,
+      |    md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS gh
+      |  FROM ix),
+      |c AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1),
+      |dup AS (SELECT doc_id, i FROM g JOIN c USING (gh)),
+      |runs AS (
+      |  SELECT doc_id, i,
+      |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+      |  FROM dup),
+      |cut AS (
+      |  SELECT doc_id, MIN(i) AS start, COUNT(*) AS rl
+      |  FROM runs GROUP BY doc_id, isl
+      |  HAVING COUNT(*) + 9 >= 50),
+      |nsp AS (SELECT doc_id, COUNT(*) AS n_spans_cut FROM cut GROUP BY doc_id),
+      |rem AS (
+      |  SELECT DISTINCT doc_id, pos FROM (
+      |    SELECT doc_id, unnest(range(start, start + rl + 9)) AS pos FROM cut)),
+      |tokix AS (SELECT doc_id, toks, unnest(range(1, n + 1)) AS pos FROM t),
+      |tok AS (SELECT doc_id, pos, toks[pos] AS tok FROM tokix),
+      |kept AS (SELECT doc_id, pos, tok FROM tok ANTI JOIN rem USING (doc_id, pos)),
+      |clean AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, t.n AS n_tokens,
+      |  COALESCE(nsp.n_spans_cut, 0) AS n_spans_cut,
+      |  t.n - COALESCE(clean.n_kept, 0) AS n_removed,
+      |  COALESCE(clean.text_clean, '') AS text_clean
+      |FROM t
+      |LEFT JOIN nsp USING (doc_id)
+      |LEFT JOIN clean USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
 
   /** The sig→bands→pairs→est replay shared VERBATIM by `q_dedup_minhash`
     * (ordered report) and `q_dedup_minhash_bucketed` (per-bucket digest
@@ -1338,47 +1507,11 @@ object Dedup {
     // same gram/count/runs chain as q_span_dedup, then the cut runs are
     // exploded into covered positions, unioned (DISTINCT), anti-joined
     // out of the token stream, and the survivors reassembled in order
-    "q_span_removal" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-        |  FROM documents),
-        |ix AS (
-        |  SELECT doc_id, toks, unnest(range(1, n - 8)) AS i
-        |  FROM t WHERE n >= 10),
-        |g AS (
-        |  SELECT doc_id, i,
-        |    md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS gh
-        |  FROM ix),
-        |c AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1),
-        |dup AS (SELECT doc_id, i FROM g JOIN c USING (gh)),
-        |runs AS (
-        |  SELECT doc_id, i,
-        |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS isl
-        |  FROM dup),
-        |cut AS (
-        |  SELECT doc_id, MIN(i) AS start, COUNT(*) AS rl
-        |  FROM runs GROUP BY doc_id, isl
-        |  HAVING COUNT(*) + 9 >= 50),
-        |nsp AS (SELECT doc_id, COUNT(*) AS n_spans_cut FROM cut GROUP BY doc_id),
-        |rem AS (
-        |  SELECT DISTINCT doc_id, pos FROM (
-        |    SELECT doc_id, unnest(range(start, start + rl + 9)) AS pos FROM cut)),
-        |tokix AS (SELECT doc_id, toks, unnest(range(1, n + 1)) AS pos FROM t),
-        |tok AS (SELECT doc_id, pos, toks[pos] AS tok FROM tokix),
-        |kept AS (SELECT doc_id, pos, tok FROM tok ANTI JOIN rem USING (doc_id, pos)),
-        |clean AS (
-        |  SELECT doc_id, COUNT(*) AS n_kept,
-        |    array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
-        |  FROM kept GROUP BY doc_id)
-        |SELECT t.doc_id, t.n AS n_tokens,
-        |  COALESCE(nsp.n_spans_cut, 0) AS n_spans_cut,
-        |  t.n - COALESCE(clean.n_kept, 0) AS n_removed,
-        |  COALESCE(clean.text_clean, '') AS text_clean
-        |FROM t
-        |LEFT JOIN nsp USING (doc_id)
-        |LEFT JOIN clean USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin,
+    "q_span_removal" -> spanRemovalOracleSql,
+
+    // the persisted gram-count-index hop must be bit-invisible, so the
+    // index-served face shares the scan face's oracle verbatim
+    "q_span_removal_indexed" -> spanRemovalOracleSql,
 
     "q_minhash_udaf" ->
       """WITH sig AS (
