@@ -42,6 +42,14 @@ import org.apache.spark.sql.SparkSession
   *        trigram position. One-sided approximation (CMS never
   *        underestimates a count): per doc `n_rare` can only shrink, so
   *        the kept set only GROWS — conservative for a keep-filter.
+  *      - `spark.graft.containment.maxDocsPerShingle=10000` —
+  *        hot-shingle guard on the containment prefix join. The prefix
+  *        lemma is powerless against IDENTICAL shingle sets (a
+  *        boilerplate group's rarest shingles are themselves hot), so
+  *        the guard joins cold postings only and stars exact-identical
+  *        all-hot groups to their minimum — result-identical on healthy
+  *        input (adaptive probe, like `lsh.maxBucket`); on pathological
+  *        input non-identical hot-shingle pairs are dropped.
   *      - `spark.graft.winnow.maxDocsPerFp=10000` — hot-fingerprint
   *        guard on the winnowing match join (the fp self-equi-join is
   *        the LSH hot-bucket shape: one boilerplate fingerprint shared
@@ -73,6 +81,7 @@ object GraftConf {
     * not explicitly set. See the object doc for the per-key rationale. */
   val scaleDefaults: Map[String, String] = Map(
     "spark.graft.lsh.maxBucket" -> "10000",
+    "spark.graft.containment.maxDocsPerShingle" -> "10000",
     "spark.graft.semdedup.lsh" -> "true",
     "spark.graft.dedup.reliableCheckpoint" -> "true",
     "spark.graft.dedup.shareClusters" -> "true",
@@ -156,6 +165,7 @@ object GraftConf {
     "spark.graft.bitext.minMargin",
     "spark.graft.checkpointDir",
     "spark.graft.classifier.vocabK",
+    "spark.graft.containment.maxDocsPerShingle",
     "spark.graft.corpus.boilerBlock",
     "spark.graft.corpus.boilerDf",
     "spark.graft.corpus.cdcDivisor",

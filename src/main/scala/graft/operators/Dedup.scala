@@ -892,7 +892,10 @@ object Dedup {
     * alphabet is tiny, so xxhash64 collisions are a non-concern for
     * count semantics.) */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(col("doc_id"), col("source"),
+    shingleSetsOf(documents(s, d))
+
+  private def shingleSetsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
       expr("""CASE WHEN length(text) >= 3
              |  THEN array_sort(array_distinct(transform(
              |    sequence(1, length(text) - 2), i -> xxhash64(substring(text, i, 3)))))
@@ -1005,9 +1008,54 @@ object Dedup {
     * fit. Verification is the same codegen merge-walk intersect, and the
     * final test `5·inter ≥ 4·na` never touches a float. */
   def dedupContainment(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(s)
-    val sh = cachedShingles(s, d)
+    containmentPairsOf(cachedShingles(s, d), containmentMaxDocsPerShingle(s))
+  }
+
+  /** Conf-gated containment hot-shingle cap
+    * (`spark.graft.containment.maxDocsPerShingle`); 0 (default, what the
+    * oracle replays) = unguarded. The scale profile sets 10000 — the
+    * same dial family as `lsh.maxBucket`/`winnow.maxDocsPerFp`. */
+  private[operators] def containmentMaxDocsPerShingle(s: SparkSession): Int =
+    graft.GraftConf.int(s, "spark.graft.containment.maxDocsPerShingle", 0)
+
+  /** Test seam: guarded containment over an arbitrary
+    * (doc_id, source, text) frame (ContainmentGuardSpec drives it with
+    * an adversarial boilerplate corpus). */
+  private[graft] def containmentPairsGuarded(docs: DataFrame, cap: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val sh = graft.CacheScope.track(shingleSetsOf(docs).persist())
+    sh.count()
+    containmentPairsOf(sh, cap)
+  }
+
+  /** Containment pipeline over a cached shingle table.
+    *
+    * cap <= 0: plain prefix-filtered candidate join (AllPairs lemma) —
+    * what the DuckDB oracle replays.
+    *
+    * cap > 0: the DEGENERATE-SHINGLE guard. The prefix filter protects
+    * against hot shingles only when they are NOT the rarest a doc has;
+    * a boilerplate group of m exact copies makes the copies' RAREST
+    * shingles themselves df = m hot, so every copy keeps them in its
+    * prefix and the candidate join emits m² pairs — the prefix lemma is
+    * powerless against identical sets (measured: the ScaleSmoke hot
+    * corpus' 20k-copy group is ~4·10⁸ candidates unguarded). The guard
+    * mirrors [[pairsFromBands]]:
+    *  - shingles with df > cap are counted once and BROADCAST; cold
+    *    candidate generation ranks prefixes over each doc's COLD
+    *    shingles (global-df order, full-set prefix bound) and joins
+    *    cold postings only — per-shingle fan-out ≤ cap;
+    *  - docs with NO cold shingle route to the exact-set star path:
+    *    group by (source, md5 of the full shingle array), emit member →
+    *    min-doc edges with containment 1.0 (g − 1 edges, no recall loss
+    *    for true copies: an identical group bigger than cap is hot in
+    *    every shingle). Hot-shingle pairs that are NOT identical sets
+    *    are dropped — the documented recall trade, same as the LSH
+    *    guard's. Adaptive: a healthy corpus (no hot shingle) runs the
+    *    exact unguarded plan after one cheap counting probe. */
+  private def containmentPairsOf(sh: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // the posting list feeds three consumers but is NOT cached: exploding
     // the (cached) shingle table is a codegen-cheap streaming op, and
     // materializing the 10M-row posting list was measured SLOWER at
@@ -1017,18 +1065,20 @@ object Dedup {
       size(col("shingles")).as("n"), explode(col("shingles")).as("sh"))
     val freq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // contained-side prefixes: n - ceil(0.8n) + 1 = n - (4n+4) DIV 5 + 1
-    val prefixes = exploded.join(freq, "sh")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
-      .filter(col("rk") <= expr("n - (4*n + 4) DIV 5 + 1"))
-      .select(col("sh"), col("source"), col("doc_id"), col("n"))
-    val candidates = prefixes.as("a").join(exploded.as("b"),
-        col("a.sh") === col("b.sh") && col("a.source") === col("b.source") &&
-        col("a.doc_id") =!= col("b.doc_id") &&
-        lit(5) * col("b.n") >= lit(4) * col("a.n"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    candidates
+    def candidatesFrom(expl: DataFrame): DataFrame = {
+      val prefixes = expl.join(freq, "sh")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+        .filter(col("rk") <= expr("n - (4*n + 4) DIV 5 + 1"))
+        .select(col("sh"), col("source"), col("doc_id"), col("n"))
+      prefixes.as("a").join(expl.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") === col("b.source") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          lit(5) * col("b.n") >= lit(4) * col("a.n"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+    }
+    def verified(cand: DataFrame): DataFrame = cand
       .join(sh.select(col("doc_id").as("d1"), col("shingles").as("sh1"),
         size(col("shingles")).as("n1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
@@ -1037,7 +1087,29 @@ object Dedup {
       .select(col("d1").as("contained_id"), col("d2").as("container_id"),
         col("inter"),
         (col("inter").cast("double") / col("n1")).as("containment"))
-      .orderBy(col("contained_id"), col("container_id"))
+    def ordered(out: DataFrame): DataFrame =
+      out.orderBy(col("contained_id"), col("container_id"))
+    if (cap <= 0) return ordered(verified(candidatesFrom(exploded)))
+    val hot = graft.CacheScope.track(
+      freq.filter(col("df") > cap).select(col("sh")).persist())
+    if (hot.isEmpty) return ordered(verified(candidatesFrom(exploded)))
+    val cold = exploded.join(broadcast(hot), Seq("sh"), "left_anti")
+    val coldPairs = verified(candidatesFrom(cold))
+    // docs with no cold shingle vanish from the join above; identical
+    // sets among them star to the group minimum (containment exactly 1)
+    val keyed = sh.filter(size(col("shingles")) > 0)
+      .join(cold.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        size(col("shingles")).cast("long").as("inter"),
+        expr("md5(array_join(transform(shingles, x -> CAST(x AS STRING)), ','))")
+          .as("k"))
+    val stars = keyed
+      .join(keyed.groupBy(col("source"), col("k"))
+        .agg(min(col("doc_id")).as("rep")), Seq("source", "k"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("contained_id"), col("rep").as("container_id"),
+        col("inter"), lit(1.0).as("containment"))
+    ordered(coldPairs.unionByName(stars))
   }
 
   /** Repeated-SPAN profile — the data side of exact-substring dedup

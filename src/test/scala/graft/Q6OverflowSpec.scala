@@ -67,7 +67,8 @@ class Q6OverflowSpec extends SparkFunSuite {
     val rows = Seq.fill(300) {
       val dl = 1L + rnd.nextInt(1000000)
       (math.min(1L + rnd.nextInt(10000).toLong, dl), dl,
-        1L + math.abs(rnd.nextLong()) % 1000000000000L)
+        // & Long.MaxValue, not math.abs: abs(Long.MinValue) is negative
+        1L + (rnd.nextLong() & Long.MaxValue) % 1000000000000L)
     }
     for ((nD, aL) <- Seq((1000L, 200000L), (100000000000L, 20000000000000L),
         (10000000000000L, 1000000000000000L))) {

@@ -87,6 +87,25 @@ class ScaleSmokeSpec extends SparkFunSuite {
       "cross-copy token overlap — winnow/BM25 would see phantom matches")
   }
 
+  test("digits are bijected too: no verbatim char leaks across copies") {
+    // the earlier 26-letter map left digits shared verbatim — cross-copy
+    // shingle collisions waiting on a fixture with numbers in it
+    import spark.implicits._
+    val src = TempDirs.scratch("graft_smokespec_digits_")
+    Seq((1L, "version 2 of doc 42 rev 7", "en", "s1", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(src.resolve("documents.parquet").toString)
+    Seq((1L, Array.fill(4)(1.0f), "a"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(src.resolve("embeddings.parquet").toString)
+    val out = TempDirs.scratch("graft_smokespec_digits_out_").toString
+    ScaleSmoke.buildScaled(spark, src.toString, 2, out)
+    val leaked = spark.read.parquet(s"$out/documents.parquet")
+      .filter(col("doc_id") >= 1000000000L)
+      .filter(col("text").rlike("[a-z0-9]")).count()
+    assert(leaked === 0, "a letter or digit survived the copy bijection verbatim")
+  }
+
   test("embedding copies keep norms exactly and decorrelate across copies") {
     graft.functions.VectorFunctions.register(spark)
     val out = build(2)
