@@ -446,4 +446,99 @@ class StreamingSpec extends SparkFunSuite {
     assert(delayedOpen <= zeroOpen)
     assert(delayedOpen > 0, "delayed variant emitted no null-extended rows at all")
   }
+
+  test("contamination monitor survives kill/restart: checkpoint resumes, no index regrowth, forensics stable") {
+    // The hard failure path of the streaming ingest face: a RocksDB-
+    // checkpointed file-source query runs the monitor, is KILLED after
+    // two committed batches, and restarts from its checkpoint. Proof
+    // obligations: (1) the restart resumes at the offset — committed
+    // batches are not reprocessed; (2) an upstream REDELIVERY of an
+    // already-ingested doc after the restart re-reports its leak
+    // (flag-before-ingest is at-least-once on purpose) but appends
+    // nothing — no index regrowth; (3) offline forensics over the grown
+    // index equal the online reports.
+    val s = spark
+    import s.implicits._
+    val root = TempDirs.scratch("graft_monitor_restart_")
+    val (in, ckpt) = (root.resolve("in"), root.resolve("ckpt"))
+    java.nio.file.Files.createDirectories(in)
+    val leak = (1 to 12).map(i => s"rk$i").mkString(" ")
+    val evalDocs = Seq(
+      901L -> s"e1 e2 e3 $leak e4 e5 e6 e7",
+      902L -> "cl2a cl2b cl2c cl2d cl2e cl2f cl2g cl2h").toDF("doc_id", "text")
+    val idx = root.resolve("train").toString
+    operators.TextAnalysis.writeWinnowIndexOf(
+      Seq(1L -> "seed1a seed1b seed1c seed1d seed1e seed1f seed1g seed1h")
+        .toDF("doc_id", "text"), idx)
+    s.conf.set("spark.graft.winnow.minShared", "1")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evalSel = CacheScope.track(
+        operators.TextAnalysis.winnowSelectionOf(evalDocs).persist())
+      val reports = collection.mutable.ArrayBuffer.empty[Seq[String]]
+      def writeBatch(rows: Seq[(Long, String)]): Unit =
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("append").parquet(in.toString)
+      def start() = s.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          reports += operators.TextAnalysis
+            .contaminationMonitorBatch(b.toDF(), evalSel, idx)
+            .collect().map(_.toString).toSeq
+          ()
+        }
+        .start()
+      writeBatch(Seq(10L -> "c10a c10b c10c c10d c10e c10f c10g c10h"))
+      writeBatch(Seq(
+        20L -> s"t1 t2 t3 t4 $leak t5 t6 t7",
+        21L -> "c21a c21b c21c c21d c21e c21f c21g c21h"))
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop() // the kill: both batches committed, query gone
+      val afterKill = reports.toList
+      assert(afterKill.size === 2 && afterKill.head.isEmpty)
+      assert(afterKill(1).exists(_.contains("[901,20,")),
+        s"leak not flagged before the kill: ${afterKill(1)}")
+      // upstream at-least-once: doc 20 REDELIVERED after the crash,
+      // alongside a genuinely new doc
+      writeBatch(Seq(
+        20L -> s"t1 t2 t3 t4 $leak t5 t6 t7",
+        30L -> "c30a c30b c30c c30d c30e c30f c30g c30h"))
+      val q2 = start()
+      try q2.processAllAvailable()
+      finally q2.stop()
+      // (1) exactly ONE new batch ran: the checkpoint held offsets for
+      // the two committed files — no reprocessing after the restart
+      assert(reports.size === 3,
+        s"restart reprocessed committed batches: ${reports.size} reports")
+      // (2) the redelivered doc re-reports its leak IDENTICALLY
+      assert(reports(2) === afterKill(1),
+        "redelivered doc's report diverged from its first run")
+      // …and appended nothing: every id exactly once, 30 arrived
+      val ids = s.read.parquet(idx).groupBy(col("doc_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ids.keySet === Set(1L, 10L, 20L, 21L, 30L), s"index ids: $ids")
+      // no doc's selection was double-appended (regrowth would double
+      // its per-doc fingerprint rows via duplicate (doc, fp) files)
+      val dupFps = s.read.parquet(idx)
+        .groupBy(col("doc_id"), col("fp"), col("first_pos")).count()
+        .filter(col("count") > 1).count()
+      assert(dupFps === 0, "replayed append duplicated fingerprint rows")
+      // (3) offline forensics over the grown index == the online report
+      val offline = operators.TextAnalysis.contaminationFromIndex(
+        evalDocs.select(col("doc_id"), col("text")), idx)
+        .collect().map(_.toString).toSeq
+      assert(offline === afterKill(1),
+        s"offline forensics diverge from the monitor: $offline vs ${afterKill(1)}")
+    } finally {
+      s.conf.unset("spark.graft.winnow.minShared")
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      CacheScope.releaseAll()
+    }
+  }
 }
