@@ -1131,9 +1131,18 @@ object Dedup {
   def spanDedup(s: SparkSession, d: String): DataFrame = {
     val g = gramPositions(tokenized(documents(s, d)), SpanGramWidth)
     val counts = g.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
+    spanDedupTail(g, counts.filter(col("cnt") > 1).select(col("gh")))
+  }
+
+  /** The profile tail shared by the scan face ([[spanDedup]]) and the
+    * index-served face ([[spanDedupFromIndex]]): per-doc position/dup
+    * counts and the longest dup run, given the gram positions and the
+    * set of corpus-repeated gram hashes. */
+  private def spanDedupTail(g: DataFrame, dupGrams: DataFrame): DataFrame = {
     val dg = graft.CacheScope.track(
-      g.join(counts, "gh")
-        .select(col("doc_id"), col("i"), (col("cnt") > 1).as("dup"))
+      g.join(dupGrams.withColumn("isdup", lit(true)), Seq("gh"), "left")
+        .select(col("doc_id"), col("i"),
+          coalesce(col("isdup"), lit(false)).as("dup"))
         .persist())
     val base = dg.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pos"),
