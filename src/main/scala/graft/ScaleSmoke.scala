@@ -46,7 +46,8 @@ object ScaleSmoke {
     * `_lsh`/`_ivf` variants exist. */
   val heavyQueries: Seq[String] = Seq(
     "q_dedup_minhash", "q_dedup_minhash_bucketed",
-    "q_dedup_ngram", "q_dedup_containment",
+    "q_dedup_ngram", "q_dedup_ngram_bucketed",
+    "q_dedup_containment", "q_dedup_containment_bucketed",
     "q_dedup_clusters", "q_span_dedup", "q_cdc_dedup",
     "q_semantic_dedup_lsh", "q_knn_ivf_indexed",
     "q_winnow_fingerprints", "q_winnow_matches",
@@ -122,6 +123,13 @@ object ScaleSmoke {
     val workDir = args(2)
     val hotMode = args.length > 3 && args(3) == "hot"
     require(factor >= 2, "factor must be >= 2")
+    // copy i maps the 36-char alphabet into [0x0100 + 36i, 0x0100 + 36i
+    // + 35]; factor 14 is the last whose top copy stays below U+0300 —
+    // beyond that the map enters combining diacritics (still bijective
+    // and whitespace-free, but unaudited for the engine's text stages)
+    require(factor <= 14,
+      s"factor $factor exceeds the audited codepoint window (<= 14: " +
+        "copies must stay below U+0300 combining diacritics)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // same scale-experiment dial as Bench: larger derived corpora need
     // more shuffle partitions than local cores

@@ -35,6 +35,29 @@ object TempDirs {
     p
   }
 
+  private val keyed =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Path]()
+
+  /** Session-stable scratch dir per (prefix, key) — for catalog faces
+    * that stage a full derived artifact (pair report, gram index) per
+    * invocation: Bench reps=3 plus ScaleSmoke's base+scaled passes would
+    * otherwise accumulate several complete copies in /tmp before the
+    * exit hook fires. Re-entry with the same key returns the SAME dir;
+    * the caller's `write.mode("overwrite")` refreshes content in place.
+    * Hazard, accepted and documented: a frame returned by a PREVIOUS
+    * invocation that is still lazily unread becomes invalid at the next
+    * same-key overwrite — catalog/bench consumers always exhaust the
+    * frame before re-entry, which is the use this exists for. */
+  def scratchFor(prefix: String, key: String): Path = {
+    hookInstalled
+    keyed.computeIfAbsent((prefix, key), _ => {
+      val p = Files.createTempDirectory(
+        Paths.get(sys.props("java.io.tmpdir")), prefix)
+      registered.add(p)
+      p
+    })
+  }
+
   /** Best-effort recursive delete (exit hook + eager callers). */
   def delete(root: Path): Unit =
     if (Files.exists(root)) {

@@ -123,13 +123,17 @@ object Dedup {
     * already uniform) mirrors [[graft.operators.TextAnalysis.WinnowBuckets]]. */
   private[graft] val PairBuckets = 64
 
-  /** Write any (d1, d2, ...) pair frame hash-bucketed by `d1 % 64`,
-    * each bucket one file, rows (d1, d2)-sorted within the file. */
-  private[graft] def writePairReport(pairs: DataFrame, path: String): Unit =
+  /** Write any pair frame hash-bucketed by `k1 % 64`, each bucket one
+    * file, rows (k1, k2)-sorted within the file. The key columns are
+    * parameters because the pair families disagree on names only
+    * (minhash/ngram: d1/d2; containment: contained_id/container_id) —
+    * the layout contract is identical. */
+  private[graft] def writePairReport(pairs: DataFrame, path: String,
+      k1: String = "d1", k2: String = "d2"): Unit =
     pairs
-      .withColumn("bucket", pmod(col("d1"), lit(PairBuckets.toLong)).cast("int"))
+      .withColumn("bucket", pmod(col(k1), lit(PairBuckets.toLong)).cast("int"))
       .repartition(PairBuckets, col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("d1"), col("d2"))
+      .sortWithinPartitions(col("bucket"), col(k1), col(k2))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** The [[dedupMinhash]] report (same pipeline, same columns, no total
@@ -149,13 +153,64 @@ object Dedup {
     * by the digest here (any lost/corrupted pair moves a sum) plus
     * PairReportSpec's row-level set equality to [[dedupMinhash]]. */
   def dedupMinhashBucketed(s: SparkSession, d: String): DataFrame = {
-    val path = graft.TempDirs.scratch("graft_pairrep_").resolve("pairs").toString
+    val path = graft.TempDirs.scratchFor("graft_pairrep_", d)
+      .resolve("pairs").toString
     writeMinhashPairReport(s, d, path)
     s.read.parquet(path)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("matches")).as("sum_matches"),
         sum(col("d1")).as("sum_d1"), sum(col("d2")).as("sum_d2"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The [[dedupNgram]] pair set written via [[writePairReport]] — the
+    * production shape of the ngram report (same gate-imposed global-sort
+    * escape as the minhash report; the containment twin is
+    * [[writeContainmentPairReport]]). */
+  private[graft] def writeNgramPairReport(
+      s: SparkSession, d: String, path: String): Unit =
+    writePairReport(ngramPairsCore(s, d), path)
+
+  /** Catalog face: bucketed ngram pair report digested per bucket
+    * (n_pairs + exact integer sums — any lost/corrupted pair moves a
+    * sum; row-level set equality is PairReportSpec's half). */
+  def dedupNgramBucketed(s: SparkSession, d: String): DataFrame = {
+    val path = graft.TempDirs.scratchFor("graft_ngramrep_", d)
+      .resolve("pairs").toString
+    writeNgramPairReport(s, d, path)
+    s.read.parquet(path)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("inter")).as("sum_inter"),
+        sum(col("d1")).as("sum_d1"), sum(col("d2")).as("sum_d2"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The [[dedupContainment]] pair set written via [[writePairReport]],
+    * bucketed by `contained_id % 64`. */
+  private[graft] def writeContainmentPairReport(
+      s: SparkSession, d: String, path: String): Unit = {
+    graft.functions.VectorFunctions.register(s)
+    writePairReport(
+      containmentPairsCore(cachedShingles(s, d), containmentMaxDocsPerShingle(s)),
+      path, k1 = "contained_id", k2 = "container_id")
+  }
+
+  /** Catalog face: bucketed containment pair report digested per bucket
+    * (the containment column is a double whose per-bucket SUM would be
+    * addition-order-sensitive, so the digest certifies the integer
+    * columns only — inter + both ids pin the pair set exactly). */
+  def dedupContainmentBucketed(s: SparkSession, d: String): DataFrame = {
+    val path = graft.TempDirs.scratchFor("graft_contrep_", d)
+      .resolve("pairs").toString
+    writeContainmentPairReport(s, d, path)
+    s.read.parquet(path)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("inter")).as("sum_inter"),
+        sum(col("contained_id")).as("sum_contained"),
+        sum(col("container_id")).as("sum_container"))
       .orderBy(col("bucket"))
   }
 
@@ -956,7 +1011,13 @@ object Dedup {
     * t — semantics-preserving: jaccard <= min/max) and verified with the
     * codegen'd merge-walk intersect — |candidates| linear merges, never a
     * per-shingle join blowup. */
-  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    ngramPairsCore(s, d).orderBy(col("d1"), col("d2"))
+
+  /** The verified ngram pair set WITHOUT the catalog gate's total order —
+    * shared by [[dedupNgram]] (adds the order) and
+    * [[writeNgramPairReport]] (bucketed production layout). */
+  private def ngramPairsCore(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val sh = cachedShingles(s, d)
     ngramCandidates(sh)
@@ -971,7 +1032,6 @@ object Dedup {
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= 0.6)
       .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
-      .orderBy(col("d1"), col("d2"))
   }
 
   /** Candidate-efficiency stats for the prefix filter (spec-checked:
@@ -1054,7 +1114,13 @@ object Dedup {
     *    are dropped — the documented recall trade, same as the LSH
     *    guard's. Adaptive: a healthy corpus (no hot shingle) runs the
     *    exact unguarded plan after one cheap counting probe. */
-  private def containmentPairsOf(sh: DataFrame, cap: Int): DataFrame = {
+  private def containmentPairsOf(sh: DataFrame, cap: Int): DataFrame =
+    containmentPairsCore(sh, cap)
+      .orderBy(col("contained_id"), col("container_id"))
+
+  /** [[containmentPairsOf]] WITHOUT the catalog gate's total order —
+    * the seam [[writeContainmentPairReport]] buckets instead of sorting. */
+  private def containmentPairsCore(sh: DataFrame, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the posting list feeds three consumers but is NOT cached: exploding
     // the (cached) shingle table is a codegen-cheap streaming op, and
@@ -1087,12 +1153,10 @@ object Dedup {
       .select(col("d1").as("contained_id"), col("d2").as("container_id"),
         col("inter"),
         (col("inter").cast("double") / col("n1")).as("containment"))
-    def ordered(out: DataFrame): DataFrame =
-      out.orderBy(col("contained_id"), col("container_id"))
-    if (cap <= 0) return ordered(verified(candidatesFrom(exploded)))
+    if (cap <= 0) return verified(candidatesFrom(exploded))
     val hot = graft.CacheScope.track(
       freq.filter(col("df") > cap).select(col("sh")).persist())
-    if (hot.isEmpty) return ordered(verified(candidatesFrom(exploded)))
+    if (hot.isEmpty) return verified(candidatesFrom(exploded))
     val cold = exploded.join(broadcast(hot), Seq("sh"), "left_anti")
     val coldPairs = verified(candidatesFrom(cold))
     // docs with no cold shingle vanish from the join above; identical
@@ -1109,7 +1173,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("contained_id"), col("rep").as("container_id"),
         col("inter"), lit(1.0).as("containment"))
-    ordered(coldPairs.unionByName(stars))
+    coldPairs.unionByName(stars)
   }
 
   /** Repeated-SPAN profile — the data side of exact-substring dedup
@@ -1313,12 +1377,23 @@ object Dedup {
     * indexed doc_ids are anti-joined out (column-pruned read of the
     * index's own doc_id column — no separate registry to drift), fresh
     * docs' partial counts append into their bucket partitions, one new
-    * file per bucket per batch, conf-gated small-file compaction. */
+    * file per bucket per batch, conf-gated small-file compaction.
+    *
+    * At-least-once delivery can duplicate WITHIN a batch too (the
+    * cross-batch anti-join is blind to that), and a doubled doc row
+    * would silently double its grams' partial counts — so the batch is
+    * defensively collapsed on doc_id first. Rows sharing a doc_id are
+    * assumed to carry identical payloads (the id-uniqueness contract
+    * every index family's corpus already has); first wins. Docs under
+    * [[SpanGramWidth]] tokens produce zero gram rows and so never enter
+    * the doc registry — they are harmlessly re-examined on every
+    * replay. */
   def appendToGramIndex(batch: DataFrame, path: String): Unit = {
     val s = batch.sparkSession
     requireGramMeta(s, path)
     val existing = s.read.parquet(path).select(col("doc_id")).distinct()
-    val fresh = batch.join(existing, Seq("doc_id"), "left_anti")
+    val fresh = batch.dropDuplicates("doc_id")
+      .join(existing, Seq("doc_id"), "left_anti")
     gramPositions(tokenized(fresh), SpanGramWidth)
       .groupBy(col("gh"), col("doc_id")).agg(count(lit(1)).as("cnt"))
       .withColumn("bucket", gramBucketCol)
@@ -1348,14 +1423,55 @@ object Dedup {
     val docs = tokenized(docsIn)
     val g = graft.CacheScope.track(
       gramPositions(docs, SpanGramWidth).persist())
+    val dup = g.join(dupGramsFromIndex(g, indexPath), "gh")
+      .select(col("doc_id"), col("i"))
+    spanRemovalTail(docs, dup, minCut)
+  }
+
+  /** The corpus-repeated gram-hash set served from a [[writeGramIndex]]
+    * table, given the PROBE's persisted gram positions `g (doc_id, i,
+    * gh)` — the count origin shared by [[spanRemovalFromIndex]] and
+    * [[spanDedupFromIndex]]. The index read is pruned to the probe's
+    * gram buckets (≤ 64 ints collected to the driver, pushed as a
+    * literal partition filter): a gram absent from the probe cannot
+    * produce a dup position, so skipping its bucket is sound, and a
+    * small probe set touches a handful of bucket directories. The
+    * corpus is never re-grammed here — that is the point of the index.
+    *
+    * Probe docs ABSENT from the index get their own gram occurrences
+    * credited via a defensive union (anti-join on the pruned read's
+    * doc_id — sound because an indexed probe doc's rows necessarily
+    * fall inside the probe's own buckets): without it, a gram repeated
+    * within an unindexed probe doc would never reach cnt > 1 and its
+    * spans would silently survive. For an already-indexed probe (the
+    * catalog/spec use) the union branch is empty and the counts are
+    * bit-equal to the scan face's. */
+  private def dupGramsFromIndex(g: DataFrame, indexPath: String): DataFrame = {
+    val s = g.sparkSession
     val buckets = g.select(gramBucketCol.as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ 64 rows by construction
-    val dupGrams = s.read.parquet(indexPath)
+    val pruned = s.read.parquet(indexPath)
       .filter(col("bucket").isin(buckets: _*))
+    val own = g
+      .join(pruned.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .groupBy(col("gh")).agg(count(lit(1)).cast("long").as("cnt"))
+    pruned.select(col("gh"), col("cnt")).unionByName(own)
       .groupBy(col("gh")).agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") > 1).select(col("gh"))
-    val dup = g.join(dupGrams, "gh").select(col("doc_id"), col("i"))
-    spanRemovalTail(docs, dup, minCut)
+  }
+
+  /** Serve [[spanDedup]] (the PROFILE face) from a [[writeGramIndex]]
+    * table — bit-equal by construction for an indexed probe: the probe
+    * grams with the SAME [[gramPositions]] core, the repeated-gram set
+    * comes from [[dupGramsFromIndex]], and the per-doc accounting is
+    * the SAME [[spanDedupTail]]; only the origin of the counts differs
+    * (SpanIndexSpec asserts equality at two SFs). */
+  def spanDedupFromIndex(docsIn: DataFrame, indexPath: String): DataFrame = {
+    val s = docsIn.sparkSession
+    requireGramMeta(s, indexPath)
+    val g = graft.CacheScope.track(
+      gramPositions(tokenized(docsIn), SpanGramWidth).persist())
+    spanDedupTail(g, dupGramsFromIndex(g, indexPath))
   }
 
   /** Catalog face: index the corpus in scratch, then serve the removal
@@ -1363,10 +1479,25 @@ object Dedup {
     * oracle verbatim (the persisted hop must be bit-invisible: the
     * index holds every doc, so summed partials equal the scan counts). */
   def spanRemovalIndexed(s: SparkSession, d: String): DataFrame = {
-    val path = graft.TempDirs.scratch("graft_gramidx_").resolve("grams").toString
-    writeGramIndex(s, d, path)
+    val path = gramIndexFor(s, d)
     spanRemovalFromIndex(documents(s, d), path,
       graft.GraftConf.int(s, "spark.graft.span.minCut", 50))
+  }
+
+  /** Catalog face: serve the span-dedup PROFILE of the corpus from the
+    * persisted gram index — shares `q_span_dedup`'s oracle verbatim. */
+  def spanDedupIndexed(s: SparkSession, d: String): DataFrame =
+    spanDedupFromIndex(documents(s, d), gramIndexFor(s, d))
+
+  /** Session-stable gram index for dataset `d`, (re)built on every call
+    * (the catalog faces each adjudicate the full build+serve lifecycle;
+    * the stable path bounds /tmp growth across bench reps — see
+    * [[graft.TempDirs.scratchFor]]). */
+  private def gramIndexFor(s: SparkSession, d: String): String = {
+    val path = graft.TempDirs.scratchFor("graft_gramidx_", d)
+      .resolve("grams").toString
+    writeGramIndex(s, d, path)
+    path
   }
 
   /** 32-bit SimHash per document, computed entirely per-row (nested
@@ -1419,12 +1550,15 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_udaf" -> (minhashUdaf _),
     "q_span_dedup" -> (spanDedup _),
+    "q_span_dedup_indexed" -> (spanDedupIndexed _),
     "q_span_removal" -> (spanRemoval _),
     "q_span_removal_indexed" -> (spanRemovalIndexed _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_normalized" -> (dedupNormalized _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_minhash_bucketed" -> (dedupMinhashBucketed _),
+    "q_dedup_ngram_bucketed" -> (dedupNgramBucketed _),
+    "q_dedup_containment_bucketed" -> (dedupContainmentBucketed _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
@@ -1535,30 +1669,56 @@ object Dedup {
       |      i -> CASE WHEN x.s[i+1] = y.s[i+1] THEN 1 ELSE 0 END)) AS m
       |  FROM pairs JOIN sig x ON d1 = x.doc_id JOIN sig y ON d2 = y.doc_id)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    // brute-force directed containment over the same shingle sets — the
-    // prefix filter is completeness-preserving, so the results agree
-    "q_dedup_containment" ->
-      """WITH sh AS (
-        |  SELECT doc_id, source,
-        |    unnest(list_distinct(list_transform(range(1, len(text) - 1),
-        |      i -> substr(text, i, 3)))) AS shingle
-        |  FROM documents),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b
-        |    ON a.source = b.source AND a.shingle = b.shingle
-        |    AND a.doc_id <> b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT d1 AS contained_id, d2 AS container_id, inter,
-        |  CAST(inter AS DOUBLE) / x.n AS containment
-        |FROM inter JOIN sz x ON d1 = x.doc_id
-        |WHERE 5 * inter >= 4 * x.n AND x.n > 0
-        |ORDER BY contained_id, container_id""".stripMargin,
+  /** Brute-force directed containment over the same shingle sets (the
+    * prefix filter is completeness-preserving, so the results agree) —
+    * the verified pair set `p`, shared by `q_dedup_containment`
+    * (ordered report) and `q_dedup_containment_bucketed` (per-bucket
+    * digest of the production hash-bucketed report). */
+  private val containmentPairCtes =
+    """sh AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_distinct(list_transform(range(1, len(text) - 1),
+      |      i -> substr(text, i, 3)))) AS shingle
+      |  FROM documents),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b
+      |    ON a.source = b.source AND a.shingle = b.shingle
+      |    AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT d1 AS contained_id, d2 AS container_id, inter,
+      |    CAST(inter AS DOUBLE) / x.n AS containment
+      |  FROM inter JOIN sz x ON d1 = x.doc_id
+      |  WHERE 5 * inter >= 4 * x.n AND x.n > 0)""".stripMargin
 
-    "q_span_dedup" ->
-      """WITH t AS (
+  /** The verified ngram pair set `p`, shared by `q_dedup_ngram` and
+    * `q_dedup_ngram_bucketed` — the two faces must describe the same
+    * pair set by construction. */
+  private val ngramPairCtes =
+    """sh AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_distinct(list_transform(range(1, len(text) - 1),
+      |      i -> substr(text, i, 3)))) AS shingle
+      |  FROM documents),
+      |sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b
+      |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT d1, d2, inter,
+      |    CAST(inter AS DOUBLE) / (x.n_shingles + y.n_shingles - inter) AS jaccard
+      |  FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (x.n_shingles + y.n_shingles - inter) >= 0.6)""".stripMargin
+
+  /** Shared VERBATIM by `q_span_dedup` (in-query corpus gram counts)
+    * and `q_span_dedup_indexed` (counts summed from the persisted gram
+    * index): the index hop must be bit-invisible in the profile. */
+  private val spanDedupOracleSql =
+    """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
         |  FROM documents),
@@ -1584,7 +1744,34 @@ object Dedup {
         |SELECT base.doc_id, base.n_pos, base.n_dup_pos,
         |  COALESCE(lr.longest, 0) AS longest_dup_run
         |FROM base LEFT JOIN lr USING (doc_id)
-        |ORDER BY base.doc_id""".stripMargin,
+        |ORDER BY base.doc_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_containment" ->
+      s"""WITH $containmentPairCtes
+        |SELECT contained_id, container_id, inter, containment
+        |FROM p ORDER BY contained_id, container_id""".stripMargin,
+
+    // per-bucket digest of the SAME pair set (bucket = contained_id %
+    // 64 — the production report's hash-bucketed layout); the digest
+    // certifies the integer columns (count + inter + both id sums pin
+    // the pair set exactly; the double containment column would be
+    // addition-order-sensitive under SUM)
+    "q_dedup_containment_bucketed" ->
+      s"""WITH $containmentPairCtes
+        |SELECT CAST(contained_id % 64 AS INT) AS bucket,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(SUM(inter) AS BIGINT) AS sum_inter,
+        |  CAST(SUM(contained_id) AS BIGINT) AS sum_contained,
+        |  CAST(SUM(container_id) AS BIGINT) AS sum_container
+        |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_span_dedup" -> spanDedupOracleSql,
+
+    // the persisted gram-count-index hop must be bit-invisible in the
+    // profile, so the index-served face shares the oracle verbatim
+    "q_span_dedup_indexed" -> spanDedupOracleSql,
+
     // same gram/count/runs chain as q_span_dedup, then the cut runs are
     // exploded into covered positions, unioned (DISTINCT), anti-joined
     // out of the token stream, and the survivors reassembled in order
@@ -1677,22 +1864,20 @@ object Dedup {
         |FROM cc JOIN sizes USING (cluster_id) ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
-      """WITH sh AS (
-        |  SELECT doc_id, source,
-        |    unnest(list_distinct(list_transform(range(1, len(text) - 1),
-        |      i -> substr(text, i, 3)))) AS shingle
-        |  FROM documents),
-        |sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b
-        |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT d1, d2, inter,
-        |  CAST(inter AS DOUBLE) / (x.n_shingles + y.n_shingles - inter) AS jaccard
-        |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-        |WHERE CAST(inter AS DOUBLE) / (x.n_shingles + y.n_shingles - inter) >= 0.6
-        |ORDER BY d1, d2""".stripMargin,
+      s"""WITH $ngramPairCtes
+        |SELECT d1, d2, inter, jaccard
+        |FROM p ORDER BY d1, d2""".stripMargin,
+
+    // per-bucket digest of the SAME pair set (bucket = d1 % 64) — the
+    // ngram twin of q_dedup_minhash_bucketed
+    "q_dedup_ngram_bucketed" ->
+      s"""WITH $ngramPairCtes
+        |SELECT CAST(d1 % 64 AS INT) AS bucket,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(SUM(inter) AS BIGINT) AS sum_inter,
+        |  CAST(SUM(d1) AS BIGINT) AS sum_d1,
+        |  CAST(SUM(d2) AS BIGINT) AS sum_d2
+        |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH tok AS (

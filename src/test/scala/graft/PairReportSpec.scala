@@ -43,4 +43,48 @@ class PairReportSpec extends SparkFunSuite {
       }
     } finally CacheScope.releaseAll()
   }
+
+  test("ngram bucketed report: content-equal to ordered face, bucketed by d1") {
+    val path = TempDirs.scratch("graft_ngramrep_spec_").resolve("pairs").toString
+    try {
+      operators.Dedup.writeNgramPairReport(spark, sf01, path)
+      CacheScope.releaseAll()
+      val ordered = operators.Dedup.dedupNgram(spark, sf01).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+          r.getAs[Long]("inter"), r.getAs[Double]("jaccard")))
+      CacheScope.releaseAll()
+      assert(ordered.nonEmpty, "fixture yields no ngram pairs — equality would be vacuous")
+      val rows = spark.read.parquet(path).collect()
+      assert(rows.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Long]("inter"), r.getAs[Double]("jaccard"))).toSet
+        === ordered.toSet, "bucketed ngram report content differs from the ordered face")
+      assert(rows.length === ordered.length,
+        "row count differs — a pair was dropped or double-written across buckets")
+      assert(rows.forall(r =>
+        r.getAs[Int]("bucket") === (r.getAs[Long]("d1") % 64).toInt),
+        "a row landed outside its d1 % 64 bucket")
+    } finally CacheScope.releaseAll()
+  }
+
+  test("containment bucketed report: content-equal to ordered face, bucketed by contained_id") {
+    val path = TempDirs.scratch("graft_contrep_spec_").resolve("pairs").toString
+    try {
+      operators.Dedup.writeContainmentPairReport(spark, sf01, path)
+      CacheScope.releaseAll()
+      val ordered = operators.Dedup.dedupContainment(spark, sf01).collect()
+        .map(r => (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id"),
+          r.getAs[Long]("inter"), r.getAs[Double]("containment")))
+      CacheScope.releaseAll()
+      assert(ordered.nonEmpty, "fixture yields no containment pairs — equality would be vacuous")
+      val rows = spark.read.parquet(path).collect()
+      assert(rows.map(r => (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id"),
+        r.getAs[Long]("inter"), r.getAs[Double]("containment"))).toSet
+        === ordered.toSet, "bucketed containment report content differs from the ordered face")
+      assert(rows.length === ordered.length,
+        "row count differs — a pair was dropped or double-written across buckets")
+      assert(rows.forall(r =>
+        r.getAs[Int]("bucket") === (r.getAs[Long]("contained_id") % 64).toInt),
+        "a row landed outside its contained_id % 64 bucket")
+    } finally CacheScope.releaseAll()
+  }
 }

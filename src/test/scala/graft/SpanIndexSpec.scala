@@ -38,6 +38,69 @@ class SpanIndexSpec extends SparkFunSuite {
     assert(cut > 0, "sf0.01 fixture cut no spans — equality test is vacuous")
   }
 
+  test("index-served span-dedup PROFILE is bit-equal to the scan face at two SFs") {
+    for (d <- Seq(sf, sf01)) {
+      val idx = scratch("graft_gramidx_prof_")
+      try {
+        Dedup.writeGramIndex(spark, d, idx)
+        val served = removalRows(Dedup.spanDedupFromIndex(docs(d), idx))
+        CacheScope.releaseAll()
+        val scanned = removalRows(Dedup.spanDedup(spark, d))
+        assert(served === scanned, s"index hop changed the dedup profile at $d")
+      } finally CacheScope.releaseAll()
+    }
+    // the sf0.01 fixture must actually contain dup positions, or the
+    // profile equality is weak
+    val dup = Dedup.spanDedup(spark, sf01)
+      .filter(col("n_dup_pos") > 0).count()
+    CacheScope.releaseAll()
+    assert(dup > 0, "sf0.01 fixture has no dup positions — profile test is vacuous")
+  }
+
+  test("unindexed probe docs get their own gram occurrences credited") {
+    val idx = scratch("graft_gramidx_probe_")
+    try {
+      import spark.implicits._
+      Dedup.writeGramIndexOf(docs(sf), idx)
+      // 60 tokens = the same alien 10-gram six times: every position is
+      // a WITHIN-DOC repeat, none of its grams can exist in the index
+      val rep = Seq.fill(6)((1 to 10).map(i => s"zqj$i").mkString(" ")).mkString(" ")
+      val probe = Seq((999999L, rep)).toDF("doc_id", "text")
+      val served = removalRows(Dedup.spanRemovalFromIndex(probe, idx, minCut = 50))
+      CacheScope.releaseAll()
+      val scanned = removalRows(Dedup.spanRemovalOf(spark, probe, minCut = 50))
+      assert(served === scanned,
+        "unindexed probe's own repeats were not credited against the index counts")
+      val cutRow = Dedup.spanRemovalFromIndex(probe, idx, minCut = 50).collect()(0)
+      CacheScope.releaseAll()
+      assert(cutRow.getAs[Long]("n_spans_cut") > 0L,
+        "probe's internal repeat was not cut — the defensive union is dead")
+    } finally CacheScope.releaseAll()
+  }
+
+  test("a doc duplicated WITHIN one append batch is counted once") {
+    val idxDup = scratch("graft_gramidx_batchdup_")
+    val idxClean = scratch("graft_gramidx_batchclean_")
+    try {
+      val all = docs(sf)
+      val base = all.filter(col("doc_id") % 10 < 7)
+      val delta = all.filter(col("doc_id") % 10 >= 7)
+      Dedup.writeGramIndexOf(base, idxDup)
+      Dedup.appendToGramIndex(delta.unionByName(delta), idxDup) // doubled rows
+      Dedup.writeGramIndexOf(base, idxClean)
+      Dedup.appendToGramIndex(delta, idxClean)
+      def digest(p: String): (Long, Long) = {
+        val r = spark.read.parquet(p)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum(col("cnt"))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      assert(digest(idxDup) === digest(idxClean),
+        "a within-batch duplicate doc inflated the index's partial counts")
+    } finally CacheScope.releaseAll()
+  }
+
   test("growth: build 70% + append 30% == build 100%; replayed batch is a no-op") {
     val idx = scratch("graft_gramidx_grow_")
     try {
