@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions._
   * understate slightly; the pair-join families this smoke exists for
   * are unaffected.
   *
-  * Usage: runMain graft.ScaleSmoke <baseSfDir> <factor> <workDir>
+  * Usage: runMain graft.ScaleSmoke <baseSfDir> <factor> <workDir> [hot|buildonly]
+  * `hot` appends the planted boilerplate group and runs the guard phase;
+  * `buildonly` writes the derived fixture and exits — the seam for
+  * targeted re-measures (`SPARK_GRAFT_SF_DIR=<workDir> runMain graft.Bench
+  * q_x q_y` with reps) without paying the full 20-query smoke.
   */
 object ScaleSmoke {
 
@@ -122,6 +126,7 @@ object ScaleSmoke {
     val factor = args(1).toInt
     val workDir = args(2)
     val hotMode = args.length > 3 && args(3) == "hot"
+    val buildOnly = args.length > 3 && args(3) == "buildonly"
     require(factor >= 2, "factor must be >= 2")
     // copy i maps the 36-char alphabet into [0x0100 + 36i, 0x0100 + 36i
     // + 35]; factor 14 is the last whose top copy stays below U+0300 —
@@ -151,6 +156,7 @@ object ScaleSmoke {
         f"$heapGiB%.1f GiB — launch with SPARK_DRIVER_MEM>=16g for the 10x run")
     GraftConf.requireKnown(spark)
     buildScaled(spark, baseDir, factor, workDir)
+    if (buildOnly) { spark.stop(); return }
     val qs = SparkEntry.queries.filter { case (n, _) => heavyQueries.contains(n) }
       .toSeq.sortBy(_._1)
     // JVM/codegen warmup: one throwaway query before the 1x pass, or the
