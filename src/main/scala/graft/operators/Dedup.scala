@@ -831,9 +831,72 @@ object Dedup {
 
   /** The unordered (doc_id, cluster_id, cluster_size, is_canonical)
     * table — the shareable unit behind [[dedupClusters]]. */
+  /** `spark.graft.dedup.exactCollapse` (default off; ON in the scale
+    * preset): pre-collapse md5(text)-identical docs before the MinHash
+    * pipeline. See [[collapsedClusterEdges]] for the equivalence
+    * argument; the oracle face runs uncollapsed (conf off). */
+  private def exactCollapseOn(s: SparkSession): Boolean =
+    graft.GraftConf.bool(s, "spark.graft.dedup.exactCollapse", default = false)
+
+  /** Cluster edges with EXACT-DUPLICATE PRE-COLLAPSE — the standard
+    * web-scale trick (exact-dup mass is 30–50% of a crawl; see Lee et
+    * al. 2022 §3, where exact dedup precedes near-dedup for the same
+    * reason): group docs by md5(text), run signatures → bands → guarded
+    * pair join over one min-id REPRESENTATIVE per group, and reattach
+    * the other members as rep→member edges feeding the same
+    * [[connectedComponents]].
+    *
+    * Component-partition equivalence to the uncollapsed pipeline, when
+    * no bucket is hot: identical texts produce identical signatures
+    * ([[signaturesOf]] is a pure function of the token set), so (a) a
+    * member's band buckets are exactly its rep's — any cross-group pair
+    * (member, x) the band join would emit implies the pair (rep, x) is
+    * emitted in the collapsed run, and the member stays connected to
+    * rep by its member edge; (b) within a group, members always share
+    * every band with the rep (match count = width ≥ threshold), so the
+    * uncollapsed run connects the whole group too. Labels are component
+    * minima in both runs and member ids are > their rep (rep = group
+    * min), so the min over a component is reached through rep nodes
+    * either way. When exact-dup mass DID make a bucket hot, collapse is
+    * strictly better: the group occupies the bucket once, the bucket
+    * often stops being hot, and near-dup edges [[pairsFromBands]]'
+    * guard would have dropped survive (ExactCollapseSpec measures
+    * both sides).
+    *
+    * Null-text docs are excluded: they emit no tokens, hence no
+    * signature, hence never cluster in the uncollapsed run — member
+    * edges among them would invent clusters the scan face cannot have.
+    *
+    * Cost at 100 TB: one (doc_id, 16-byte md5) exchange up front buys
+    * removal of the duplicate share of the MinHash aggregation (the
+    * pipeline's dominant cost — a typed Aggregator over every token)
+    * and shrinks the band join's input by the same share. */
+  private[graft] def collapsedClusterEdges(docsIn: DataFrame, cap: Int): DataFrame = {
+    val s = docsIn.sparkSession
+    val docs = docsIn.filter(col("text").isNotNull)
+    val keyed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val reps = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("rep"))
+    // persist + eager count: memberEdges and repDocs both read this join
+    // from separate branches of the CC job (the minhashPairs rationale)
+    val withRep = graft.CacheScope.track(keyed.join(reps, "h").persist())
+    withRep.count()
+    val memberEdges = withRep.filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("d1"), col("doc_id").as("d2"),
+        lit(lshGeometry(s).width).as("matches")) // identical docs match every slot
+    val repDocs = docs.join(
+      withRep.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val sigs = graft.CacheScope.track(signaturesOf(repDocs).persist())
+    sigs.count()
+    pairsFromBands(bandsOf(sigs), cap).unionByName(memberEdges)
+  }
+
   private def clusterTable(s: SparkSession, d: String): DataFrame = {
     clusterPipelineRuns.incrementAndGet()
-    val finalLabels = connectedComponents(minhashPairs(s, d))
+    val edges =
+      if (exactCollapseOn(s)) collapsedClusterEdges(documents(s, d), lshMaxBucket(s))
+      else minhashPairs(s, d)
+    val finalLabels = connectedComponents(edges)
     val sizes = finalLabels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     finalLabels.join(sizes, "lbl")
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),

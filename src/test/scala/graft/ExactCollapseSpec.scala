@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact-duplicate pre-collapse for the cluster pipeline
+  * (`spark.graft.dedup.exactCollapse`, ON in the scale preset): the
+  * component PARTITION and labels must be identical to the uncollapsed
+  * MinHash pipeline, while signatures/banding run over one
+  * representative per md5(text)-identical group and the other members
+  * ride rep→member edges. The equivalence argument lives on
+  * [[graft.operators.Dedup.collapsedClusterEdges]]; this spec pins it
+  * on an adversarial corpus where the collapse actually bites (two
+  * 40-doc identical groups that are ALSO near-dups of each other —
+  * same token set, different text), plus the null-text exclusion and
+  * the d1<d2 edge contract CC requires. */
+class ExactCollapseSpec extends SparkFunSuite {
+
+  private def docsDf(rows: Seq[(java.lang.Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id.longValue, Option(t)) }
+      .toDF("doc_id", "text")
+  }
+
+  // Group A (ids 0-39): one text, 40 exact copies. Group B (ids 40-79):
+  // the SAME TOKEN SET in a different order — a different md5 (so a
+  // different exact group) but an IDENTICAL minhash signature
+  // (signaturesOf hashes the distinct-token set), so A and B are
+  // guaranteed cross-group near-dups with matches = width, no hash luck
+  // needed. Plus one identical cold pair, one singleton, two null-text
+  // docs (one of them duplicated — the trap: md5(null) groups them).
+  private val textA = "alpha bravo charlie delta echo foxtrot golf hotel"
+  private val textB = "bravo alpha charlie delta echo foxtrot golf hotel"
+  private lazy val corpus = docsDf(
+    (0L until 40L).map(i => (java.lang.Long.valueOf(i), textA)) ++
+      (40L until 80L).map(i => (java.lang.Long.valueOf(i), textB)) ++
+      Seq(
+        (java.lang.Long.valueOf(200L), "cold1 cold2 cold3 cold4 cold5 cold6"),
+        (java.lang.Long.valueOf(201L), "cold1 cold2 cold3 cold4 cold5 cold6"),
+        (java.lang.Long.valueOf(300L), "alone1 alone2 alone3 alone4 alone5 alone6"),
+        (java.lang.Long.valueOf(400L), null),
+        (java.lang.Long.valueOf(401L), null)))
+
+  private def partition(edges: DataFrame): Map[Long, Long] = {
+    val m = Dedup.connectedComponentsWithRounds(edges)._1.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lbl")).toMap
+    CacheScope.releaseAll()
+    m
+  }
+
+  private def collapsedEdges(cap: Int): Seq[(Long, Long)] = {
+    val e = Dedup.collapsedClusterEdges(corpus, cap).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSeq
+    CacheScope.releaseAll()
+    e
+  }
+
+  test("collapsed partition equals the uncollapsed pipeline's, unguarded") {
+    val off = partition(Dedup.minhashPairsGuarded(corpus, cap = 0))
+    val on = partition(Dedup.collapsedClusterEdges(corpus, cap = 0))
+    assert(on === off, "exact collapse changed the component partition")
+    // and the partition is the expected one: A ∪ B one component labeled
+    // by the global min, the cold pair its own, singleton and null-text
+    // docs absent
+    assert(off === ((0L until 80L).map(_ -> 0L) ++ Seq(200L -> 200L, 201L -> 200L)).toMap)
+  }
+
+  test("collapse does the work on representatives: O(groups) edges, not O(members^2)") {
+    val edges = collapsedEdges(cap = 0)
+    assert(edges.size === edges.toSet.size, "duplicate edges")
+    // 1 rep-level near-dup pair (A-rep 0, B-rep 40) + 39 + 39 member
+    // edges + 1 cold member edge = 80 — vs the uncollapsed band join's
+    // 80·79/2 + 1 = 3161 (the exact-dup mass never reaches the join)
+    assert(edges.size === 80)
+    assert(edges.contains((0L, 40L)), "rep-level near-dup pair lost")
+    val uncollapsed = Dedup.minhashPairsGuarded(corpus, cap = 0).count()
+    CacheScope.releaseAll()
+    assert(uncollapsed === 80L * 79 / 2 + 1)
+  }
+
+  test("edges honor the CC contract: d1 < d2, reps are group minima") {
+    val edges = collapsedEdges(cap = 0)
+    assert(edges.forall { case (d1, d2) => d1 < d2 })
+    // every member edge points at its group's minimum id
+    assert(edges.filter(_._2 < 40L).forall(_._1 == 0L))
+    assert(edges.filter(e => e._2 >= 40L && e._2 < 80L).forall(e => e._1 == 0L || e._1 == 40L))
+    assert(edges.contains((200L, 201L)))
+  }
+
+  test("collapse de-hots an exact-dup bucket: guard never engages on reps") {
+    // cap 30 < the 80-doc shared bucket: the UNCOLLAPSED run needs the
+    // md5-star guard path; the collapsed run's band join sees 2 reps in
+    // that bucket — cold — so it runs the exact unguarded plan and the
+    // partition still equals the cap=0 truth. (This is the "strictly
+    // better under exact-dup-driven hot buckets" half: near-dup edges
+    // between reps survive where the guard would have starred or
+    // dropped them.)
+    val truth = partition(Dedup.collapsedClusterEdges(corpus, cap = 0))
+    assert(partition(Dedup.collapsedClusterEdges(corpus, cap = 30)) === truth)
+    assert(collapsedEdges(cap = 30).size === 80,
+      "guard machinery engaged on a de-hotted bucket")
+    // the uncollapsed guarded run also connects A ∪ B here (identical
+    // signatures share the guard's identity key), so partitions agree —
+    // the collapse advantage is the edge economy, proven above
+    assert(partition(Dedup.minhashPairsGuarded(corpus, cap = 30)) === truth)
+  }
+
+  test("null-text docs cluster in neither face") {
+    val off = partition(Dedup.minhashPairsGuarded(corpus, cap = 0))
+    val on = partition(Dedup.collapsedClusterEdges(corpus, cap = 0))
+    assert(!off.contains(400L) && !off.contains(401L))
+    assert(!on.contains(400L) && !on.contains(401L),
+      "member edges invented clusters for null-text docs")
+  }
+
+  test("end-to-end conf flip: dedupClusters output identical on the fixture") {
+    def rows() = {
+      val r = Dedup.dedupClusters(spark, sf).collect().map(_.toString).toSeq
+      CacheScope.releaseAll()
+      r
+    }
+    val off = rows()
+    assert(off.nonEmpty)
+    try {
+      spark.conf.set("spark.graft.dedup.exactCollapse", "true")
+      assert(rows() === off)
+    } finally spark.conf.unset("spark.graft.dedup.exactCollapse")
+  }
+}

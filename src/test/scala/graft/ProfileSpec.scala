@@ -38,6 +38,7 @@ class ProfileSpec extends SparkFunSuite {
       "spark.graft.semdedup.lsh",
       "spark.graft.dedup.reliableCheckpoint",
       "spark.graft.dedup.shareClusters",
+      "spark.graft.dedup.exactCollapse",
       "spark.graft.index.compactEvery",
       "spark.graft.lm.cms",
       "spark.graft.winnow.maxDocsPerFp",
