@@ -114,6 +114,45 @@ class ExactCollapseSpec extends SparkFunSuite {
       "member edges invented clusters for null-text docs")
   }
 
+  test("random corpora: collapse is partition-identical unguarded, never splits guarded") {
+    // Seeded randomized evidence beyond the fixed corpus: duplicate
+    // groups of assorted sizes plus a random tail that may collide by
+    // chance. Unguarded, the partitions must be EQUAL. Under a cap the
+    // uncollapsed guard may drop non-identical hot-bucket pairs that the
+    // de-hotted collapsed run keeps, so the collapsed partition may be
+    // coarser — but it must never SPLIT a component the guarded run
+    // connects (every uncollapsed edge's connectivity survives: cold
+    // buckets only shrink when dup mass leaves, and md5/signature-star
+    // groups stay connected through member edges).
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def randText() =
+      Seq.fill(6 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    for (trial <- 1 to 3) {
+      val groupTexts = Seq.fill(4)(randText())
+      val rows = (0 until 4).flatMap { g =>
+        (0 until Seq(40, 25, 8, 2)(g)).map(i =>
+          (java.lang.Long.valueOf(g * 1000L + i), groupTexts(g)))
+      } ++ (0 until 30).map(i => (java.lang.Long.valueOf(5000L + i), randText()))
+      val docs = docsDf(rows)
+      val off = partition(Dedup.minhashPairsGuarded(docs, cap = 0))
+      val on = partition(Dedup.collapsedClusterEdges(docs, cap = 0))
+      assert(on === off, s"trial $trial: unguarded partitions diverged")
+      for (cap <- Seq(3, 10, 30)) {
+        val guardedOff = partition(Dedup.minhashPairsGuarded(docs, cap))
+        val guardedOn = partition(Dedup.collapsedClusterEdges(docs, cap))
+        // group nodes by their guarded-uncollapsed component; each such
+        // component must map into exactly one collapsed component
+        guardedOff.groupBy(_._2).foreach { case (lbl, members) =>
+          val collapsed = members.keys.map(guardedOn.get).toSet
+          assert(collapsed.size === 1 && !collapsed.contains(None),
+            s"trial $trial cap $cap: collapse split/dropped component $lbl")
+        }
+      }
+    }
+  }
+
   test("end-to-end conf flip: dedupClusters output identical on the fixture") {
     def rows() = {
       val r = Dedup.dedupClusters(spark, sf).collect().map(_.toString).toSeq
