@@ -896,12 +896,31 @@ object Dedup {
     val edges =
       if (exactCollapseOn(s)) collapsedClusterEdges(documents(s, d), lshMaxBucket(s))
       else minhashPairs(s, d)
-    val finalLabels = connectedComponents(edges)
+    clusterTableTail(connectedComponents(edges))
+  }
+
+  /** (doc_id, cluster_id, cluster_size, is_canonical) from a CC label
+    * frame — shared by [[clusterTable]] and [[dedupClustersCollapsed]]
+    * so the two faces can only differ in where their edges came from. */
+  private def clusterTableTail(finalLabels: DataFrame): DataFrame = {
     val sizes = finalLabels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     finalLabels.join(sizes, "lbl")
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
         col("cluster_size"), (col("node") === col("lbl")).as("is_canonical"))
   }
+
+  /** Catalog face: [[clusterTable]] with the exact-duplicate
+    * pre-collapse FORCED on ([[collapsedClusterEdges]]), sharing
+    * `q_dedup_clusters`' oracle verbatim — the repo convention for
+    * every claimed-equal scale path (`q_semantic_dedup_lsh`, the
+    * `_indexed` families): equivalence is gate-checked by the driver's
+    * DuckDB hash compare every round, not just spec'd once. Does not
+    * touch the [[dedupClusters]] sharing/publication machinery: this
+    * face always computes, so its bench cost stays its own. */
+  def dedupClustersCollapsed(s: SparkSession, d: String): DataFrame =
+    clusterTableTail(connectedComponents(
+      collapsedClusterEdges(documents(s, d), lshMaxBucket(s))))
+      .orderBy(col("doc_id"))
 
   /** Contracted min-label connected components over a DIRECTED pair list
     * (`d1 < d2` columns required): returns every node with its
@@ -1623,6 +1642,7 @@ object Dedup {
     "q_dedup_ngram_bucketed" -> (dedupNgramBucketed _),
     "q_dedup_containment_bucketed" -> (dedupContainmentBucketed _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_clusters_collapsed" -> (dedupClustersCollapsed _),
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
     "q_dedup_ngram" -> (dedupNgram _),
@@ -1632,6 +1652,40 @@ object Dedup {
 
   /** Shared by `q_dedup_incremental` and `q_dedup_incremental_indexed`:
     * the persisted-index hop must be bit-invisible in the result. */
+  private val clustersOracleSql =
+    """WITH RECURSIVE sig AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 8), h ->
+        |      list_min(list_transform(list_distinct(string_split(text, ' ')),
+        |        t -> md5(t || '#' || CAST(h AS VARCHAR))))) AS s
+        |  FROM documents),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    md5(s[4*b+1] || s[4*b+2] || s[4*b+3] || s[4*b+4]) AS bucket
+        |  FROM sig, range(0, 2) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM bands a JOIN bands c
+        |    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+        |p AS (
+        |  SELECT d1, d2
+        |  FROM cand JOIN sig x ON d1 = x.doc_id JOIN sig y ON d2 = y.doc_id
+        |  WHERE list_sum(list_transform(range(0, 8),
+        |    i -> CASE WHEN x.s[i+1] = y.s[i+1] THEN 1 ELSE 0 END)) >= 6),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM p
+        |  UNION ALL SELECT d2, d1 FROM p),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach(node, lbl) AS (
+        |  SELECT node, node AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+        |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+        |SELECT cc.node AS doc_id, cc.cluster_id, sizes.cluster_size,
+        |  cc.node = cc.cluster_id AS is_canonical
+        |FROM cc JOIN sizes USING (cluster_id) ORDER BY doc_id""".stripMargin
+
   private val incrementalOracleSql =
     """WITH sig AS (
       |  SELECT doc_id,
@@ -1892,39 +1946,12 @@ object Dedup {
     // same sig/band/estimate pipeline as q_dedup_minhash, then connected
     // components as a recursive reachability CTE (min reachable id = the
     // component id, since the edge list is symmetric)
-    "q_dedup_clusters" ->
-      """WITH RECURSIVE sig AS (
-        |  SELECT doc_id,
-        |    list_transform(range(0, 8), h ->
-        |      list_min(list_transform(list_distinct(string_split(text, ' ')),
-        |        t -> md5(t || '#' || CAST(h AS VARCHAR))))) AS s
-        |  FROM documents),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |    md5(s[4*b+1] || s[4*b+2] || s[4*b+3] || s[4*b+4]) AS bucket
-        |  FROM sig, range(0, 2) r(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
-        |  FROM bands a JOIN bands c
-        |    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
-        |p AS (
-        |  SELECT d1, d2
-        |  FROM cand JOIN sig x ON d1 = x.doc_id JOIN sig y ON d2 = y.doc_id
-        |  WHERE list_sum(list_transform(range(0, 8),
-        |    i -> CASE WHEN x.s[i+1] = y.s[i+1] THEN 1 ELSE 0 END)) >= 6),
-        |edges AS (
-        |  SELECT d1 AS src, d2 AS dst FROM p
-        |  UNION ALL SELECT d2, d1 FROM p),
-        |nodes AS (SELECT DISTINCT src AS node FROM edges),
-        |reach(node, lbl) AS (
-        |  SELECT node, node AS lbl FROM nodes
-        |  UNION
-        |  SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
-        |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
-        |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
-        |SELECT cc.node AS doc_id, cc.cluster_id, sizes.cluster_size,
-        |  cc.node = cc.cluster_id AS is_canonical
-        |FROM cc JOIN sizes USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters" -> clustersOracleSql,
+
+    // the exact-collapse path must be invisible in the result, so it
+    // shares the oracle verbatim (see dedupClustersCollapsed)
+    "q_dedup_clusters_collapsed" -> clustersOracleSql,
+
 
     "q_dedup_ngram" ->
       s"""WITH $ngramPairCtes

@@ -165,5 +165,9 @@ class ExactCollapseSpec extends SparkFunSuite {
       spark.conf.set("spark.graft.dedup.exactCollapse", "true")
       assert(rows() === off)
     } finally spark.conf.unset("spark.graft.dedup.exactCollapse")
+    // and the oracle-gated forced-on face equals the scan face rows
+    val face = Dedup.dedupClustersCollapsed(spark, sf).collect().map(_.toString).toSeq
+    CacheScope.releaseAll()
+    assert(face === off)
   }
 }
