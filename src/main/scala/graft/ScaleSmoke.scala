@@ -52,7 +52,8 @@ object ScaleSmoke {
     "q_dedup_minhash", "q_dedup_minhash_bucketed",
     "q_dedup_ngram", "q_dedup_ngram_bucketed",
     "q_dedup_containment", "q_dedup_containment_bucketed",
-    "q_dedup_clusters", "q_span_dedup", "q_cdc_dedup",
+    "q_dedup_clusters", "q_dedup_clusters_collapsed",
+    "q_span_dedup", "q_cdc_dedup",
     "q_semantic_dedup_lsh", "q_knn_ivf_indexed",
     "q_winnow_fingerprints", "q_winnow_matches",
     "q_winnow_contamination", "q_winnow_contamination_indexed",
@@ -98,7 +99,8 @@ object ScaleSmoke {
     * whose degenerate-key guards must keep a planted 20k-doc
     * boilerplate group from going quadratic under the scale profile. */
   val guardedQueries: Seq[String] = Seq(
-    "q_dedup_minhash", "q_dedup_clusters", "q_dedup_containment",
+    "q_dedup_minhash", "q_dedup_clusters", "q_dedup_clusters_collapsed",
+    "q_dedup_containment",
     "q_bm25_batch", "q_winnow_matches", "q_winnow_contamination")
 
   // far above any copy's id range (copy i shifts by i·1e9) so the
