@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   * `hot` appends the planted boilerplate group and runs the guard phase;
   * `buildonly` writes the derived fixture and exits — the seam for
   * targeted re-measures (`SPARK_GRAFT_SF_DIR=<workDir> runMain graft.Bench
-  * q_x q_y` with reps) without paying the full 20-query smoke.
+  * q_x q_y` with reps) without paying the full heavy-query smoke.
   */
 object ScaleSmoke {
 
@@ -127,6 +127,11 @@ object ScaleSmoke {
     val baseDir = args(0)
     val factor = args(1).toInt
     val workDir = args(2)
+    // fail fast on a typo'd mode: a silently-ignored 4th arg would run
+    // the full multi-SF smoke instead of buildonly, or complete a smoke
+    // that looks done but lacks the guard phase it was run for
+    if (args.length > 3) require(Set("hot", "buildonly").contains(args(3)),
+      s"unknown mode '${args(3)}' (supported: hot, buildonly)")
     val hotMode = args.length > 3 && args(3) == "hot"
     val buildOnly = args.length > 3 && args(3) == "buildonly"
     require(factor >= 2, "factor must be >= 2")

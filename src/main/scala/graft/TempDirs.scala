@@ -47,7 +47,12 @@ object TempDirs {
     * Hazard, accepted and documented: a frame returned by a PREVIOUS
     * invocation that is still lazily unread becomes invalid at the next
     * same-key overwrite — catalog/bench consumers always exhaust the
-    * frame before re-entry, which is the use this exists for. */
+    * frame before re-entry, which is the use this exists for. Callers
+    * keyed by a DATASET must scope the key with [[sessionKey]]: two
+    * sessions in one JVM (the pattern the cluster-sharing machinery
+    * supports) staging the same dataset would otherwise overwrite each
+    * other's files mid-read — exactly the stomping hazard the header
+    * names. */
   def scratchFor(prefix: String, key: String): Path = {
     hookInstalled
     keyed.computeIfAbsent((prefix, key), _ => {
@@ -57,6 +62,14 @@ object TempDirs {
       p
     })
   }
+
+  /** [[scratchFor]] key scoping `dataset` to ONE SparkSession (identity,
+    * not equality — sessions don't override hashCode): within a session
+    * the sequential overwrite-reuse contract applies; across sessions
+    * the staged dirs are disjoint, so neither can stomp the other's
+    * files mid-read. */
+  def sessionKey(session: AnyRef, dataset: String): String =
+    s"${System.identityHashCode(session)}:$dataset"
 
   /** Best-effort recursive delete (exit hook + eager callers). */
   def delete(root: Path): Unit =

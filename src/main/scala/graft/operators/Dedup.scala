@@ -153,7 +153,7 @@ object Dedup {
     * by the digest here (any lost/corrupted pair moves a sum) plus
     * PairReportSpec's row-level set equality to [[dedupMinhash]]. */
   def dedupMinhashBucketed(s: SparkSession, d: String): DataFrame = {
-    val path = graft.TempDirs.scratchFor("graft_pairrep_", d)
+    val path = graft.TempDirs.scratchFor("graft_pairrep_", graft.TempDirs.sessionKey(s, d))
       .resolve("pairs").toString
     writeMinhashPairReport(s, d, path)
     s.read.parquet(path)
@@ -176,7 +176,7 @@ object Dedup {
     * (n_pairs + exact integer sums — any lost/corrupted pair moves a
     * sum; row-level set equality is PairReportSpec's half). */
   def dedupNgramBucketed(s: SparkSession, d: String): DataFrame = {
-    val path = graft.TempDirs.scratchFor("graft_ngramrep_", d)
+    val path = graft.TempDirs.scratchFor("graft_ngramrep_", graft.TempDirs.sessionKey(s, d))
       .resolve("pairs").toString
     writeNgramPairReport(s, d, path)
     s.read.parquet(path)
@@ -202,7 +202,7 @@ object Dedup {
     * addition-order-sensitive, so the digest certifies the integer
     * columns only — inter + both ids pin the pair set exactly). */
   def dedupContainmentBucketed(s: SparkSession, d: String): DataFrame = {
-    val path = graft.TempDirs.scratchFor("graft_contrep_", d)
+    val path = graft.TempDirs.scratchFor("graft_contrep_", graft.TempDirs.sessionKey(s, d))
       .resolve("pairs").toString
     writeContainmentPairReport(s, d, path)
     s.read.parquet(path)
@@ -1576,7 +1576,7 @@ object Dedup {
     * the stable path bounds /tmp growth across bench reps — see
     * [[graft.TempDirs.scratchFor]]). */
   private def gramIndexFor(s: SparkSession, d: String): String = {
-    val path = graft.TempDirs.scratchFor("graft_gramidx_", d)
+    val path = graft.TempDirs.scratchFor("graft_gramidx_", graft.TempDirs.sessionKey(s, d))
       .resolve("grams").toString
     writeGramIndex(s, d, path)
     path

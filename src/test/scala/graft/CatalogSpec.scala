@@ -6,8 +6,8 @@ package graft
 class CatalogSpec extends SparkFunSuite {
 
   // pair-threshold queries may legitimately return zero rows at sf0.001
-  private val mayBeEmpty = Set("q_dedup_minhash", "q_dedup_ngram",
-    "q_dedup_ngram_bucketed", "q_embed_neardup")
+  private val mayBeEmpty = Set("q_dedup_minhash", "q_dedup_minhash_bucketed",
+    "q_dedup_ngram", "q_dedup_ngram_bucketed", "q_embed_neardup")
 
   test("oracleSql keys ⊆ queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
