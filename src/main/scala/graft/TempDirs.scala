@@ -63,13 +63,50 @@ object TempDirs {
     })
   }
 
+  // identityHashCode is NOT unique (two live sessions can collide, and a
+  // GC'd session's hash can be reused) — assign each session a
+  // monotonically increasing id instead. WeakHashMap: keys are held
+  // weakly so dead sessions drop out; SparkSession inherits Object
+  // reference equality, so lookups are identity lookups. Ids are never
+  // reused, so a dropped entry can never alias a later session's key.
+  private val sessionIds = new java.util.WeakHashMap[AnyRef, java.lang.Long]()
+  private val sessionSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** [[scratchFor]] key scoping `dataset` to ONE SparkSession (identity,
-    * not equality — sessions don't override hashCode): within a session
+    * not equality — sessions don't override equals): within a session
     * the sequential overwrite-reuse contract applies; across sessions
     * the staged dirs are disjoint, so neither can stomp the other's
     * files mid-read. */
-  def sessionKey(session: AnyRef, dataset: String): String =
-    s"${System.identityHashCode(session)}:$dataset"
+  def sessionKey(session: AnyRef, dataset: String): String = {
+    val id = sessionIds.synchronized {
+      val existing = sessionIds.get(session)
+      if (existing != null) existing
+      else {
+        val n = java.lang.Long.valueOf(sessionSeq.incrementAndGet())
+        sessionIds.put(session, n)
+        n
+      }
+    }
+    s"$id:$dataset"
+  }
+
+  /** A session-reused root with a FRESH `sub` underneath: the staging
+    * contract of the catalog `_indexed`/staging faces. The subdir is
+    * deleted on entry, so every invocation's build is a full fresh
+    * build (bench bills build+serve honestly, and a conf change that
+    * alters the staged content — e.g. `winnow.evalMod` changing the
+    * train slice — can never merge into a stale append-mode index);
+    * the ROOT is reused per (prefix, session, dataset), so Bench
+    * reps=3 plus ScaleSmoke passes no longer accumulate whole index
+    * copies in /tmp until JVM exit. Same documented hazard as
+    * [[scratchFor]]: a lazily-unread frame from a PREVIOUS invocation
+    * breaks at re-entry — catalog/bench consumers exhaust frames before
+    * re-entry. */
+  def freshUnder(prefix: String, key: String, sub: String): Path = {
+    val p = scratchFor(prefix, key).resolve(sub)
+    delete(p)
+    p
+  }
 
   /** Best-effort recursive delete (exit hook + eager callers). */
   def delete(root: Path): Unit =

@@ -355,7 +355,8 @@ object Curation {
     * the original table) gates that the physical write moved every row
     * to its assigned shard and lost/duplicated nothing. */
   def epochWrite(s: SparkSession, d: String): DataFrame = {
-    val out = graft.TempDirs.scratch("graft_epoch_").resolve("ep1").toString
+    val out = graft.TempDirs.freshUnder("graft_epoch_",
+      graft.TempDirs.sessionKey(s, d), "ep1").toString
     writeEpochShards(documents(s, d), "ep1", out)
     s.read.parquet(out)
       .groupBy(col("shard"))

@@ -113,10 +113,14 @@ object Layout {
     val target = graft.GraftConf.long(s,
       "spark.graft.layout.compactTargetBytes", 4L * 1024 * 1024)
     require(target > 0, "compactTargetBytes must be positive")
-    // per-invocation unique staging (deleted at JVM exit): a fixed
-    // hashCode-keyed path would let two concurrent drivers on the same
-    // dataset overwrite each other's stage mid-read — see graft.TempDirs
-    val base = graft.TempDirs.scratch("graft_compact_")
+    // session-reused staging root (deleted at JVM exit): both subdir
+    // writes below are mode("overwrite") — Spark deletes the target dir
+    // first — so re-entry refreshes content in place instead of
+    // accumulating a full corpus copy per bench rep; the session-scoped
+    // key keeps two drivers on the same dataset in disjoint roots — see
+    // graft.TempDirs.scratchFor
+    val base = graft.TempDirs.scratchFor("graft_compact_",
+      graft.TempDirs.sessionKey(s, d))
     lastCompactBase = base
     val frag = new org.apache.hadoop.fs.Path(base.resolve("frag").toString)
     val tight = new org.apache.hadoop.fs.Path(base.resolve("compact").toString)

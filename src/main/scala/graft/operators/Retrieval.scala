@@ -306,7 +306,8 @@ object Retrieval {
     * eval docs from the files — the same oracle as the scan-side
     * [[bm25Batch]] (the persisted hop must be invisible). */
   def bm25BatchIndexed(s: SparkSession, d: String): DataFrame = {
-    val path = graft.TempDirs.scratch("graft_postings_").resolve("train").toString
+    val path = graft.TempDirs.freshUnder("graft_postings_",
+      graft.TempDirs.sessionKey(s, d), "train").toString
     val stagedTrain = documents(s, d).filter(col("doc_id") % 97 =!= 0)
     writePostingsIndexOf(stagedTrain, path)
     bm25BatchFromIndex(
@@ -456,13 +457,15 @@ object Retrieval {
     * default query from it — oracle-checked against the SAME SQL as the
     * scan-side entries (the [[Similarity.knnIvfIndexed]] lifecycle). */
   def bm25Indexed(s: SparkSession, d: String): DataFrame = {
-    val path = graft.TempDirs.scratch("graft_postings_").resolve("idx").toString
+    val path = graft.TempDirs.freshUnder("graft_postings_",
+      graft.TempDirs.sessionKey(s, d), "idx").toString
     writePostingsIndex(s, d, path)
     bm25FromIndex(s, path)
   }
 
   def phraseIndexed(s: SparkSession, d: String): DataFrame = {
-    val path = graft.TempDirs.scratch("graft_postings_").resolve("idx").toString
+    val path = graft.TempDirs.freshUnder("graft_postings_",
+      graft.TempDirs.sessionKey(s, d), "idx").toString
     writePostingsIndex(s, d, path)
     phraseFromIndex(s, path)
   }

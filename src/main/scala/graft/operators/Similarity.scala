@@ -910,7 +910,8 @@ object Similarity {
     * query-from-disk lifecycle, oracle-checked against the same SQL
     * replay as the in-query [[knnIvf]]. */
   def knnIvfIndexed(s: SparkSession, d: String): DataFrame = {
-    val path = graft.TempDirs.scratch("graft_ivfindex_").resolve("ivf").toString
+    val path = graft.TempDirs.freshUnder("graft_ivfindex_",
+      graft.TempDirs.sessionKey(s, d), "ivf").toString
     writeIvfIndex(s, d, path)
     knnFromIvfIndex(
       embeddings(s, d).filter(col("vec_id") < 30)

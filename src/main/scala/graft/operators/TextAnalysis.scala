@@ -585,7 +585,8 @@ object TextAnalysis {
   def winnowContaminationIndexed(s: SparkSession, d: String): DataFrame = {
     val evalMod = graft.GraftConf.int(s, "spark.graft.winnow.evalMod", 7)
     require(evalMod >= 2, "winnow.evalMod must be >= 2")
-    val path = graft.TempDirs.scratch("graft_winnowidx_").resolve("train").toString
+    val path = graft.TempDirs.freshUnder("graft_winnowidx_",
+      graft.TempDirs.sessionKey(s, d), "train").toString
     val docs = documents(s, d)
     writeWinnowIndexOf(docs.filter(col("doc_id") % evalMod =!= 0), path)
     contaminationFromIndex(

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the staging-directory contract behind every `_indexed`/staging
+  * catalog face: session-scoped key UNIQUENESS (two sessions must never
+  * share a scratch root, even if their identity hashes collide) and
+  * [[TempDirs.freshUnder]]'s reuse-root / fresh-subdir semantics (reps
+  * must not accumulate index copies, and a conf-changed rebuild must
+  * never merge into stale append-mode content). */
+class TempDirsSpec extends AnyFunSuite {
+
+  test("sessionKey assigns distinct keys to distinct objects and is stable per object") {
+    val a = new Object
+    val b = new Object
+    val ka = TempDirs.sessionKey(a, "ds1")
+    val kb = TempDirs.sessionKey(b, "ds1")
+    assert(ka !== kb, "two live sessions must never share a key")
+    assert(ka === TempDirs.sessionKey(a, "ds1"), "key must be stable for one session")
+    assert(ka !== TempDirs.sessionKey(a, "ds2"), "datasets must stay disjoint")
+    // ids are monotone counters, never identity hashes: many objects in a
+    // row must all be distinct (identityHashCode offers no such guarantee)
+    val keys = (1 to 100).map(_ => TempDirs.sessionKey(new Object, "d")).toSet
+    assert(keys.size === 100)
+  }
+
+  test("scratchFor returns the same root per key, distinct roots across keys") {
+    val k1 = TempDirs.sessionKey(new Object, "x")
+    val k2 = TempDirs.sessionKey(new Object, "x")
+    val r1 = TempDirs.scratchFor("graft_tdspec_", k1)
+    assert(r1 === TempDirs.scratchFor("graft_tdspec_", k1))
+    assert(r1 !== TempDirs.scratchFor("graft_tdspec_", k2))
+  }
+
+  test("freshUnder reuses the root but clears the subdir on every entry") {
+    val key = TempDirs.sessionKey(new Object, "y")
+    val p1 = TempDirs.freshUnder("graft_tdspec_", key, "idx")
+    Files.createDirectories(p1)
+    val stale = p1.resolve("part-stale.parquet")
+    Files.writeString(stale, "old index content")
+    val p2 = TempDirs.freshUnder("graft_tdspec_", key, "idx")
+    assert(p1 === p2, "root+subdir path must be reused (no /tmp accumulation)")
+    assert(!Files.exists(stale),
+      "stale content must be gone — an append-mode rebuild must start empty")
+    // sibling subdirs under the same root are untouched
+    val sib = TempDirs.freshUnder("graft_tdspec_", key, "other")
+    Files.createDirectories(sib)
+    val keep = sib.resolve("keep")
+    Files.writeString(keep, "x")
+    TempDirs.freshUnder("graft_tdspec_", key, "idx")
+    assert(Files.exists(keep), "clearing one subdir must not touch siblings")
+  }
+}
