@@ -28,6 +28,15 @@ import org.apache.spark.sql.SparkSession
   * (round 3's line arrived head-truncated → unparseable); tail capture
   * keeps line ends, so the short final line always survives intact.
   *
+  * Beyond the per-query medians the full line carries the
+  * steal-adjudication fields (see [[RepTiming]]): `"build"` — the
+  * eager-prelude seconds of the median rep per query, which for the
+  * `_indexed` faces IS the index-build cost, making the cheap-serving
+  * claim a measured artifact; `"rep_detail"` — every rep's
+  * build/serve/load/steal, so a future reader can separate box steal
+  * from a real regression without re-running; `"load"` — run-level
+  * load-average and total steal-seconds stanza.
+  *
   * Optional args: query names to bench (default: the whole catalog).
   */
 object Bench {
@@ -71,14 +80,44 @@ object Bench {
     // fixpoint, scratch index writes) just to print plans
     val captured =
       scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
-    val (results, failures) =
-      measure(spark, sfDir, reps, queries, (n, df) => captured(n) = df)
+    val loadStart = load1m
+    val stealStart = stealTicks
+    val (detailed, failures) =
+      measureDetailed(spark, sfDir, reps, queries, (n, df) => captured(n) = df)
+    val loadEnd = load1m
+    val stealEnd = stealTicks
+    val results = detailed.map { case (n, rs) => n -> medianRep(rs).totalSec }
     def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    // per-face build/serve split (median-total rep's split, so build +
+    // serve = the reported median): "build" = everything EAGER inside
+    // the catalog-face invocation — for the `_indexed` faces that is
+    // the scratch index write (plus its scalar meta probes); "serve" =
+    // executing the returned frame. The production claim of an
+    // _indexed face is cheap SERVING against a persisted index — this
+    // makes that number a per-round artifact instead of an inference.
+    val builds = detailed.map { case (k, rs) => "\"" + k + "\":" + f(medianRep(rs).buildSec) }
+      .mkString("{", ",", "}")
+    // per-rep raw times + per-rep 1-min load + /proc/stat steal-seconds
+    // delta: two reps=3 runs of the same catalog differed 34% in round
+    // 14 and adjudication needed manual re-runs — with rep-level times
+    // and a steal column, a future reader separates box steal from a
+    // real regression without re-running.
+    val repDetail = detailed.map { case (k, rs) =>
+      "\"" + k + "\":[" + rs.map(r =>
+        s"""{"build":${f(r.buildSec)},"serve":${f(r.serveSec)},""" +
+          s""""load1m":${f(r.load1m)},"steal_sec":${f(r.stealSec)}}""")
+        .mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val loadStanza =
+      s"""{"load1m_start":${f(loadStart)},"load1m_end":${f(loadEnd)},""" +
+        s""""steal_sec_total":${f(stealSec(stealStart, stealEnd))},"user_hz":100}"""
     val total = results.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"failures":${failures.length}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
+        s""""build":$builds,"rep_detail":$repDetail,"load":$loadStanza,""" +
+        s""""sf":"$sfDir","reps":$reps,"failures":${failures.length}}"""
     println(fullLine)
     // The driver's BENCH capture stores only a bounded stdout TAIL, so the
     // per-query map above can be truncated away in the round artifacts —
@@ -131,9 +170,11 @@ object Bench {
     catch { case scala.util.control.NonFatal(_) => () }
   }
 
-  /** Times each query (median of `reps` noop-sink executions). A failing
-    * query is returned in the FAILURES list, never as a timing — a broken
-    * query must never look like a fast one.
+  /** Times each query (`reps` noop-sink executions, every rep's
+    * [[RepTiming]] returned; callers take the median via
+    * [[medianRep]]). A failing query is returned in the FAILURES list,
+    * never as a timing — a broken query must never look like a fast
+    * one.
     *
     * Per-rep TIME CAP (`spark.graft.bench.queryTimeoutSec`, default 900 —
     * generous: the worst healthy catalog query is ~12 s at sf0.1): the
@@ -146,11 +187,63 @@ object Bench {
     * query that ate the cap once must not eat it reps more times. */
   private val groupSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** One completed rep's timings. `buildSec` = everything eager inside
+    * the catalog-face invocation (for `_indexed` faces: the scratch
+    * index write + its scalar meta probes); `serveSec` = executing the
+    * returned frame to the noop sink. `load1m` = the box's 1-minute
+    * load average sampled at rep start; `stealSec` = the /proc/stat
+    * steal-time delta (all CPUs, seconds) across the rep, -1 when the
+    * counter is unavailable — the direct answer to "was this rep's
+    * wall-clock the query or the box". */
+  final case class RepTiming(
+      buildSec: Double, serveSec: Double, load1m: Double, stealSec: Double) {
+    def totalSec: Double = buildSec + serveSec
+  }
+
+  /** The rep whose TOTAL is the median — reported as the query's
+    * timing, so the published build/serve split always sums to the
+    * published median (independent medians of build and serve need
+    * not). */
+  private[graft] def medianRep(rs: Seq[RepTiming]): RepTiming = {
+    val sorted = rs.sortBy(_.totalSec)
+    sorted(sorted.length / 2)
+  }
+
+  /** 1-minute system load average (-1 when the platform can't say). */
+  private def load1m: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Cumulative steal ticks from /proc/stat's aggregate cpu line
+    * (field 8; USER_HZ=100 on this platform), -1 when unreadable. */
+  private def stealTicks: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val fields = src.getLines().next().trim.split("\\s+")
+        if (fields.length > 8) fields(8).toLong else -1L
+      } finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  private def stealSec(start: Long, end: Long): Double =
+    if (start < 0 || end < 0) -1.0 else (end - start) / 100.0
+
+  /** Back-compat façade over [[measureDetailed]]: median total seconds
+    * per query (ScaleSmoke and the specs consume this shape). */
   def measure(
       spark: SparkSession, sfDir: String, reps: Int,
       queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
       capture: (String, org.apache.spark.sql.DataFrame) => Unit = (_, _) => ())
       : (Seq[(String, Double)], Seq[String]) = {
+    val (detailed, failures) = measureDetailed(spark, sfDir, reps, queries, capture)
+    (detailed.map { case (n, rs) => n -> medianRep(rs).totalSec }, failures)
+  }
+
+  def measureDetailed(
+      spark: SparkSession, sfDir: String, reps: Int,
+      queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      capture: (String, org.apache.spark.sql.DataFrame) => Unit = (_, _) => ())
+      : (Seq[(String, Seq[RepTiming])], Seq[String]) = {
     val timeoutSec = GraftConf.int(spark, "spark.graft.bench.queryTimeoutSec", 900)
     require(timeoutSec > 0, "spark.graft.bench.queryTimeoutSec must be positive")
     // cached pool, not single-thread: a cancelled action that wedges on
@@ -166,7 +259,13 @@ object Bench {
           CacheScope.releaseAll()
           spark.catalog.clearCache()
           System.gc()
+          val repLoad = load1m
+          val repStealStart = stealTicks
           val t0 = System.nanoTime()
+          // written from inside the callable the moment the face
+          // invocation returns its frame: everything before that point
+          // is the eager build prelude, everything after is serving
+          val buildNanos = new java.util.concurrent.atomic.AtomicLong(-1L)
           try {
             // unique per attempt: cancelJobGroupAndFutureJobs poisons a
             // group id for the rest of the session, so a reused name must
@@ -180,6 +279,7 @@ object Bench {
                 spark.sparkContext.setJobGroup(groupId, name, interruptOnCancel = true)
                 try {
                   val df = fn(spark, sfDir)
+                  buildNanos.set(System.nanoTime() - t0)
                   df.write.mode("overwrite").format("noop").save()
                   df
                 } finally spark.sparkContext.clearJobGroup()
@@ -188,7 +288,10 @@ object Bench {
             try {
               val df = task.get(timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
               capture(name, df)
-              Some((System.nanoTime() - t0) / 1e9)
+              val totalSec = (System.nanoTime() - t0) / 1e9
+              val buildSec = math.max(buildNanos.get(), 0L) / 1e9
+              Some(RepTiming(buildSec, math.max(totalSec - buildSec, 0.0),
+                repLoad, stealSec(repStealStart, stealTicks)))
             } catch {
               case _: java.util.concurrent.TimeoutException =>
                 // AndFutureJobs: if the interrupted watchdog thread is
@@ -210,15 +313,16 @@ object Bench {
             None
           }
         }
-      }.sorted
-      // median over the reps that completed; None only if every rep
-      // failed (catalog queries are deterministic, so a partial failure
-      // is an environment blip — the completed reps still time the plan).
-      // A rep that hit the time cap poisons the query: it reports as a
-      // failure even if an earlier rep finished, because a median over
-      // fewer-than-asked reps of a query that can also run past the cap
-      // is not a number worth trusting.
-      name -> (if (times.nonEmpty && !timedOut) Some(times(times.length / 2)) else None)
+      }
+      // reps kept in completion order (rep_detail stays chronological);
+      // None only if every rep failed (catalog queries are
+      // deterministic, so a partial failure is an environment blip —
+      // the completed reps still time the plan). A rep that hit the
+      // time cap poisons the query: it reports as a failure even if an
+      // earlier rep finished, because a median over fewer-than-asked
+      // reps of a query that can also run past the cap is not a number
+      // worth trusting.
+      name -> (if (times.nonEmpty && !timedOut) Some(times) else None)
     }
     watchdog.shutdownNow()
     (attempted.collect { case (n, Some(t)) => n -> t },
