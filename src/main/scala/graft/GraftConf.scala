@@ -51,6 +51,13 @@ import org.apache.spark.sql.SparkSession
   *        there). The preset keeps it on: real crawls carry 30–50%
   *        exact-dup mass, and the duplicate share of the MinHash
   *        aggregation — the pipeline's dominant cost — never runs.
+  *        The dup-free overhead is bounded by an ADAPTIVE probe
+  *        (`spark.graft.dedup.collapseMinDupFrac`, default 0.01): the
+  *        md5 groupBy the collapse already executes yields the exact
+  *        dup fraction as one scalar, and below the threshold the
+  *        pipeline falls back to the uncollapsed plan —
+  *        output-identical either way, so always-on is non-regressing
+  *        on dup-free corpora.
   *      - `spark.graft.index.compactEvery=64` — bound the signature /
   *        vector band index file counts under streaming ingest
   *        (result-identical; pure layout maintenance).
@@ -199,6 +206,7 @@ object GraftConf {
     "spark.graft.curation.domainCapTokens",
     "spark.graft.curation.tokenBudget",
     "spark.graft.curation.weightFactor",
+    "spark.graft.dedup.collapseMinDupFrac",
     "spark.graft.dedup.exactCollapse",
     "spark.graft.dedup.reliableCheckpoint",
     "spark.graft.dedup.shareClusters",

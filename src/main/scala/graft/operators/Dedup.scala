@@ -669,7 +669,8 @@ object Dedup {
     * the FILES. Same oracle as `q_dedup_incremental` — the persisted hop
     * must be invisible in the result. */
   def dedupIncrementalIndexed(s: SparkSession, d: String): DataFrame = {
-    val idx = graft.TempDirs.scratch("graft_sigindex_").resolve("base").toString
+    val idx = graft.TempDirs.freshUnder("graft_sigindex_",
+      graft.TempDirs.sessionKey(s, d), "base").toString
     writeSignatureIndex(documents(s, d).filter(col("doc_id") % 10 < 8), idx)
     dedupIncrementalFromIndex(s, d, idx)
   }
@@ -775,21 +776,33 @@ object Dedup {
   private def shareOn(s: SparkSession): Boolean =
     graft.GraftConf.bool(s, "spark.graft.dedup.shareClusters", default = false)
 
-  /** Cheap input fingerprint of the documents table under `d`: file
-    * count, total bytes, max mtime — enough to catch a rewrite without
-    * reading data. */
+  /** Cheap input fingerprint of the documents table under `d` — file
+    * count, total bytes, max mtime (enough to catch a rewrite without
+    * reading data) — PLUS the result-shaping confs of the cluster
+    * pipeline: exactCollapse (+ its dup-frac dial), the hot-bucket cap,
+    * and the LSH geometry. Without the conf stanza a mid-session conf
+    * flip would be served a snapshot computed under the OTHER mode —
+    * divergent precisely in the hot-bucket case where the modes
+    * legitimately differ. Conf values are read through the same
+    * accessors the pipeline uses, so profile-layered values are
+    * captured as resolved. */
   private def inputFingerprint(s: SparkSession, d: String): String = {
     val p = new org.apache.hadoop.fs.Path(d, "documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) "absent"
-    else {
-      // the table may be a single file or a directory of part files
-      val stats =
-        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-        else Seq(fs.getFileStatus(p))
-      s"${stats.length}:${stats.map(_.getLen).sum}:" +
-        s"${stats.map(_.getModificationTime).max}"
-    }
+    val filePart =
+      if (!fs.exists(p)) "absent"
+      else {
+        // the table may be a single file or a directory of part files
+        val stats =
+          if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+          else Seq(fs.getFileStatus(p))
+        s"${stats.length}:${stats.map(_.getLen).sum}:" +
+          s"${stats.map(_.getModificationTime).max}"
+      }
+    val dupFrac = graft.GraftConf.double(
+      s, "spark.graft.dedup.collapseMinDupFrac", 0.01)
+    s"$filePart|collapse=${exactCollapseOn(s)}:minDupFrac=$dupFrac:" +
+      s"cap=${lshMaxBucket(s)}:${lshGeometry(s)}"
   }
 
   /** The published snapshot for (s, d), if sharing is on, one exists,
@@ -867,11 +880,37 @@ object Dedup {
     * signature, hence never cluster in the uncollapsed run — member
     * edges among them would invent clusters the scan face cannot have.
     *
+    * Hash-collision caveat (the honest footnote to "provably
+    * identical"): grouping is by md5(text), so two DISTINCT texts
+    * colliding on md5 would silently merge into one exact group. At
+    * 2⁻¹²⁸ random-collision odds that is acceptable risk for dedup (the
+    * uncollapsed run carries the same exposure through the hot-bucket
+    * guard's md5(sig) star) — but it means the equivalence argument
+    * above is conditional on collision-freeness, not unconditional.
+    *
+    * ADAPTIVE SKIP: the md5 groupBy this function already executes
+    * contains the dup-share answer, so before paying the rep semi-join
+    * (a join of the full-text docs frame) it probes one scalar — the
+    * exact-duplicate fraction. Below
+    * `spark.graft.dedup.collapseMinDupFrac` (default 1%) the collapse
+    * machinery buys ~nothing (measured: +10% wall on a dup-free ×10
+    * corpus, round 14), so the pipeline falls back to the uncollapsed
+    * plan over ALL docs — output-identical either way (identical docs
+    * share every band, so the pair join connects the groups the member
+    * edges would have), making the scale preset's always-on default
+    * non-regressing on dup-free corpora while keeping the measured
+    * −35% win on dup-heavy ones. [[collapseEngaged]]/[[collapseSkipped]]
+    * let ExactCollapseSpec pin which path ran.
+    *
     * Cost at 100 TB: one (doc_id, 16-byte md5) exchange up front buys
     * removal of the duplicate share of the MinHash aggregation (the
     * pipeline's dominant cost — a typed Aggregator over every token)
     * and shrinks the band join's input by the same share. */
-  private[graft] def collapsedClusterEdges(docsIn: DataFrame, cap: Int): DataFrame = {
+  private[graft] val collapseEngaged = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val collapseSkipped = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[graft] def collapsedClusterEdges(docsIn: DataFrame, cap: Int,
+      minDupFracOverride: Option[Double] = None): DataFrame = {
     val s = docsIn.sparkSession
     val docs = docsIn.filter(col("text").isNotNull)
     val keyed = docs.select(col("doc_id"), md5(col("text")).as("h"))
@@ -879,16 +918,31 @@ object Dedup {
     // persist + eager count: memberEdges and repDocs both read this join
     // from separate branches of the CC job (the minhashPairs rationale)
     val withRep = graft.CacheScope.track(keyed.join(reps, "h").persist())
-    withRep.count()
-    val memberEdges = withRep.filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("d1"), col("doc_id").as("d2"),
-        lit(lshGeometry(s).width).as("matches")) // identical docs match every slot
-    val repDocs = docs.join(
-      withRep.filter(col("doc_id") === col("rep")).select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val sigs = graft.CacheScope.track(signaturesOf(repDocs).persist())
-    sigs.count()
-    pairsFromBands(bandsOf(sigs), cap).unionByName(memberEdges)
+    val nDocs = withRep.count()
+    val minDupFrac = minDupFracOverride.getOrElse(graft.GraftConf.double(
+      s, "spark.graft.dedup.collapseMinDupFrac", 0.01))
+    require(minDupFrac >= 0.0 && minDupFrac <= 1.0,
+      "spark.graft.dedup.collapseMinDupFrac must be in [0, 1]")
+    // the one-scalar dup-share probe over the already-persisted frame
+    val nDups = withRep.filter(col("doc_id") =!= col("rep")).count()
+    if (nDocs == 0L || nDups.toDouble / nDocs < minDupFrac) {
+      collapseSkipped.incrementAndGet()
+      withRep.unpersist(blocking = false)
+      val sigs = graft.CacheScope.track(signaturesOf(docs).persist())
+      sigs.count()
+      pairsFromBands(bandsOf(sigs), cap)
+    } else {
+      collapseEngaged.incrementAndGet()
+      val memberEdges = withRep.filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("d1"), col("doc_id").as("d2"),
+          lit(lshGeometry(s).width).as("matches")) // identical docs match every slot
+      val repDocs = docs.join(
+        withRep.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val sigs = graft.CacheScope.track(signaturesOf(repDocs).persist())
+      sigs.count()
+      pairsFromBands(bandsOf(sigs), cap).unionByName(memberEdges)
+    }
   }
 
   private def clusterTable(s: SparkSession, d: String): DataFrame = {
@@ -918,8 +972,13 @@ object Dedup {
     * touch the [[dedupClusters]] sharing/publication machinery: this
     * face always computes, so its bench cost stays its own. */
   def dedupClustersCollapsed(s: SparkSession, d: String): DataFrame =
+    // FORCED means forced: the adaptive dup-share skip is disabled here
+    // (minDupFrac 0) — the fixture corpus is dup-free, so the skip
+    // would otherwise quietly turn this face into a second copy of the
+    // scan face; the gate must keep exercising the collapse machinery
     clusterTableTail(connectedComponents(
-      collapsedClusterEdges(documents(s, d), lshMaxBucket(s))))
+      collapsedClusterEdges(documents(s, d), lshMaxBucket(s),
+        minDupFracOverride = Some(0.0))))
       .orderBy(col("doc_id"))
 
   /** Contracted min-label connected components over a DIRECTED pair list

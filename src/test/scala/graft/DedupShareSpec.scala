@@ -72,6 +72,33 @@ class DedupShareSpec extends SparkFunSuite {
     assert(Dedup.clusterPipelineRuns.get() - before === 2L)
   }
 
+  test("a result-shaping conf flip invalidates the published snapshot") {
+    // the fingerprint covers exactCollapse / lsh.maxBucket / geometry:
+    // with shareClusters on, flipping one mid-session must force a
+    // recompute — serving a snapshot computed under the OTHER mode
+    // diverges precisely in the hot-bucket case where the modes differ
+    withShare {
+      Dedup.clearPublishedClusters()
+      val before = Dedup.clusterPipelineRuns.get()
+      rows(Dedup.dedupClusters(spark, sf))
+      assert(Dedup.clusterPipelineRuns.get() - before === 1L)
+      try {
+        spark.conf.set("spark.graft.dedup.exactCollapse", "true")
+        rows(Curation.dedupRepresentative(spark, sf))
+        assert(Dedup.clusterPipelineRuns.get() - before === 2L,
+          "a snapshot computed with exactCollapse OFF was served after the flip")
+        // the recompute republished under the new fingerprint: a second
+        // consumer read in the same conf state reuses it
+        rows(Curation.dedupRepresentative(spark, sf))
+        assert(Dedup.clusterPipelineRuns.get() - before === 2L)
+      } finally spark.conf.unset("spark.graft.dedup.exactCollapse")
+      // back on the original confs the old-fingerprint snapshot is gone
+      // (evicted at the miss) — the producer-pays contract recomputes
+      rows(Curation.dedupRepresentative(spark, sf))
+      assert(Dedup.clusterPipelineRuns.get() - before === 3L)
+    }
+  }
+
   test("snapshot survives CacheScope release and catalog clearCache") {
     withShare {
       Dedup.clearPublishedClusters()

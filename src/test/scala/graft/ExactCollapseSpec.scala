@@ -153,6 +153,47 @@ class ExactCollapseSpec extends SparkFunSuite {
     }
   }
 
+  test("adaptive skip: below collapseMinDupFrac the uncollapsed plan runs, output-identical") {
+    // 100 distinct docs, ONE exact dup pair → dup frac 1/101 ≈ 0.0099.
+    // Pin both sides of the threshold with explicit conf values: at 0.02
+    // the probe must SKIP (uncollapsed plan, no member edges — edge set
+    // equals the plain band join's), at 0.005 it must ENGAGE (the dup
+    // pair arrives as a member edge). Partitions are identical either
+    // way — that's what makes the always-on preset non-regressing.
+    def text(i: Long) = s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e tok${i}f"
+    val docs = docsDf((0L until 100L).map(i => (java.lang.Long.valueOf(i), text(i))) :+
+      ((java.lang.Long.valueOf(100L), text(0L)))) // byte-identical dup of doc 0
+    val off = partition(Dedup.minhashPairsGuarded(docs, cap = 0))
+    val skipsBefore = Dedup.collapseSkipped.get()
+    val skipped = partition(
+      Dedup.collapsedClusterEdges(docs, cap = 0, minDupFracOverride = Some(0.02)))
+    assert(Dedup.collapseSkipped.get() === skipsBefore + 1,
+      "dup frac 0.0099 < 0.02 must take the skip path")
+    assert(skipped === off)
+    val engagedBefore = Dedup.collapseEngaged.get()
+    val engaged = partition(
+      Dedup.collapsedClusterEdges(docs, cap = 0, minDupFracOverride = Some(0.005)))
+    assert(Dedup.collapseEngaged.get() === engagedBefore + 1,
+      "dup frac 0.0099 >= 0.005 must engage the collapse")
+    assert(engaged === off)
+    // and the session conf is the dial the preset uses (override absent)
+    try {
+      spark.conf.set("spark.graft.dedup.collapseMinDupFrac", "0.02")
+      val before = Dedup.collapseSkipped.get()
+      partition(Dedup.collapsedClusterEdges(docs, cap = 0))
+      assert(Dedup.collapseSkipped.get() === before + 1)
+    } finally spark.conf.unset("spark.graft.dedup.collapseMinDupFrac")
+  }
+
+  test("the forced-on catalog face engages the collapse even on the dup-free fixture") {
+    val before = Dedup.collapseEngaged.get()
+    val face = Dedup.dedupClustersCollapsed(spark, sf)
+    face.collect()
+    CacheScope.releaseAll()
+    assert(Dedup.collapseEngaged.get() === before + 1,
+      "q_dedup_clusters_collapsed must gate the collapse machinery, not the skip path")
+  }
+
   test("end-to-end conf flip: dedupClusters output identical on the fixture") {
     def rows() = {
       val r = Dedup.dedupClusters(spark, sf).collect().map(_.toString).toSeq
