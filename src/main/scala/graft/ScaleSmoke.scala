@@ -35,11 +35,25 @@ import org.apache.spark.sql.functions._
   * understate slightly; the pair-join families this smoke exists for
   * are unaffected.
   *
-  * Usage: runMain graft.ScaleSmoke <baseSfDir> <factor> <workDir> [hot|buildonly]
+  * Usage: runMain graft.ScaleSmoke <baseSfDir> <factor> <workDir>
+  *        [hot|buildonly|hotbuildonly]
   * `hot` appends the planted boilerplate group and runs the guard phase;
   * `buildonly` writes the derived fixture and exits — the seam for
   * targeted re-measures (`SPARK_GRAFT_SF_DIR=<workDir> runMain graft.Bench
-  * q_x q_y` with reps) without paying the full heavy-query smoke.
+  * q_x q_y` with reps) without paying the full heavy-query smoke;
+  * `hotbuildonly` writes the derived fixture WITH the planted hot group
+  * and exits — so guarded-query re-measures (the queries the hot phase
+  * exists for) can reproduce the exact hot fixture too.
+  *
+  * Outlier auto-escalation: the fleet pass is single-rep for breadth,
+  * but this box's steal makes lone reps lie (round 14 re-adjudicated
+  * three starred rows by hand). Set SPARK_GRAFT_PRIOR_RATIOS to the
+  * prior round's ratio file (the `ratios.json` this run writes into
+  * `workDir`, also mirrored best-effort to `SCALESMOKE_ratios_latest
+  * .json` in cwd): any query whose single-rep ratio exceeds 1.5× its
+  * prior value is re-measured at reps=3 medians on both corpora before
+  * its row is recorded (`"reps":3` marks escalated rows). Unset, no
+  * escalation happens — the table then carries single-rep caveats.
   */
 object ScaleSmoke {
 
@@ -130,10 +144,13 @@ object ScaleSmoke {
     // fail fast on a typo'd mode: a silently-ignored 4th arg would run
     // the full multi-SF smoke instead of buildonly, or complete a smoke
     // that looks done but lacks the guard phase it was run for
-    if (args.length > 3) require(Set("hot", "buildonly").contains(args(3)),
-      s"unknown mode '${args(3)}' (supported: hot, buildonly)")
+    if (args.length > 3) require(
+      Set("hot", "buildonly", "hotbuildonly").contains(args(3)),
+      s"unknown mode '${args(3)}' (supported: hot, buildonly, hotbuildonly)")
     val hotMode = args.length > 3 && args(3) == "hot"
-    val buildOnly = args.length > 3 && args(3) == "buildonly"
+    val buildOnly = args.length > 3 &&
+      (args(3) == "buildonly" || args(3) == "hotbuildonly")
+    val buildHot = args.length > 3 && args(3) == "hotbuildonly"
     require(factor >= 2, "factor must be >= 2")
     // copy i maps the 36-char alphabet into [0x0100 + 36i, 0x0100 + 36i
     // + 35]; factor 14 is the last whose top copy stays below U+0300 —
@@ -163,6 +180,7 @@ object ScaleSmoke {
         f"$heapGiB%.1f GiB — launch with SPARK_DRIVER_MEM>=16g for the 10x run")
     GraftConf.requireKnown(spark)
     buildScaled(spark, baseDir, factor, workDir)
+    if (buildHot) appendHotGroup(spark, workDir)
     if (buildOnly) { spark.stop(); return }
     val qs = SparkEntry.queries.filter { case (n, _) => heavyQueries.contains(n) }
       .toSeq.sortBy(_._1)
@@ -176,24 +194,66 @@ object ScaleSmoke {
     }
     val (baseTimes, baseFails) = Bench.measure(spark, baseDir, reps = 1, qs)
     val (scaledTimes, scaledFails) = Bench.measure(spark, workDir, reps = 1, qs)
-    val bt = baseTimes.toMap
-    val st = scaledTimes.toMap
+    var bt = baseTimes.toMap
+    var st = scaledTimes.toMap
+    val reported = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(1)
+    // outlier auto-escalation vs the prior round's ratios (see header)
+    val prior = sys.env.get("SPARK_GRAFT_PRIOR_RATIOS")
+      .map(readRatioFile).getOrElse(Map.empty)
+    val escalate = heavyQueries.filter { n =>
+      (for (b <- bt.get(n); t <- st.get(n); p <- prior.get(n))
+        yield t / b > p * 1.5).getOrElse(false)
+    }
+    if (escalate.nonEmpty) {
+      System.err.println(s"[scale-smoke] single-rep ratio >1.5x prior for " +
+        s"${escalate.mkString(", ")} — re-measuring at reps=3 medians")
+      val eqs = qs.filter { case (n, _) => escalate.contains(n) }
+      val (b3, _) = Bench.measure(spark, baseDir, reps = 3, eqs)
+      val (s3, _) = Bench.measure(spark, workDir, reps = 3, eqs)
+      bt = bt ++ b3.toMap
+      st = st ++ s3.toMap
+      escalate.foreach(n => reported(n) = 3)
+    }
     val rows = heavyQueries.sorted.map { n =>
       val b = bt.get(n)
       val t = st.get(n)
       val ratio = for (x <- b; y <- t) yield y / x
       f"""{"query":"$n","base_sec":${b.map(v => f"$v%.2f").getOrElse("null")},""" +
         f""""scaled_sec":${t.map(v => f"$v%.2f").getOrElse("null")},""" +
-        f""""ratio":${ratio.map(v => f"$v%.2f").getOrElse("null")}}"""
+        f""""ratio":${ratio.map(v => f"$v%.2f").getOrElse("null")},""" +
+        f""""reps":${reported(n)}}"""
     }
     println(s"""{"factor":$factor,"base":"$baseDir",""" +
       s""""fails_base":${baseFails.size},"fails_scaled":${scaledFails.size},""" +
-      s""""rows":[${rows.mkString(",")}]}""")
+      s""""escalated":${escalate.size},"rows":[${rows.mkString(",")}]}""")
+    // persist the final ratios so the NEXT run can escalate against them
+    val ratioJson = heavyQueries.sorted.flatMap { n =>
+      for (x <- bt.get(n); y <- st.get(n)) yield f""""$n":${y / x}%.2f"""
+    }.mkString("{", ",", "}")
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(workDir, "ratios.json"), ratioJson + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALESMOKE_ratios_latest.json"), ratioJson + "\n")
+    } catch { case scala.util.control.NonFatal(_) => () }
     if (baseFails.nonEmpty || scaledFails.nonEmpty)
       System.err.println(s"[scale-smoke] failures: base=$baseFails scaled=$scaledFails")
     if (hotMode) hotPhase(spark, workDir, st)
     spark.stop()
   }
+
+  /** Parse a flat `{"q_name": ratio, ...}` file (the shape this object
+    * writes) without a JSON dependency — regex over quoted-key:number
+    * pairs; unreadable file or malformed content degrades to empty
+    * (no escalation), never aborts the smoke. */
+  private[graft] def readRatioFile(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      """"([^"]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r
+        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** Guard-engagement phase: the 10× corpus PLUS the planted hot group,
     * guarded queries only, under the already-active scale profile. The

@@ -106,6 +106,27 @@ class ScaleSmokeSpec extends SparkFunSuite {
     assert(leaked === 0, "a letter or digit survived the copy bijection verbatim")
   }
 
+  test("a typo'd mode fails fast, before any fixture work") {
+    val e = intercept[IllegalArgumentException] {
+      ScaleSmoke.main(Array("/nonexistent", "2", "/nonexistent_out", "hotbuild"))
+    }
+    assert(e.getMessage.contains("hotbuildonly"),
+      "the error must list the supported modes (incl. hotbuildonly)")
+  }
+
+  test("readRatioFile round-trips the ratio map this object writes") {
+    val dir = TempDirs.scratch("graft_smokespec_ratios_")
+    val p = dir.resolve("ratios.json")
+    java.nio.file.Files.writeString(p,
+      """{"q_dedup_minhash":4.60,"q_bm25_batch":9.70}""" + "\n")
+    assert(ScaleSmoke.readRatioFile(p.toString) ===
+      Map("q_dedup_minhash" -> 4.6, "q_bm25_batch" -> 9.7))
+    // degraded inputs: missing file / garbage → empty map, never a throw
+    assert(ScaleSmoke.readRatioFile(dir.resolve("absent.json").toString) === Map.empty)
+    java.nio.file.Files.writeString(p, "not json at all")
+    assert(ScaleSmoke.readRatioFile(p.toString) === Map.empty)
+  }
+
   test("embedding copies keep norms exactly and decorrelate across copies") {
     graft.functions.VectorFunctions.register(spark)
     val out = build(2)
