@@ -74,4 +74,23 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Cheap file-level fingerprint of `dir/name.parquet` (file count :
+    * total bytes : max mtime) — enough to catch a rewrite without
+    * reading data. Used by the `_served` faces' build-once markers and
+    * the shared-cluster snapshot to invalidate session-cached artifacts
+    * when the table underneath changes. */
+  def filesFingerprint(s: SparkSession, dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir, s"$name.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      // the table may be a single file or a directory of part files
+      val stats =
+        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+        else Seq(fs.getFileStatus(p))
+      s"${stats.length}:${stats.map(_.getLen).sum}:" +
+        s"${stats.map(_.getModificationTime).max}"
+    }
+  }
 }

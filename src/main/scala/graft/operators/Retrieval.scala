@@ -316,6 +316,49 @@ object Retrieval {
       path)
   }
 
+  /** Build count of the served face — lets ServedFacesSpec pin that the
+    * session-cached index is built once, then only served. */
+  private[graft] val servedBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Catalog face: the SERVE-ONLY cost of the postings lifecycle — the
+    * production number. [[bm25BatchIndexed]] re-pays its index build
+    * every invocation (honest for measuring the build, wrong for
+    * measuring serving: bench's median then includes three builds);
+    * this face builds the index at most once per (session, dataset)
+    * behind a marker that records the documents table's file
+    * fingerprint — written only AFTER a completed build, so a crash
+    * mid-build rebuilds, and a dataset rewrite invalidates — and every
+    * later invocation serves from the warm files. Bench reps 2..n
+    * therefore measure pure serving, and the reported median IS the
+    * serving cost; read it against `q_bm25_batch_indexed`'s build+serve
+    * in the same run. The index content depends only on (dataset, the
+    * %97 train split) — no confs — so the file fingerprint is the whole
+    * invalidation story. Same oracle as `q_bm25_batch`, verbatim: the
+    * cached hop must stay invisible in the result. */
+  def bm25BatchServed(s: SparkSession, d: String): DataFrame = {
+    val root = graft.TempDirs.scratchFor("graft_postings_",
+      graft.TempDirs.sessionKey(s, d))
+    val idx = root.resolve("served_train")
+    val marker = root.resolve("served_train.done")
+    val fp = graft.Tables.filesFingerprint(s, d, "documents")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8) == fp
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      graft.TempDirs.delete(idx)
+      writePostingsIndexOf(
+        documents(s, d).filter(col("doc_id") % 97 =!= 0), idx.toString)
+      java.nio.file.Files.write(marker,
+        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      servedBuilds.incrementAndGet()
+    }
+    bm25BatchFromIndex(
+      documents(s, d).filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text")),
+      idx.toString)
+  }
+
   // ------------------------------------------------------------------
   // Persisted positional postings index — the production face of both
   // retrieval queries. The scan-side entries above re-derive postings
@@ -474,6 +517,7 @@ object Retrieval {
     "q_bm25_topk" -> (bm25TopK _),
     "q_bm25_batch" -> (bm25Batch _),
     "q_bm25_batch_indexed" -> (bm25BatchIndexed _),
+    "q_bm25_batch_served" -> (bm25BatchServed _),
     "q_phrase_search" -> (phraseSearch _),
     "q_bm25_indexed" -> (bm25Indexed _),
     "q_phrase_indexed" -> (phraseIndexed _))
@@ -573,6 +617,7 @@ object Retrieval {
     "q_bm25_topk" -> bm25OracleSql,
     "q_bm25_batch" -> bm25BatchOracleSql,
     "q_bm25_batch_indexed" -> bm25BatchOracleSql,
+    "q_bm25_batch_served" -> bm25BatchOracleSql,
     "q_phrase_search" -> phraseOracleSql,
     // the indexed faces replay the scan-side SQL: same semantics — the
     // index is a layout decision the oracle must not see

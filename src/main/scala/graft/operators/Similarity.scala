@@ -919,6 +919,49 @@ object Similarity {
       path)
   }
 
+  /** Build count of the served face — ServedFacesSpec pins build-once. */
+  private[graft] val servedBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Catalog face: the SERVE-ONLY cost of the IVF lifecycle — the
+    * production number ([[Retrieval.bm25BatchServed]]'s ANN twin).
+    * Builds [[writeIvfIndex]]'s table at most once per (session,
+    * dataset) behind a marker written only AFTER a completed build;
+    * every later invocation serves the 30-query batch from the warm
+    * cell-partitioned files, so bench's median (reps 2..n) IS the
+    * serving cost. Unlike the postings index, the trained quantizer
+    * DEPENDS on confs (`ivf.lloydIters`, `ivf.seeding`,
+    * `ivf.objectiveEps` — they shape the centroids, hence every posting
+    * list), so the marker fingerprint covers the embeddings table files
+    * PLUS those resolved conf values: a mid-session retune rebuilds
+    * instead of serving the other model's index. (`ivf.nprobe` is
+    * serve-time only — correctly absent.) Same oracle as `q_knn_ivf`,
+    * verbatim. */
+  def knnIvfServed(s: SparkSession, d: String): DataFrame = {
+    val root = graft.TempDirs.scratchFor("graft_ivfindex_",
+      graft.TempDirs.sessionKey(s, d))
+    val idx = root.resolve("served_ivf")
+    val marker = root.resolve("served_ivf.done")
+    val fp = graft.Tables.filesFingerprint(s, d, "embeddings") +
+      s"|iters=${graft.GraftConf.int(s, "spark.graft.ivf.lloydIters", 1)}:" +
+      s"seed=${graft.GraftConf.get(s, "spark.graft.ivf.seeding").getOrElse("first")}:" +
+      s"eps=${graft.GraftConf.double(s, "spark.graft.ivf.objectiveEps", 0.0)}"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8) == fp
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      graft.TempDirs.delete(idx)
+      writeIvfIndex(s, d, idx.toString)
+      java.nio.file.Files.write(marker,
+        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      servedBuilds.incrementAndGet()
+    }
+    knnFromIvfIndex(
+      embeddings(s, d).filter(col("vec_id") < 30)
+        .select(col("vec_id"), col("embedding")),
+      idx.toString)
+  }
+
   /** SemDeDup-style SEMANTIC dedup: connected components over the
     * embedding near-dup graph, keep each component's minimum-id vector.
     * Where [[Dedup.dedupClusters]] clusters by TEXT overlap (MinHash),
@@ -1167,6 +1210,7 @@ object Similarity {
     "q_knn_lsh" -> (knnLsh _),
     "q_knn_ivf" -> (knnIvf _),
     "q_knn_ivf_indexed" -> (knnIvfIndexed _),
+    "q_knn_ivf_served" -> (knnIvfServed _),
     "q_cluster_profile" -> (clusterProfile _),
     "q_knn_pq" -> (knnPq _),
     "q_knn_ivfpq" -> (knnIvfPq _),
@@ -1382,6 +1426,7 @@ object Similarity {
     // replays the SAME oracle — the DuckDB side has no notion of which
     // storage the engine served from
     "q_knn_ivf_indexed" -> ivfOracleSql,
+    "q_knn_ivf_served" -> ivfOracleSql,
 
     // shares ivfTrainCtes verbatim with the q_knn_ivf family, so the
     // profile and the serving faces describe the SAME trained quantizer
