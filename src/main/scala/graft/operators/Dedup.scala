@@ -787,18 +787,7 @@ object Dedup {
     * accessors the pipeline uses, so profile-layered values are
     * captured as resolved. */
   private def inputFingerprint(s: SparkSession, d: String): String = {
-    val p = new org.apache.hadoop.fs.Path(d, "documents.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val filePart =
-      if (!fs.exists(p)) "absent"
-      else {
-        // the table may be a single file or a directory of part files
-        val stats =
-          if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-          else Seq(fs.getFileStatus(p))
-        s"${stats.length}:${stats.map(_.getLen).sum}:" +
-          s"${stats.map(_.getModificationTime).max}"
-      }
+    val filePart = graft.Tables.filesFingerprint(s, d, "documents")
     val dupFrac = graft.GraftConf.double(
       s, "spark.graft.dedup.collapseMinDupFrac", 0.01)
     s"$filePart|collapse=${exactCollapseOn(s)}:minDupFrac=$dupFrac:" +
@@ -914,25 +903,37 @@ object Dedup {
     val s = docsIn.sparkSession
     val docs = docsIn.filter(col("text").isNotNull)
     val keyed = docs.select(col("doc_id"), md5(col("text")).as("h"))
-    val reps = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("rep"))
-    // persist + eager count: memberEdges and repDocs both read this join
-    // from separate branches of the CC job (the minhashPairs rationale)
-    val withRep = graft.CacheScope.track(keyed.join(reps, "h").persist())
-    val nDocs = withRep.count()
+    // ONE md5 groupBy serves both the dup-share probe and (when
+    // engaged) the representative table — the probe must not pay the
+    // keyed⋈groups join the skip path will never use (the probe's cost
+    // when skipping is exactly one text scan + one hash exchange)
+    val groups = graft.CacheScope.track(
+      keyed.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
+        .persist())
+    val stats = groups.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("docs"),
+      count(lit(1)).as("groups")).collect()(0)
+    val nDocs = stats.getLong(0)
+    val nDups = nDocs - stats.getLong(1)
     val minDupFrac = minDupFracOverride.getOrElse(graft.GraftConf.double(
       s, "spark.graft.dedup.collapseMinDupFrac", 0.01))
     require(minDupFrac >= 0.0 && minDupFrac <= 1.0,
       "spark.graft.dedup.collapseMinDupFrac must be in [0, 1]")
-    // the one-scalar dup-share probe over the already-persisted frame
-    val nDups = withRep.filter(col("doc_id") =!= col("rep")).count()
     if (nDocs == 0L || nDups.toDouble / nDocs < minDupFrac) {
       collapseSkipped.incrementAndGet()
-      withRep.unpersist(blocking = false)
+      groups.unpersist(blocking = false)
       val sigs = graft.CacheScope.track(signaturesOf(docs).persist())
       sigs.count()
       pairsFromBands(bandsOf(sigs), cap)
     } else {
       collapseEngaged.incrementAndGet()
+      // persist + eager count: memberEdges and repDocs both read this
+      // join from separate branches of the CC job (the minhashPairs
+      // rationale)
+      val withRep = graft.CacheScope.track(
+        keyed.join(groups.select(col("h"), col("rep")), "h").persist())
+      withRep.count()
       val memberEdges = withRep.filter(col("doc_id") =!= col("rep"))
         .select(col("rep").as("d1"), col("doc_id").as("d2"),
           lit(lshGeometry(s).width).as("matches")) // identical docs match every slot
