@@ -594,6 +594,51 @@ object TextAnalysis {
       path)
   }
 
+  /** Build count of the served face — ServedFacesSpec pins build-once. */
+  private[graft] val servedBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Catalog face: the SERVE-ONLY cost of the winnow-index lifecycle
+    * (the [[graft.operators.Retrieval.bm25BatchServed]] pattern, third
+    * index family). Builds the fingerprint index at most once per
+    * (session, dataset) behind a completed-build marker; bench's median
+    * (reps 2..n) is the pure probe cost. The index content depends on
+    * the documents files, the train slice (`winnow.evalMod`), AND the
+    * winnowing geometry (`winnow.gram`/`.window` — a different (k, w)
+    * selects different fingerprints), so all ride the marker
+    * fingerprint: a geometry retune REBUILDS here, where serving the
+    * stale files would instead fail fast on the `_winnow_meta` sidecar
+    * check — rebuild is the served face's contract, crash is the
+    * library primitive's. Serve-time dials (`minShared`,
+    * `maxDocsPerFp`) don't touch index content — correctly absent.
+    * Same oracle as `q_winnow_contamination`, verbatim. */
+  def winnowContaminationServed(s: SparkSession, d: String): DataFrame = {
+    val evalMod = graft.GraftConf.int(s, "spark.graft.winnow.evalMod", 7)
+    require(evalMod >= 2, "winnow.evalMod must be >= 2")
+    val root = graft.TempDirs.scratchFor("graft_winnowidx_",
+      graft.TempDirs.sessionKey(s, d))
+    val idx = root.resolve("served_train")
+    val marker = root.resolve("served_train.done")
+    val fp = graft.Tables.filesFingerprint(s, d, "documents") +
+      s"|evalMod=$evalMod" +
+      s":k=${graft.GraftConf.int(s, "spark.graft.winnow.gram", 5)}" +
+      s":w=${graft.GraftConf.int(s, "spark.graft.winnow.window", 8)}"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8) == fp
+    val docs = documents(s, d)
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      graft.TempDirs.delete(idx)
+      writeWinnowIndexOf(docs.filter(col("doc_id") % evalMod =!= 0), idx.toString)
+      java.nio.file.Files.write(marker,
+        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      servedBuilds.incrementAndGet()
+    }
+    contaminationFromIndex(
+      docs.filter(col("doc_id") % evalMod === 0).select(col("doc_id"), col("text")),
+      idx.toString)
+  }
+
   /** Heavy hitters (tokens with ≥ 2% of all occurrences) via Count-Min
     * sketch pruning + exact verification. The sketch — Spark's own
     * `count_min_sketch` aggregate, queried through
@@ -1175,6 +1220,7 @@ object TextAnalysis {
     "q_winnow_matches" -> (winnowMatches _),
     "q_winnow_contamination" -> (winnowContamination _),
     "q_winnow_contamination_indexed" -> (winnowContaminationIndexed _),
+    "q_winnow_contamination_served" -> (winnowContaminationServed _),
     "q_contamination_spans" -> (contaminationSpans _),
     "q_token_count" -> (tokenCount _),
     "q_heavy_hitters_cms" -> (heavyHittersCms _)
@@ -1593,6 +1639,7 @@ object TextAnalysis {
 
     // the persisted-index hop must be invisible: same oracle exactly
     "q_winnow_contamination_indexed" -> winnowContaminationOracle,
+    "q_winnow_contamination_served" -> winnowContaminationOracle,
 
     // exact maximal shared runs for flagged pairs via the diagonal
     // gaps-and-islands grouping; 0-based token offsets; zipped unnest

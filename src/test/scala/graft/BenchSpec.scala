@@ -18,6 +18,27 @@ class BenchSpec extends SparkFunSuite {
     assert(failed === Seq("q_broken"))
   }
 
+  test("measureDetailed splits the eager prelude (build) from serving the frame") {
+    // a face with a deliberate 300 ms eager prelude: the split must bill
+    // it to build, not serve — this is the seam the _indexed/_served
+    // faces' production claim is measured through
+    val eager: (SparkSession, String) => DataFrame = (s, _) => {
+      Thread.sleep(300L)
+      s.range(10).toDF("id")
+    }
+    val (detailed, failed) = Bench.measureDetailed(spark, sf, reps = 2,
+      Seq("q_eager" -> eager))
+    assert(failed.isEmpty)
+    val reps = detailed.head._2
+    assert(reps.length === 2)
+    assert(reps.forall(_.buildSec >= 0.25),
+      "the eager prelude was not billed to build")
+    assert(reps.forall(r => r.totalSec >= r.buildSec && r.serveSec >= 0.0))
+    val med = Bench.medianRep(reps)
+    assert(med.totalSec === med.buildSec + med.serveSec,
+      "the published split must sum to the published median")
+  }
+
   test("a query past the time cap is cancelled, fails by name, and skips its reps") {
     // a query whose tasks sleep far past the 1 s cap: if cancellation
     // didn't work, three reps would hold this test for ~3 minutes — the

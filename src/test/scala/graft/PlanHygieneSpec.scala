@@ -34,7 +34,7 @@ class PlanHygieneSpec extends AnyFunSuite {
         "q_knn_ivf", "q_knn_ivf_indexed", "q_knn_ivf_served",
         "q_bm25_indexed",
         "q_bm25_batch_indexed", "q_bm25_batch_served", "q_phrase_indexed",
-        "q_winnow_contamination_indexed",
+        "q_winnow_contamination_indexed", "q_winnow_contamination_served",
         "q_bucketed_join").contains(name)
 
   private def offenders(p: SparkPlan): Seq[String] = {

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import graft.operators.{Retrieval, Similarity}
+import graft.operators.{Retrieval, Similarity, TextAnalysis}
 
 /** The `_served` faces' contract: build the persisted index at most
   * once per (session, dataset) behind a completed-build marker, serve
@@ -50,6 +50,26 @@ class ServedFacesSpec extends SparkFunSuite {
     assert(Retrieval.servedBuilds.get() === b0 + 1,
       "a build without a completion marker must never be served")
     assert(r.nonEmpty)
+  }
+
+  test("winnow_contamination_served: builds once, equals the indexed face; geometry retune rebuilds") {
+    reset("graft_winnowidx_", "served_train")
+    val viaIndexed = rows(TextAnalysis.winnowContaminationIndexed(spark, sf))
+    val b0 = TextAnalysis.servedBuilds.get()
+    val first = rows(TextAnalysis.winnowContaminationServed(spark, sf))
+    assert(TextAnalysis.servedBuilds.get() === b0 + 1, "cold call must build")
+    rows(TextAnalysis.winnowContaminationServed(spark, sf))
+    assert(TextAnalysis.servedBuilds.get() === b0 + 1, "warm call rebuilt")
+    assert(first === viaIndexed)
+    // a (k, w) retune must REBUILD here — the library primitive
+    // (contaminationFromIndex) fails fast on the _winnow_meta sidecar
+    // for the same mismatch; the served face's contract is rebuild
+    try {
+      spark.conf.set("spark.graft.winnow.window", "6")
+      rows(TextAnalysis.winnowContaminationServed(spark, sf))
+      assert(TextAnalysis.servedBuilds.get() === b0 + 2,
+        "geometry retune did not rebuild (the sidecar check would have thrown)")
+    } finally spark.conf.unset("spark.graft.winnow.window")
   }
 
   test("knn_ivf_served: builds once, equals the indexed face; a quantizer retune rebuilds") {
