@@ -56,8 +56,11 @@ import org.apache.spark.sql.SparkSession
   *        md5 groupBy the collapse already executes yields the exact
   *        dup fraction as one scalar, and below the threshold the
   *        pipeline falls back to the uncollapsed plan —
-  *        output-identical either way, so always-on is non-regressing
-  *        on dup-free corpora.
+  *        output-identical whenever no band bucket is hot (the same
+  *        condition the collapse equivalence itself carries; under a
+  *        hot bucket the routes differ exactly as exactCollapse
+  *        on/off do), so always-on is non-regressing on dup-free
+  *        corpora.
   *      - `spark.graft.index.compactEvery=64` — bound the signature /
   *        vector band index file counts under streaming ingest
   *        (result-identical; pure layout maintenance).

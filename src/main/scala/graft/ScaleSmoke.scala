@@ -50,10 +50,13 @@ import org.apache.spark.sql.functions._
   * three starred rows by hand). Set SPARK_GRAFT_PRIOR_RATIOS to the
   * prior round's ratio file (the `ratios.json` this run writes into
   * `workDir`, also mirrored best-effort to `SCALESMOKE_ratios_latest
-  * .json` in cwd): any query whose single-rep ratio exceeds 1.5× its
-  * prior value is re-measured at reps=3 medians on both corpora before
-  * its row is recorded (`"reps":3` marks escalated rows). Unset, no
-  * escalation happens — the table then carries single-rep caveats.
+  * .json` in cwd): any query whose single-rep ratio lands more than
+  * 1.5× OFF its prior value — in either direction; a stolen base rep
+  * deflates the ratio exactly as a stolen scaled rep inflates it — is
+  * re-measured at reps=3 medians on both corpora before its row is
+  * recorded (`"reps":3` marks rows whose re-measure completed; a
+  * failed re-measure leaves reps:1 and warns). Unset, no escalation
+  * happens — the table then carries single-rep caveats.
   */
 object ScaleSmoke {
 
@@ -201,19 +204,32 @@ object ScaleSmoke {
     // outlier auto-escalation vs the prior round's ratios (see header)
     val prior = sys.env.get("SPARK_GRAFT_PRIOR_RATIOS")
       .map(readRatioFile).getOrElse(Map.empty)
+    // TWO-sided: a steal-inflated BASE rep deflates the ratio just as a
+    // steal-inflated scaled rep inflates it — both directions are
+    // unverified single-rep numbers that would poison the persisted
+    // priors for the next round's comparison
     val escalate = heavyQueries.filter { n =>
       (for (b <- bt.get(n); t <- st.get(n); p <- prior.get(n))
-        yield t / b > p * 1.5).getOrElse(false)
+        yield t / b > p * 1.5 || t / b < p / 1.5).getOrElse(false)
     }
     if (escalate.nonEmpty) {
-      System.err.println(s"[scale-smoke] single-rep ratio >1.5x prior for " +
-        s"${escalate.mkString(", ")} — re-measuring at reps=3 medians")
+      System.err.println(s"[scale-smoke] single-rep ratio off >1.5x from prior " +
+        s"for ${escalate.mkString(", ")} — re-measuring at reps=3 medians")
       val eqs = qs.filter { case (n, _) => escalate.contains(n) }
       val (b3, _) = Bench.measure(spark, baseDir, reps = 3, eqs)
       val (s3, _) = Bench.measure(spark, workDir, reps = 3, eqs)
       bt = bt ++ b3.toMap
       st = st ++ s3.toMap
-      escalate.foreach(n => reported(n) = 3)
+      // only rows whose BOTH sides re-measured get the reps:3 label — a
+      // re-measure that failed (time cap) must not stamp a single-rep
+      // number as a 3-rep median, which would defeat the adjudication
+      // guarantee this feature exists for
+      val ok = escalate.filter(n => b3.toMap.contains(n) && s3.toMap.contains(n))
+      ok.foreach(n => reported(n) = 3)
+      val unconfirmed = escalate.filterNot(ok.contains)
+      if (unconfirmed.nonEmpty)
+        System.err.println(s"[scale-smoke] reps=3 re-measure FAILED for " +
+          s"${unconfirmed.mkString(", ")} — rows stay at reps:1, unverified")
     }
     val rows = heavyQueries.sorted.map { n =>
       val b = bt.get(n)

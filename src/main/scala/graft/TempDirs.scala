@@ -108,6 +108,35 @@ object TempDirs {
     p
   }
 
+  /** Build-once staging behind a completed-build marker — the `_served`
+    * catalog faces' contract, shared so the protocol can't drift across
+    * the three index families. Runs `build` only when the marker is
+    * absent or records a different `fingerprint` (callers encode the
+    * input files PLUS every conf that shapes the artifact); the marker
+    * is deleted BEFORE and rewritten only AFTER a completed build, so a
+    * crash mid-build leaves no marker and the next entry rebuilds
+    * instead of serving a torn artifact. Returns the artifact path and
+    * whether this call built it (the faces' build counters hang off
+    * that). */
+  def buildOnce(prefix: String, key: String, sub: String, fingerprint: String)
+      (build: Path => Unit): (Path, Boolean) = {
+    val root = scratchFor(prefix, key)
+    val artifact = root.resolve(sub)
+    val marker = root.resolve(s"$sub.done")
+    val fresh = Files.exists(marker) && new String(
+      Files.readAllBytes(marker), java.nio.charset.StandardCharsets.UTF_8)
+      .equals(fingerprint)
+    if (fresh) (artifact, false)
+    else {
+      Files.deleteIfExists(marker)
+      delete(artifact)
+      build(artifact)
+      Files.write(marker,
+        fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (artifact, true)
+    }
+  }
+
   /** Best-effort recursive delete (exit hook + eager callers). */
   def delete(root: Path): Unit =
     if (Files.exists(root)) {

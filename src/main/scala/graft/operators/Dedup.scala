@@ -884,9 +884,15 @@ object Dedup {
     * `spark.graft.dedup.collapseMinDupFrac` (default 1%) the collapse
     * machinery buys ~nothing (measured: +10% wall on a dup-free ×10
     * corpus, round 14), so the pipeline falls back to the uncollapsed
-    * plan over ALL docs — output-identical either way (identical docs
-    * share every band, so the pair join connects the groups the member
-    * edges would have), making the scale preset's always-on default
+    * plan over ALL docs. The two routes are output-identical under the
+    * SAME no-hot-bucket condition the collapse equivalence argument
+    * above carries — identical docs share every band, so the pair join
+    * connects the groups the member edges would have; when a band
+    * bucket IS hot (cap engaged) the routes differ exactly as
+    * exactCollapse on/off already differ (the collapsed run can keep
+    * near-dup edges the guard drops), and the threshold then decides
+    * which documented mode runs — a corpus-policy property, not a new
+    * divergence channel. The preset's always-on default is therefore
     * non-regressing on dup-free corpora while keeping the measured
     * −35% win on dup-heavy ones. [[collapseEngaged]]/[[collapseSkipped]]
     * let ExactCollapseSpec pin which path ran.

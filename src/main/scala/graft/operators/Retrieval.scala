@@ -336,23 +336,13 @@ object Retrieval {
     * invalidation story. Same oracle as `q_bm25_batch`, verbatim: the
     * cached hop must stay invisible in the result. */
   def bm25BatchServed(s: SparkSession, d: String): DataFrame = {
-    val root = graft.TempDirs.scratchFor("graft_postings_",
-      graft.TempDirs.sessionKey(s, d))
-    val idx = root.resolve("served_train")
-    val marker = root.resolve("served_train.done")
-    val fp = graft.Tables.filesFingerprint(s, d, "documents")
-    val fresh = java.nio.file.Files.exists(marker) &&
-      new String(java.nio.file.Files.readAllBytes(marker),
-        java.nio.charset.StandardCharsets.UTF_8) == fp
-    if (!fresh) {
-      java.nio.file.Files.deleteIfExists(marker)
-      graft.TempDirs.delete(idx)
+    val (idx, built) = graft.TempDirs.buildOnce("graft_postings_",
+      graft.TempDirs.sessionKey(s, d), "served_train",
+      graft.Tables.filesFingerprint(s, d, "documents")) { p =>
       writePostingsIndexOf(
-        documents(s, d).filter(col("doc_id") % 97 =!= 0), idx.toString)
-      java.nio.file.Files.write(marker,
-        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      servedBuilds.incrementAndGet()
+        documents(s, d).filter(col("doc_id") % 97 =!= 0), p.toString)
     }
+    if (built) servedBuilds.incrementAndGet()
     bm25BatchFromIndex(
       documents(s, d).filter(col("doc_id") % 97 === 0)
         .select(col("doc_id"), col("text")),
@@ -499,16 +489,19 @@ object Retrieval {
   /** Catalog faces: build the index in a scratch directory, serve the
     * default query from it — oracle-checked against the SAME SQL as the
     * scan-side entries (the [[Similarity.knnIvfIndexed]] lifecycle). */
+  // distinct sub names: sharing one subdir would let each face delete
+  // the OTHER's still-readable index files at re-entry — the freshUnder
+  // hazard is documented for same-face re-entry only, so keep it there
   def bm25Indexed(s: SparkSession, d: String): DataFrame = {
     val path = graft.TempDirs.freshUnder("graft_postings_",
-      graft.TempDirs.sessionKey(s, d), "idx").toString
+      graft.TempDirs.sessionKey(s, d), "idx_bm25").toString
     writePostingsIndex(s, d, path)
     bm25FromIndex(s, path)
   }
 
   def phraseIndexed(s: SparkSession, d: String): DataFrame = {
     val path = graft.TempDirs.freshUnder("graft_postings_",
-      graft.TempDirs.sessionKey(s, d), "idx").toString
+      graft.TempDirs.sessionKey(s, d), "idx_phrase").toString
     writePostingsIndex(s, d, path)
     phraseFromIndex(s, path)
   }

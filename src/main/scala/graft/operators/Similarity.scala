@@ -937,25 +937,14 @@ object Similarity {
     * serve-time only — correctly absent.) Same oracle as `q_knn_ivf`,
     * verbatim. */
   def knnIvfServed(s: SparkSession, d: String): DataFrame = {
-    val root = graft.TempDirs.scratchFor("graft_ivfindex_",
-      graft.TempDirs.sessionKey(s, d))
-    val idx = root.resolve("served_ivf")
-    val marker = root.resolve("served_ivf.done")
     val fp = graft.Tables.filesFingerprint(s, d, "embeddings") +
       s"|iters=${graft.GraftConf.int(s, "spark.graft.ivf.lloydIters", 1)}:" +
       s"seed=${graft.GraftConf.get(s, "spark.graft.ivf.seeding").getOrElse("first")}:" +
       s"eps=${graft.GraftConf.double(s, "spark.graft.ivf.objectiveEps", 0.0)}"
-    val fresh = java.nio.file.Files.exists(marker) &&
-      new String(java.nio.file.Files.readAllBytes(marker),
-        java.nio.charset.StandardCharsets.UTF_8) == fp
-    if (!fresh) {
-      java.nio.file.Files.deleteIfExists(marker)
-      graft.TempDirs.delete(idx)
-      writeIvfIndex(s, d, idx.toString)
-      java.nio.file.Files.write(marker,
-        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      servedBuilds.incrementAndGet()
-    }
+    val (idx, built) = graft.TempDirs.buildOnce("graft_ivfindex_",
+      graft.TempDirs.sessionKey(s, d), "served_ivf", fp)(p =>
+      writeIvfIndex(s, d, p.toString))
+    if (built) servedBuilds.incrementAndGet()
     knnFromIvfIndex(
       embeddings(s, d).filter(col("vec_id") < 30)
         .select(col("vec_id"), col("embedding")),

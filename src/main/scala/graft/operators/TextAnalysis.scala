@@ -614,26 +614,15 @@ object TextAnalysis {
   def winnowContaminationServed(s: SparkSession, d: String): DataFrame = {
     val evalMod = graft.GraftConf.int(s, "spark.graft.winnow.evalMod", 7)
     require(evalMod >= 2, "winnow.evalMod must be >= 2")
-    val root = graft.TempDirs.scratchFor("graft_winnowidx_",
-      graft.TempDirs.sessionKey(s, d))
-    val idx = root.resolve("served_train")
-    val marker = root.resolve("served_train.done")
     val fp = graft.Tables.filesFingerprint(s, d, "documents") +
       s"|evalMod=$evalMod" +
       s":k=${graft.GraftConf.int(s, "spark.graft.winnow.gram", 5)}" +
       s":w=${graft.GraftConf.int(s, "spark.graft.winnow.window", 8)}"
-    val fresh = java.nio.file.Files.exists(marker) &&
-      new String(java.nio.file.Files.readAllBytes(marker),
-        java.nio.charset.StandardCharsets.UTF_8) == fp
     val docs = documents(s, d)
-    if (!fresh) {
-      java.nio.file.Files.deleteIfExists(marker)
-      graft.TempDirs.delete(idx)
-      writeWinnowIndexOf(docs.filter(col("doc_id") % evalMod =!= 0), idx.toString)
-      java.nio.file.Files.write(marker,
-        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      servedBuilds.incrementAndGet()
-    }
+    val (idx, built) = graft.TempDirs.buildOnce("graft_winnowidx_",
+      graft.TempDirs.sessionKey(s, d), "served_train", fp)(p =>
+      writeWinnowIndexOf(docs.filter(col("doc_id") % evalMod =!= 0), p.toString))
+    if (built) servedBuilds.incrementAndGet()
     contaminationFromIndex(
       docs.filter(col("doc_id") % evalMod === 0).select(col("doc_id"), col("text")),
       idx.toString)

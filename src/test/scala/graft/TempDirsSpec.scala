@@ -33,6 +33,30 @@ class TempDirsSpec extends AnyFunSuite {
     assert(r1 !== TempDirs.scratchFor("graft_tdspec_", k2))
   }
 
+  test("buildOnce: builds on cold/mismatched fingerprint, skips on match, rebuilds after crash") {
+    val key = TempDirs.sessionKey(new Object, "z")
+    var builds = 0
+    def enter(fp: String) = TempDirs.buildOnce("graft_tdspec_", key, "art", fp) { p =>
+      Files.createDirectories(p)
+      Files.writeString(p.resolve("data"), fp)
+      builds += 1
+    }
+    val (p1, b1) = enter("fpA")
+    assert(b1 && builds === 1, "cold entry must build")
+    val (p2, b2) = enter("fpA")
+    assert(!b2 && builds === 1 && p1 === p2, "matching fingerprint must serve")
+    val (_, b3) = enter("fpB")
+    assert(b3 && builds === 2, "changed fingerprint must rebuild")
+    assert(Files.readString(p1.resolve("data")) === "fpB",
+      "rebuild must start from a cleared artifact dir")
+    // crash window: a missing marker (deleted before build, written only
+    // after) must force a rebuild even though artifact files exist
+    Files.deleteIfExists(
+      TempDirs.scratchFor("graft_tdspec_", key).resolve("art.done"))
+    val (_, b4) = enter("fpB")
+    assert(b4 && builds === 3, "a markerless artifact was served")
+  }
+
   test("freshUnder reuses the root but clears the subdir on every entry") {
     val key = TempDirs.sessionKey(new Object, "y")
     val p1 = TempDirs.freshUnder("graft_tdspec_", key, "idx")
