@@ -218,13 +218,16 @@ object ScaleSmoke {
       val eqs = qs.filter { case (n, _) => escalate.contains(n) }
       val (b3, _) = Bench.measure(spark, baseDir, reps = 3, eqs)
       val (s3, _) = Bench.measure(spark, workDir, reps = 3, eqs)
-      bt = bt ++ b3.toMap
-      st = st ++ s3.toMap
       // only rows whose BOTH sides re-measured get the reps:3 label — a
       // re-measure that failed (time cap) must not stamp a single-rep
       // number as a 3-rep median, which would defeat the adjudication
-      // guarantee this feature exists for
+      // guarantee this feature exists for. Merge the SAME set: a
+      // one-sided merge would mix a 3-rep median with a 1-rep number in
+      // a row labeled reps:1 and persist that mixed ratio as the next
+      // round's escalation prior
       val ok = escalate.filter(n => b3.toMap.contains(n) && s3.toMap.contains(n))
+      bt = bt ++ b3.toMap.filter { case (n, _) => ok.contains(n) }
+      st = st ++ s3.toMap.filter { case (n, _) => ok.contains(n) }
       ok.foreach(n => reported(n) = 3)
       val unconfirmed = escalate.filterNot(ok.contains)
       if (unconfirmed.nonEmpty)

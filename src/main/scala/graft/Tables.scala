@@ -75,22 +75,39 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** Cheap file-level fingerprint of `dir/name.parquet` (file count :
-    * total bytes : max mtime) — enough to catch a rewrite without
-    * reading data. Used by the `_served` faces' build-once markers and
-    * the shared-cluster snapshot to invalidate session-cached artifacts
+  /** File-level fingerprint of `dir/name.parquet` without reading data:
+    * file count : total bytes : md5 over the RECURSIVE per-file
+    * (relative-path : length : mtime) listing. Recursive because a
+    * partitioned table nests its part files under partition directories
+    * whose own dir-entry length is 0 — a flat listing would fingerprint
+    * an unchanging shell; per-file entries because the coarse
+    * (count, total, max-mtime) triple misses a same-file-count,
+    * same-total-size rewrite landing within one mtime granule, and a
+    * `_served` face would then serve a stale index over the rewritten
+    * table. Used by the `_served` faces' build-once markers and the
+    * shared-cluster snapshot to invalidate session-cached artifacts
     * when the table underneath changes. */
   def filesFingerprint(s: SparkSession, dir: String, name: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir, s"$name.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) "absent"
     else {
-      // the table may be a single file or a directory of part files
-      val stats =
-        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-        else Seq(fs.getFileStatus(p))
-      s"${stats.length}:${stats.map(_.getLen).sum}:" +
-        s"${stats.map(_.getModificationTime).max}"
+      // the table may be a single file or a (possibly partitioned)
+      // directory tree of part files
+      val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        files += ((f.getPath.toString.stripPrefix(p.toString),
+          f.getLen, f.getModificationTime))
+      }
+      val sorted = files.sortBy(_._1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      sorted.foreach { case (rel, len, mt) =>
+        md.update(s"$rel:$len:$mt;".getBytes("UTF-8"))
+      }
+      s"${sorted.length}:${sorted.map(_._2).sum}:" +
+        md.digest().map(b => f"${b & 0xff}%02x").mkString
     }
   }
 }

@@ -108,32 +108,54 @@ object TempDirs {
     p
   }
 
+  // one lock object per (prefix, key, sub) — never removed (the map is
+  // bounded by the number of distinct served artifacts a session touches)
+  private val buildLocks = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), Object]()
+
   /** Build-once staging behind a completed-build marker — the `_served`
     * catalog faces' contract, shared so the protocol can't drift across
-    * the three index families. Runs `build` only when the marker is
-    * absent or records a different `fingerprint` (callers encode the
-    * input files PLUS every conf that shapes the artifact); the marker
+    * the index families. Runs `build` only when the marker is absent,
+    * unreadable, or records a different `fingerprint` (callers encode
+    * the input files PLUS every conf that shapes the artifact), or when
+    * the artifact directory itself is gone (an externally-deleted
+    * artifact must rebuild, not serve a nonexistent path); the marker
     * is deleted BEFORE and rewritten only AFTER a completed build, so a
     * crash mid-build leaves no marker and the next entry rebuilds
-    * instead of serving a torn artifact. Returns the artifact path and
-    * whether this call built it (the faces' build counters hang off
-    * that). */
+    * instead of serving a torn artifact. SYNCHRONIZED per (prefix, key,
+    * sub): two concurrent invocations of the same served face observe
+    * exactly one build — without the lock both could miss the marker
+    * and interleave delete/build into one directory, a torn index that
+    * neither the crash marker nor the fingerprint would catch (both
+    * writers finish, the second marker write blesses the mix). Returns
+    * the artifact path and whether this call built it (the faces' build
+    * counters hang off that). */
   def buildOnce(prefix: String, key: String, sub: String, fingerprint: String)
       (build: Path => Unit): (Path, Boolean) = {
-    val root = scratchFor(prefix, key)
-    val artifact = root.resolve(sub)
-    val marker = root.resolve(s"$sub.done")
-    val fresh = Files.exists(marker) && new String(
-      Files.readAllBytes(marker), java.nio.charset.StandardCharsets.UTF_8)
-      .equals(fingerprint)
-    if (fresh) (artifact, false)
-    else {
-      Files.deleteIfExists(marker)
-      delete(artifact)
-      build(artifact)
-      Files.write(marker,
-        fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      (artifact, true)
+    val lock = buildLocks.computeIfAbsent((prefix, key, sub), _ => new Object)
+    lock.synchronized {
+      val root = scratchFor(prefix, key)
+      val artifact = root.resolve(sub)
+      val marker = root.resolve(s"$sub.done")
+      // tolerant read: a marker that vanishes or turns unreadable between
+      // exists() and read degrades to rebuild, never to a crash
+      val recorded =
+        try {
+          if (Files.exists(marker))
+            Some(new String(Files.readAllBytes(marker),
+              java.nio.charset.StandardCharsets.UTF_8))
+          else None
+        } catch { case _: java.io.IOException => None }
+      val fresh = recorded.contains(fingerprint) && Files.exists(artifact)
+      if (fresh) (artifact, false)
+      else {
+        Files.deleteIfExists(marker)
+        delete(artifact)
+        build(artifact)
+        Files.write(marker,
+          fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (artifact, true)
+      }
     }
   }
 

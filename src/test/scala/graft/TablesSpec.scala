@@ -25,6 +25,37 @@ class TablesSpec extends SparkFunSuite {
       s"$KEY leaked after the error branch")
   }
 
+  test("filesFingerprint sees nested part files and same-size renames") {
+    val root = TempDirs.scratch("graft_tables_fp_")
+    val tbl = root.resolve("t.parquet")
+    val b0 = tbl.resolve("bucket=0"); val b1 = tbl.resolve("bucket=1")
+    java.nio.file.Files.createDirectories(b0)
+    java.nio.file.Files.createDirectories(b1)
+    val fa = b0.resolve("part-a"); val fb = b1.resolve("part-b")
+    java.nio.file.Files.writeString(fa, "xx")
+    java.nio.file.Files.writeString(fb, "yy")
+    def fp() = Tables.filesFingerprint(spark, root.toString, "t")
+    val fp1 = fp()
+    assert(fp1.startsWith("2:4:"),
+      s"fingerprint must count the NESTED part files (got $fp1) — " +
+        "a flat listing sees only the partition dirs")
+    // same file count, same total bytes, rewrite INSIDE a partition dir
+    // at a different mtime — the coarse triple missed this entirely
+    // (partition-dir entries have length 0 and their mtime is untouched
+    // by a child rewrite on many filesystems)
+    java.nio.file.Files.writeString(fa, "zz")
+    java.nio.file.Files.setLastModifiedTime(fa,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(fa).toMillis + 5000))
+    val fp2 = fp()
+    assert(fp2 !== fp1, "nested same-size rewrite not detected")
+    // same count, same total size, same mtimes — a RENAME still flips it
+    val mt = java.nio.file.Files.getLastModifiedTime(fa)
+    java.nio.file.Files.move(fa, b0.resolve("part-c"))
+    java.nio.file.Files.setLastModifiedTime(b0.resolve("part-c"), mt)
+    assert(fp() !== fp2, "same-size rename not detected")
+  }
+
   test("events loader: nanosAsLong conf scoped per the input's encoding") {
     val prior = spark.conf.getOption(KEY)
     try {

@@ -55,6 +55,51 @@ class TempDirsSpec extends AnyFunSuite {
       TempDirs.scratchFor("graft_tdspec_", key).resolve("art.done"))
     val (_, b4) = enter("fpB")
     assert(b4 && builds === 3, "a markerless artifact was served")
+    // inverse window: a matching marker whose artifact directory was
+    // externally deleted must rebuild, not serve a nonexistent path
+    TempDirs.delete(p1)
+    val (p5, b5) = enter("fpB")
+    assert(b5 && builds === 4, "a marker with no artifact was served")
+    assert(Files.exists(p5.resolve("data")))
+  }
+
+  test("buildOnce: concurrent same-face entries observe exactly one build") {
+    val key = TempDirs.sessionKey(new Object, "race")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val torn = new java.util.concurrent.atomic.AtomicInteger(0)
+    val n = 8
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val tasks = (1 to n).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            start.await()
+            val (p, built) = TempDirs.buildOnce(
+              "graft_tdspec_", key, "raceart", "fpR") { dir =>
+              builds.incrementAndGet()
+              Files.createDirectories(dir)
+              Files.writeString(dir.resolve("data"), "partial")
+              Thread.sleep(50) // widen the torn-interleave window
+              Files.writeString(dir.resolve("data"), "complete")
+            }
+            // every caller — builder or server — must observe a COMPLETED
+            // artifact; reading "partial" means a build interleaved with
+            // a serve or another build
+            if (Files.readString(p.resolve("data")) != "complete")
+              torn.incrementAndGet()
+            built
+          }
+        })
+      }
+      start.countDown()
+      val builtFlags = tasks.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(builds.get() === 1,
+        s"${builds.get()} concurrent builds ran — the lock is not holding")
+      assert(builtFlags.count(identity) === 1,
+        "exactly one caller must report built=true")
+      assert(torn.get() === 0, s"${torn.get()} callers observed a torn artifact")
+    } finally pool.shutdownNow()
   }
 
   test("freshUnder reuses the root but clears the subdir on every entry") {
