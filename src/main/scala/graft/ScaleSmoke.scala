@@ -75,7 +75,16 @@ object ScaleSmoke {
     "q_winnow_fingerprints", "q_winnow_matches",
     "q_winnow_contamination", "q_winnow_contamination_indexed",
     "q_bm25_batch", "q_bm25_batch_indexed",
-    "q_curation_pipeline", "q_repetition_filter", "q_bpe_merges")
+    "q_curation_pipeline", "q_repetition_filter", "q_bpe_merges",
+    // the serve-only faces: their standing indexes are warmed on BOTH
+    // corpora before the measured pass (main, below), so each ratio is
+    // pure serving against a 1×-vs-N× index — the production question
+    // ("does SERVING stay cheap as the index grows?") as a per-round
+    // artifact with escalation priors, not a hand-run NOTES table
+    "q_bm25_batch_served", "q_knn_ivf_served",
+    "q_winnow_contamination_served",
+    "q_span_removal_served", "q_span_dedup_served",
+    "q_dedup_incremental_served", "q_phrase_served", "q_bm25_served")
 
   /** Build the N× derived fixture under `outDir` (documents +
     * embeddings; the heavy families read nothing else). */
@@ -195,6 +204,18 @@ object ScaleSmoke {
       CacheScope.releaseAll()
       spark.catalog.clearCache()
     }
+    // warm the _served faces' standing indexes on BOTH corpora before
+    // anything is timed: invoking the face runs its buildOnce prelude
+    // eagerly, so the later measured rep pays pure serving (the build
+    // cost is the _indexed twins' number; an unwarmed single-rep
+    // "serve" reading would be build+serve mislabeled)
+    qs.filter(_._1.endsWith("_served")).foreach { case (_, fn) =>
+      Seq(baseDir, workDir).foreach { dir =>
+        fn(spark, dir)
+        CacheScope.releaseAll()
+        spark.catalog.clearCache()
+      }
+    }
     val (baseTimes, baseFails) = Bench.measure(spark, baseDir, reps = 1, qs)
     val (scaledTimes, scaledFails) = Bench.measure(spark, workDir, reps = 1, qs)
     var bt = baseTimes.toMap
@@ -287,10 +308,17 @@ object ScaleSmoke {
     appendHotGroup(spark, workDir)
     val qs = SparkEntry.queries.filter { case (n, _) => guardedQueries.contains(n) }
       .toSeq.sortBy(_._1)
+    // reps dial for adjudication runs: the round-15 hot-phase bm25
+    // growth question (73.5 vs 50.6 s) could not be answered because
+    // the hot rows carried no box-state context — single-rep wall
+    // clock with no steal column. Every row now records the catalog
+    // bench's rep detail (per-rep seconds + 1-min load + /proc/stat
+    // steal-seconds), so steal-vs-regression is a read here too.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_HOT_REPS", "1").toInt.max(1)
     // capture only stores the frame (it runs inside the timed window);
     // the hot-pair counts run after measurement
     val frames = scala.collection.mutable.Map.empty[String, DataFrame]
-    val (times, fails) = Bench.measure(spark, workDir, reps = 1, qs,
+    val (detailed, fails) = Bench.measureDetailed(spark, workDir, reps, qs,
       capture = (n, df) => { frames(n) = df; () })
     val counted = frames.flatMap { case (n, df) =>
       Seq("d1" -> "d2", "eval_id" -> "train_id",
@@ -300,14 +328,19 @@ object ScaleSmoke {
         .map { case (a, b) =>
           n -> df.filter(col(a) >= HotIdBase && col(b) >= HotIdBase).count() }
     }.toMap
-    val tm = times.toMap
+    val tm = detailed.toMap
     val rows = guardedQueries.sorted.map { n =>
+      val med = tm.get(n).map(Bench.medianRep)
+      val repDetail = tm.get(n).map(_.map(r =>
+        f"""{"sec":${r.totalSec}%.2f,"load1m":${r.load1m}%.2f,""" +
+          f""""steal_sec":${r.stealSec}%.2f}""").mkString("[", ",", "]"))
       f"""{"query":"$n","no_hot_sec":${noHot.get(n).map(v => f"$v%.2f").getOrElse("null")},""" +
-        f""""hot_sec":${tm.get(n).map(v => f"$v%.2f").getOrElse("null")},""" +
-        f""""hot_pairs":${counted.get(n).map(_.toString).getOrElse("null")}}"""
+        f""""hot_sec":${med.map(r => f"${r.totalSec}%.2f").getOrElse("null")},""" +
+        f""""hot_pairs":${counted.get(n).map(_.toString).getOrElse("null")},""" +
+        f""""reps":${repDetail.getOrElse("null")}}"""
     }
     println(s"""{"phase":"hot_guard","group_size":$HotGroupSize,""" +
-      s""""fails":${fails.size},"rows":[${rows.mkString(",")}]}""")
+      s""""reps":$reps,"fails":${fails.size},"rows":[${rows.mkString(",")}]}""")
     if (fails.nonEmpty)
       System.err.println(s"[scale-smoke] hot-phase failures: $fails")
   }

@@ -675,6 +675,37 @@ object Dedup {
     dedupIncrementalFromIndex(s, d, idx)
   }
 
+  /** Build count of the signature-index served face — ServedFacesSpec
+    * pins build-once. */
+  private[graft] val sigServedBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Catalog face: the SERVE-ONLY cost of the signature/band lifecycle
+    * — the production number of streaming ingest ([[Retrieval
+    * .bm25BatchServed]]'s dedup twin). The standing base index is built
+    * at most once per (session, dataset) behind a completed-build
+    * marker; every later invocation pays only the DELTA side —
+    * signature derivation for the arriving batch plus the bucket join —
+    * which is exactly what each micro-batch of
+    * [[dedupBatchAgainstIndex]] costs in production. Index content
+    * depends on the documents files, the base split (%10<8, a face
+    * constant), AND the LSH geometry (band keys are a function of
+    * bands×rowsPerBand), so geometry rides the fingerprint: a retune
+    * REBUILDS here, where serving the stale files would instead fail
+    * fast on the `_lsh_geometry` stamp — rebuild is the served face's
+    * contract, crash is the library primitive's. Same oracle as
+    * `q_dedup_incremental`, verbatim. */
+  def dedupIncrementalServed(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.Tables.filesFingerprint(s, d, "documents") +
+      s"|${lshGeometry(s)}"
+    val (idx, built) = graft.TempDirs.buildOnce("graft_sigindex_",
+      graft.TempDirs.sessionKey(s, d), "served_base", fp)(p =>
+      writeSignatureIndex(
+        documents(s, d).filter(col("doc_id") % 10 < 8), p.toString))
+    if (built) sigServedBuilds.incrementAndGet()
+    dedupIncrementalFromIndex(s, d, idx.toString)
+  }
+
   /** Near-dup CLUSTERS from the LSH pair graph — the step that turns
     * pairwise candidates into "keep one document per duplicate group",
     * which is what a 100 TB dedup pipeline actually ships. Connected
@@ -1648,6 +1679,48 @@ object Dedup {
     path
   }
 
+  /** Build count of the gram-index served faces — ServedFacesSpec pins
+    * build-once AND that the two span faces share ONE artifact. */
+  private[graft] val gramServedBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The gram-count index the two `_served` span faces share, built at
+    * most once per (session, dataset) behind a completed-build marker —
+    * ONE artifact, two consumers, which is the point of persisting an
+    * index (the per-invocation `_indexed` twins each rebuild their
+    * own). Index content depends on the documents files and the gram
+    * width (an engine constant today, in the fingerprint anyway so a
+    * future width change can never serve stale-geometry grams — the
+    * `_gram_meta` sidecar would fail fast, but the served contract is
+    * rebuild); `span.minCut` is serve-time — correctly absent. */
+  private def servedGramIndex(s: SparkSession, d: String): String = {
+    val fp = graft.Tables.filesFingerprint(s, d, "documents") +
+      s"|w=$SpanGramWidth"
+    val (idx, built) = graft.TempDirs.buildOnce("graft_gramidx_",
+      graft.TempDirs.sessionKey(s, d), "served_grams", fp)(p =>
+      writeGramIndexOf(documents(s, d), p.toString))
+    if (built) gramServedBuilds.incrementAndGet()
+    idx.toString
+  }
+
+  /** Catalog face: the SERVE-ONLY cost of the gram-count lifecycle for
+    * span REMOVAL — the per-shard production operation of a crawl
+    * pipeline (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better": the corpus gram index stands; each shard is
+    * cleaned against it without re-counting the corpus). The
+    * per-invocation `q_span_removal_indexed` bills build+serve every
+    * call (build is ~4 of its ~6.6 s at sf0.1); bench's median here
+    * (reps 2..n warm) is the pure probe+cut cost. Same oracle as
+    * `q_span_removal`, verbatim. */
+  def spanRemovalServed(s: SparkSession, d: String): DataFrame =
+    spanRemovalFromIndex(documents(s, d), servedGramIndex(s, d),
+      graft.GraftConf.int(s, "spark.graft.span.minCut", 50))
+
+  /** Serve-only span-dedup PROFILE against the SAME shared gram index
+    * — same oracle as `q_span_dedup`, verbatim. */
+  def spanDedupServed(s: SparkSession, d: String): DataFrame =
+    spanDedupFromIndex(documents(s, d), servedGramIndex(s, d))
+
   /** 32-bit SimHash per document, computed entirely per-row (nested
     * higher-order aggregate over the token set — no explode, no shuffle):
     * bit b = sign of the sum over tokens of ±1 by md5-bit b. */
@@ -1699,8 +1772,10 @@ object Dedup {
     "q_minhash_udaf" -> (minhashUdaf _),
     "q_span_dedup" -> (spanDedup _),
     "q_span_dedup_indexed" -> (spanDedupIndexed _),
+    "q_span_dedup_served" -> (spanDedupServed _),
     "q_span_removal" -> (spanRemoval _),
     "q_span_removal_indexed" -> (spanRemovalIndexed _),
+    "q_span_removal_served" -> (spanRemovalServed _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_normalized" -> (dedupNormalized _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -1711,6 +1786,7 @@ object Dedup {
     "q_dedup_clusters_collapsed" -> (dedupClustersCollapsed _),
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
+    "q_dedup_incremental_served" -> (dedupIncrementalServed _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_simhash" -> (dedupSimhash _)
@@ -1955,6 +2031,9 @@ object Dedup {
     // profile, so the index-served face shares the oracle verbatim
     "q_span_dedup_indexed" -> spanDedupOracleSql,
 
+    // serve-only face of the same lifecycle — same oracle again
+    "q_span_dedup_served" -> spanDedupOracleSql,
+
     // same gram/count/runs chain as q_span_dedup, then the cut runs are
     // exploded into covered positions, unioned (DISTINCT), anti-joined
     // out of the token stream, and the survivors reassembled in order
@@ -1963,6 +2042,7 @@ object Dedup {
     // the persisted gram-count-index hop must be bit-invisible, so the
     // index-served face shares the scan face's oracle verbatim
     "q_span_removal_indexed" -> spanRemovalOracleSql,
+    "q_span_removal_served" -> spanRemovalOracleSql,
 
     "q_minhash_udaf" ->
       """WITH sig AS (
@@ -2008,6 +2088,7 @@ object Dedup {
     // the persisted-index variant must be bit-invisible vs the in-query
     // derivation, so it shares the oracle verbatim
     "q_dedup_incremental_indexed" -> incrementalOracleSql,
+    "q_dedup_incremental_served" -> incrementalOracleSql,
 
     // same sig/band/estimate pipeline as q_dedup_minhash, then connected
     // components as a recursive reachability CTE (min reachable id = the

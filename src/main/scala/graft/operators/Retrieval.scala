@@ -506,6 +506,43 @@ object Retrieval {
     phraseFromIndex(s, path)
   }
 
+  /** Build count of the shared FULL-corpus served postings —
+    * ServedFacesSpec pins build-once AND that the phrase and bm25
+    * serve-only faces share ONE artifact. */
+  private[graft] val fullServedBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The full-corpus postings index the two serve-only faces below
+    * share, built at most once per (session, dataset) behind a
+    * completed-build marker — ONE artifact, two consumers (a search
+    * deployment serves ranked AND phrase queries from the same
+    * postings; the per-invocation `_indexed` twins each rebuild their
+    * own). Index content depends only on the documents files — the
+    * query terms and the phrase are serve-time dials, correctly absent
+    * from the fingerprint. */
+  private def servedFullPostings(s: SparkSession, d: String): String = {
+    val (idx, built) = graft.TempDirs.buildOnce("graft_postings_",
+      graft.TempDirs.sessionKey(s, d), "served_full",
+      graft.Tables.filesFingerprint(s, d, "documents"))(p =>
+      writePostingsIndexOf(documents(s, d), p.toString))
+    if (built) fullServedBuilds.incrementAndGet()
+    idx.toString
+  }
+
+  /** Catalog face: the SERVE-ONLY cost of the positional-postings
+    * lifecycle for PHRASE search — `q_phrase_indexed` bills the
+    * full-corpus build (≈1.8 of its ≈2.0 s at sf0.1) on every
+    * invocation; bench's median here (reps 2..n warm) is the pure
+    * pruned-read + position-intersection cost. Same oracle as
+    * `q_phrase_search`, verbatim. */
+  def phraseServed(s: SparkSession, d: String): DataFrame =
+    phraseFromIndex(s, servedFullPostings(s, d))
+
+  /** Serve-only BM25 top-k against the SAME shared full-corpus
+    * postings — same oracle as `q_bm25_topk`, verbatim. */
+  def bm25Served(s: SparkSession, d: String): DataFrame =
+    bm25FromIndex(s, servedFullPostings(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_topk" -> (bm25TopK _),
     "q_bm25_batch" -> (bm25Batch _),
@@ -513,7 +550,9 @@ object Retrieval {
     "q_bm25_batch_served" -> (bm25BatchServed _),
     "q_phrase_search" -> (phraseSearch _),
     "q_bm25_indexed" -> (bm25Indexed _),
-    "q_phrase_indexed" -> (phraseIndexed _))
+    "q_bm25_served" -> (bm25Served _),
+    "q_phrase_indexed" -> (phraseIndexed _),
+    "q_phrase_served" -> (phraseServed _))
 
   /** DuckDB mirrors of the fixed-point algebra above. The oracles pin
     * the conf DEFAULTS (terms `spark,query,window`, phrase
@@ -612,8 +651,10 @@ object Retrieval {
     "q_bm25_batch_indexed" -> bm25BatchOracleSql,
     "q_bm25_batch_served" -> bm25BatchOracleSql,
     "q_phrase_search" -> phraseOracleSql,
-    // the indexed faces replay the scan-side SQL: same semantics — the
-    // index is a layout decision the oracle must not see
+    // the indexed/served faces replay the scan-side SQL: same semantics
+    // — the index is a layout decision the oracle must not see
     "q_bm25_indexed" -> bm25OracleSql,
-    "q_phrase_indexed" -> phraseOracleSql)
+    "q_bm25_served" -> bm25OracleSql,
+    "q_phrase_indexed" -> phraseOracleSql,
+    "q_phrase_served" -> phraseOracleSql)
 }

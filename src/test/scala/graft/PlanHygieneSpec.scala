@@ -32,8 +32,11 @@ class PlanHygieneSpec extends AnyFunSuite {
       Set("q_source_binary", "q_partitioned_sink", "q_dedup_minhash",
         "q_dedup_ngram", "q_dedup_clusters", "q_dedup_incremental",
         "q_knn_ivf", "q_knn_ivf_indexed", "q_knn_ivf_served",
-        "q_bm25_indexed",
+        "q_bm25_indexed", "q_bm25_served",
         "q_bm25_batch_indexed", "q_bm25_batch_served", "q_phrase_indexed",
+        "q_phrase_served",
+        "q_span_removal_served", "q_span_dedup_served",
+        "q_dedup_incremental_served",
         "q_winnow_contamination_indexed", "q_winnow_contamination_served",
         "q_bucketed_join").contains(name)
 

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import graft.operators.{Retrieval, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Retrieval, Similarity, TextAnalysis}
 
 /** The `_served` faces' contract: build the persisted index at most
   * once per (session, dataset) behind a completed-build marker, serve
@@ -70,6 +70,61 @@ class ServedFacesSpec extends SparkFunSuite {
       assert(TextAnalysis.servedBuilds.get() === b0 + 2,
         "geometry retune did not rebuild (the sidecar check would have thrown)")
     } finally spark.conf.unset("spark.graft.winnow.window")
+  }
+
+  test("span served faces: ONE shared gram-index build serves both; equals the indexed twins") {
+    reset("graft_gramidx_", "served_grams")
+    val removalIndexed = rows(Dedup.spanRemovalIndexed(spark, sf))
+    val dedupIndexed = rows(Dedup.spanDedupIndexed(spark, sf))
+    val b0 = Dedup.gramServedBuilds.get()
+    val removal = rows(Dedup.spanRemovalServed(spark, sf))
+    assert(Dedup.gramServedBuilds.get() === b0 + 1, "cold call must build")
+    val dedup = rows(Dedup.spanDedupServed(spark, sf))
+    assert(Dedup.gramServedBuilds.get() === b0 + 1,
+      "the sibling face rebuilt — the two span faces must SHARE one artifact")
+    rows(Dedup.spanRemovalServed(spark, sf))
+    assert(Dedup.gramServedBuilds.get() === b0 + 1, "warm call rebuilt")
+    assert(removal === removalIndexed)
+    assert(dedup === dedupIndexed)
+    assert(removal.nonEmpty && dedup.nonEmpty)
+  }
+
+  test("dedup_incremental_served: builds once, equals the indexed face; an LSH geometry retune rebuilds") {
+    reset("graft_sigindex_", "served_base")
+    val viaIndexed = rows(Dedup.dedupIncrementalIndexed(spark, sf))
+    val b0 = Dedup.sigServedBuilds.get()
+    val first = rows(Dedup.dedupIncrementalServed(spark, sf))
+    assert(Dedup.sigServedBuilds.get() === b0 + 1, "cold call must build")
+    rows(Dedup.dedupIncrementalServed(spark, sf))
+    assert(Dedup.sigServedBuilds.get() === b0 + 1, "warm call rebuilt")
+    assert(first === viaIndexed)
+    assert(first.nonEmpty)
+    // band keys are a function of the geometry: a retune must REBUILD
+    // here — the library primitive (dedupIncrementalFromIndex) fails
+    // fast on the _lsh_geometry stamp for the same mismatch
+    try {
+      spark.conf.set("spark.graft.lsh.rowsPerBand", "2")
+      rows(Dedup.dedupIncrementalServed(spark, sf))
+      assert(Dedup.sigServedBuilds.get() === b0 + 2,
+        "geometry retune served the stale bands (the stamp would have thrown)")
+    } finally spark.conf.unset("spark.graft.lsh.rowsPerBand")
+  }
+
+  test("phrase/bm25 served faces: ONE shared full-corpus postings build serves both") {
+    reset("graft_postings_", "served_full")
+    val phraseViaIndexed = rows(Retrieval.phraseIndexed(spark, sf))
+    val bm25ViaIndexed = rows(Retrieval.bm25Indexed(spark, sf))
+    val b0 = Retrieval.fullServedBuilds.get()
+    val ph = rows(Retrieval.phraseServed(spark, sf))
+    assert(Retrieval.fullServedBuilds.get() === b0 + 1, "cold call must build")
+    val bm = rows(Retrieval.bm25Served(spark, sf))
+    assert(Retrieval.fullServedBuilds.get() === b0 + 1,
+      "the sibling face rebuilt — phrase and bm25 must SHARE one postings artifact")
+    rows(Retrieval.phraseServed(spark, sf))
+    assert(Retrieval.fullServedBuilds.get() === b0 + 1, "warm call rebuilt")
+    assert(ph === phraseViaIndexed)
+    assert(bm === bm25ViaIndexed)
+    assert(ph.nonEmpty && bm.nonEmpty)
   }
 
   test("knn_ivf_served: builds once, equals the indexed face; a quantizer retune rebuilds") {

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+import graft.operators.{Dedup, Retrieval, Similarity, TextAnalysis}
+
+/** Partition-pruning audit for the persisted-index SERVE paths: every
+  * `_served` face's claim to 100 TB cheapness is that the index read is
+  * pruned to the probe's buckets/cells — a literal partition filter
+  * pushed into the parquet scan. A regression that loses the filter
+  * (e.g. the isin moving above a projection barrier) would silently
+  * turn serving into a full index scan; the timings would only show it
+  * at scale. This spec makes the plan shape a test: the index-data scan
+  * must carry a non-empty `partitionFilters` on the expected partition
+  * column (sidecar reads — `_postings_meta`, `_ivf_centroids`, … — root
+  * BELOW the index dir and are excluded by path). For the small-probe
+  * faces the pruning is also asserted to be EFFECTIVE: the executed
+  * scan reads at most one file per probed bucket, not the whole index.
+  *
+  * (The signature/band served face is deliberately absent: its index is
+  * a FLAT table by design — serving cost is bounded by the bucket JOIN
+  * on band keys, not by partition pruning.) */
+class ServedPruningSpec extends SparkFunSuite {
+
+  /** FileSourceScans whose root IS the index artifact dir (ends with
+    * `sub`) — sidecars root one level below and don't match. */
+  private def indexScans(df: DataFrame, sub: String): Seq[FileSourceScanExec] = {
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(m.relation.cachedPlan)
+        case other => other.children
+      }
+      (p match {
+        case f: FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }) ++ kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.endsWith(sub)))
+  }
+
+  /** Assert every index-data scan in `face`'s plan carries a partition
+    * filter on `partCol`. Executes the frame first (finalizes AQE so
+    * the walked plan is the real one) and returns the scans for
+    * callers that add effectiveness checks. */
+  private def assertPruned(face: => DataFrame, sub: String,
+      partCol: String): Seq[FileSourceScanExec] = {
+    val df = face
+    df.queryExecution.toRdd.count()
+    val scans = indexScans(df, sub)
+    assert(scans.nonEmpty,
+      s"no FileSourceScan over the $sub index in the executed plan — " +
+        "did the serve path stop reading the persisted files?")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"index scan over $sub lost its partition filter:\n$f")
+      assert(f.partitionFilters.mkString(",").contains(partCol),
+        s"index scan over $sub prunes on the wrong column " +
+          s"(expected $partCol): ${f.partitionFilters.mkString(",")}")
+    }
+    CacheScope.releaseAll()
+    scans
+  }
+
+  test("bm25_batch_served: postings read pruned to the query terms' buckets") {
+    assertPruned(Retrieval.bm25BatchServed(spark, sf), "served_train", "bucket")
+  }
+
+  test("winnow_contamination_served: fingerprint read pruned to the eval side's buckets") {
+    assertPruned(
+      TextAnalysis.winnowContaminationServed(spark, sf), "served_train", "bucket")
+  }
+
+  test("knn_ivf_served: posting-list read pruned to the probed cells") {
+    assertPruned(Similarity.knnIvfServed(spark, sf), "served_ivf", "cell")
+  }
+
+  test("span served faces: gram-index read pruned to the probe's buckets") {
+    assertPruned(Dedup.spanRemovalServed(spark, sf), "served_grams", "bucket")
+    assertPruned(Dedup.spanDedupServed(spark, sf), "served_grams", "bucket")
+  }
+
+  test("phrase/bm25 served: pruning is EFFECTIVE — at most one file per probed term bucket") {
+    // 3 fixed terms -> <= 3 of the 64 bucket partitions; the build
+    // writes one file per bucket (repartition(IndexBuckets, bucket)
+    // puts each bucket value in exactly one task), so the executed
+    // scan's numFiles is a direct read of how many partitions survived
+    val phraseBuckets = Seq("window", "fast", "query")
+      .map(Retrieval.tokenBucket).distinct
+    val phScans = assertPruned(Retrieval.phraseServed(spark, sf), "served_full", "bucket")
+    phScans.foreach { f =>
+      val n = f.metrics("numFiles").value
+      assert(n >= 1 && n <= phraseBuckets.size,
+        s"phrase serve read $n files for ${phraseBuckets.size} probed buckets " +
+          "— the partition filter is not pruning the listing")
+    }
+    val bmBuckets = Seq("spark", "query", "window")
+      .map(Retrieval.tokenBucket).distinct
+    val bmScans = assertPruned(Retrieval.bm25Served(spark, sf), "served_full", "bucket")
+    bmScans.foreach { f =>
+      val n = f.metrics("numFiles").value
+      assert(n >= 1 && n <= bmBuckets.size,
+        s"bm25 serve read $n files for ${bmBuckets.size} probed buckets")
+    }
+  }
+}
