@@ -13,15 +13,24 @@ import org.apache.spark.sql.functions._
   * threshold < share engages and keeps the collapse win — only a
   * threshold straddling the corpus' actual share changes anything).
   *
-  * Usage: runMain graft.CollapseSweep <corpusDir> [thr ...]
+  * Usage: runMain graft.CollapseSweep <corpusDir> [plant=N] [thr ...]
   * (thresholds default to 0.5%/1%/5%; SPARK_GRAFT_REPS reps, median.)
-  * Probe-only, never a catalog path — numbers land in NOTES.md.
+  * `plant=N` first appends N exact copies of one paragraph (ids from
+  * 2·10¹², above every ScaleSmoke range) — the seam for the
+  * INFORMATIVE middle fixture whose dup share falls BETWEEN the swept
+  * thresholds, so the sweep actually exercises both routes on one
+  * corpus (the ×10 dup-free and hot fixtures sit entirely below/above
+  * every threshold). Probe-only, never a catalog path — numbers land
+  * in NOTES.md.
   */
 object CollapseSweep {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
+    val plant = args.drop(1).find(_.startsWith("plant="))
+      .map(_.stripPrefix("plant=").toLong).getOrElse(0L)
+    val rest = args.drop(1).filterNot(_.startsWith("plant="))
     val thresholds =
-      if (args.length > 1) args.drop(1).toSeq.map(_.toDouble)
+      if (rest.nonEmpty) rest.toSeq.map(_.toDouble)
       else Seq(0.005, 0.01, 0.05)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
@@ -34,6 +43,15 @@ object CollapseSweep {
       .config("spark.graft.profile", "scale") // the preset the dial lives in
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (plant > 0) {
+      val para = "probe duplicate paragraph for the collapse threshold " +
+        "sweep measuring the adaptive skip dial on a mid-share corpus"
+      spark.range(plant).select(
+        (col("id") + 2000000000000L).as("doc_id"),
+        lit(para).as("text"), lit("en").as("lang"), lit("src1").as("source"),
+        lit(para.length.toLong).as("n_chars"))
+        .write.mode("append").parquet(s"$dir/documents.parquet")
+    }
     // the corpus' actual exact-dup share, so each threshold's route is
     // interpretable (same md5 grouping the pipeline's probe uses)
     val st = Tables.documents(spark, dir).filter(col("text").isNotNull)
