@@ -44,13 +44,23 @@ object CollapseSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (plant > 0) {
-      val para = "probe duplicate paragraph for the collapse threshold " +
-        "sweep measuring the adaptive skip dial on a mid-share corpus"
-      spark.range(plant).select(
-        (col("id") + 2000000000000L).as("doc_id"),
-        lit(para).as("text"), lit("en").as("lang"), lit("src1").as("source"),
-        lit(para.length.toLong).as("n_chars"))
-        .write.mode("append").parquet(s"$dir/documents.parquet")
+      // idempotent: a re-run (more thresholds, bumped reps) must not
+      // append the same doc_id range again — duplicate ids would break
+      // the engine's id-uniqueness contract and silently double the
+      // probed dup share the sweep reports against
+      val already = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") >= 2000000000000L).limit(1).count() > 0
+      if (already)
+        System.err.println("[collapse-sweep] planted rows already present — skipping plant")
+      else {
+        val para = "probe duplicate paragraph for the collapse threshold " +
+          "sweep measuring the adaptive skip dial on a mid-share corpus"
+        spark.range(plant).select(
+          (col("id") + 2000000000000L).as("doc_id"),
+          lit(para).as("text"), lit("en").as("lang"), lit("src1").as("source"),
+          lit(para.length.toLong).as("n_chars"))
+          .write.mode("append").parquet(s"$dir/documents.parquet")
+      }
     }
     // the corpus' actual exact-dup share, so each threshold's route is
     // interpretable (same md5 grouping the pipeline's probe uses)

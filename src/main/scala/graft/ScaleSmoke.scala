@@ -334,10 +334,12 @@ object ScaleSmoke {
       val repDetail = tm.get(n).map(_.map(r =>
         f"""{"sec":${r.totalSec}%.2f,"load1m":${r.load1m}%.2f,""" +
           f""""steal_sec":${r.stealSec}%.2f}""").mkString("[", ",", "]"))
+      // "rep_detail" matches BENCH_full's vocabulary — the phase-level
+      // "reps" int and the per-row detail array must not share a key
       f"""{"query":"$n","no_hot_sec":${noHot.get(n).map(v => f"$v%.2f").getOrElse("null")},""" +
         f""""hot_sec":${med.map(r => f"${r.totalSec}%.2f").getOrElse("null")},""" +
         f""""hot_pairs":${counted.get(n).map(_.toString).getOrElse("null")},""" +
-        f""""reps":${repDetail.getOrElse("null")}}"""
+        f""""rep_detail":${repDetail.getOrElse("null")}}"""
     }
     println(s"""{"phase":"hot_guard","group_size":$HotGroupSize,""" +
       s""""reps":$reps,"fails":${fails.size},"rows":[${rows.mkString(",")}]}""")

@@ -93,12 +93,17 @@ object Tables {
     if (!fs.exists(p)) "absent"
     else {
       // the table may be a single file or a (possibly partitioned)
-      // directory tree of part files
+      // directory tree of part files. listFiles returns QUALIFIED paths
+      // (scheme-prefixed) — relativize against the qualified root, or
+      // the strip is a silent no-op and the hash keys on the absolute
+      // location (same data addressed via a moved/re-spelled path would
+      // spuriously rebuild)
+      val rootStr = fs.makeQualified(p).toString
       val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val f = it.next()
-        files += ((f.getPath.toString.stripPrefix(p.toString),
+        files += ((f.getPath.toString.stripPrefix(rootStr),
           f.getLen, f.getModificationTime))
       }
       val sorted = files.sortBy(_._1)

@@ -123,13 +123,18 @@ object TempDirs {
     * is deleted BEFORE and rewritten only AFTER a completed build, so a
     * crash mid-build leaves no marker and the next entry rebuilds
     * instead of serving a torn artifact. SYNCHRONIZED per (prefix, key,
-    * sub): two concurrent invocations of the same served face observe
-    * exactly one build — without the lock both could miss the marker
-    * and interleave delete/build into one directory, a torn index that
+    * sub): two concurrent SAME-fingerprint invocations observe exactly
+    * one build — without the lock both could miss the marker and
+    * interleave delete/build into one directory, a torn index that
     * neither the crash marker nor the fingerprint would catch (both
-    * writers finish, the second marker write blesses the mix). Returns
-    * the artifact path and whether this call built it (the faces' build
-    * counters hang off that). */
+    * writers finish, the second marker write blesses the mix). The
+    * lock does NOT protect serving: a later entry with a DIFFERENT
+    * fingerprint (conf retune, dataset rewrite) deletes and rebuilds
+    * under any still-lazy frame a prior caller holds — the same
+    * documented exhaust-before-re-entry hazard as [[scratchFor]], now
+    * conditional on a fingerprint change instead of every re-entry.
+    * Returns the artifact path and whether this call built it (the
+    * faces' build counters hang off that). */
   def buildOnce(prefix: String, key: String, sub: String, fingerprint: String)
       (build: Path => Unit): (Path, Boolean) = {
     val lock = buildLocks.computeIfAbsent((prefix, key, sub), _ => new Object)

@@ -765,9 +765,10 @@ object Dedup {
     * pair-derived cluster labels, not corpus rows. Re-publishing
     * unpersists the previous snapshot.
     *
-    * Staleness: each snapshot carries an input FINGERPRINT (file count +
-    * total length + max mtime of the documents table) captured at publish
-    * time; a consumer whose recomputed fingerprint mismatches treats the
+    * Staleness: each snapshot carries an input FINGERPRINT (the
+    * recursive per-file listing hash of the documents table — see
+    * [[graft.Tables.filesFingerprint]]) captured at publish time; a
+    * consumer whose recomputed fingerprint mismatches treats the
     * snapshot as absent (and the stale entry is dropped), so rewriting
     * files under the same dir can no longer silently serve old labels.
     *
@@ -807,9 +808,10 @@ object Dedup {
   private def shareOn(s: SparkSession): Boolean =
     graft.GraftConf.bool(s, "spark.graft.dedup.shareClusters", default = false)
 
-  /** Cheap input fingerprint of the documents table under `d` — file
-    * count, total bytes, max mtime (enough to catch a rewrite without
-    * reading data) — PLUS the result-shaping confs of the cluster
+  /** Cheap input fingerprint of the documents table under `d` — the
+    * recursive per-file listing hash of [[graft.Tables.filesFingerprint]]
+    * (catches a rewrite without reading data) — PLUS the
+    * result-shaping confs of the cluster
     * pipeline: exactCollapse (+ its dup-frac dial), the hot-bucket cap,
     * and the LSH geometry. Without the conf stanza a mid-session conf
     * flip would be served a snapshot computed under the OTHER mode —

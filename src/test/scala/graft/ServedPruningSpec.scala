@@ -50,21 +50,25 @@ class ServedPruningSpec extends SparkFunSuite {
     * callers that add effectiveness checks. */
   private def assertPruned(face: => DataFrame, sub: String,
       partCol: String): Seq[FileSourceScanExec] = {
-    val df = face
-    df.queryExecution.toRdd.count()
-    val scans = indexScans(df, sub)
-    assert(scans.nonEmpty,
-      s"no FileSourceScan over the $sub index in the executed plan — " +
-        "did the serve path stop reading the persisted files?")
-    scans.foreach { f =>
-      assert(f.partitionFilters.nonEmpty,
-        s"index scan over $sub lost its partition filter:\n$f")
-      assert(f.partitionFilters.mkString(",").contains(partCol),
-        s"index scan over $sub prunes on the wrong column " +
-          s"(expected $partCol): ${f.partitionFilters.mkString(",")}")
-    }
-    CacheScope.releaseAll()
-    scans
+    // finally-release: a failing assertion must not leak the face's
+    // persisted probe frames (the span faces persist a corpus-sized
+    // gram pass) into the shared session's later suites
+    try {
+      val df = face
+      df.queryExecution.toRdd.count()
+      val scans = indexScans(df, sub)
+      assert(scans.nonEmpty,
+        s"no FileSourceScan over the $sub index in the executed plan — " +
+          "did the serve path stop reading the persisted files?")
+      scans.foreach { f =>
+        assert(f.partitionFilters.nonEmpty,
+          s"index scan over $sub lost its partition filter:\n$f")
+        assert(f.partitionFilters.mkString(",").contains(partCol),
+          s"index scan over $sub prunes on the wrong column " +
+            s"(expected $partCol): ${f.partitionFilters.mkString(",")}")
+      }
+      scans
+    } finally CacheScope.releaseAll()
   }
 
   test("bm25_batch_served: postings read pruned to the query terms' buckets") {

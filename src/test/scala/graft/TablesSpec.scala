@@ -53,7 +53,15 @@ class TablesSpec extends SparkFunSuite {
     val mt = java.nio.file.Files.getLastModifiedTime(fa)
     java.nio.file.Files.move(fa, b0.resolve("part-c"))
     java.nio.file.Files.setLastModifiedTime(b0.resolve("part-c"), mt)
-    assert(fp() !== fp2, "same-size rename not detected")
+    val fp3 = fp()
+    assert(fp3 !== fp2, "same-size rename not detected")
+    // and the hash keys on RELATIVE paths: the same tree at a different
+    // location fingerprints identically (mv preserves mtimes), so a
+    // relocated-but-unchanged dataset does not spuriously rebuild
+    val root2 = TempDirs.scratch("graft_tables_fp2_")
+    java.nio.file.Files.move(tbl, root2.resolve("t.parquet"))
+    assert(Tables.filesFingerprint(spark, root2.toString, "t") === fp3,
+      "fingerprint depends on the table's absolute location")
   }
 
   test("events loader: nanosAsLong conf scoped per the input's encoding") {
