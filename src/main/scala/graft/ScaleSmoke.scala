@@ -84,6 +84,7 @@ object ScaleSmoke {
     "q_bm25_batch_served", "q_knn_ivf_served",
     "q_winnow_contamination_served",
     "q_span_removal_served", "q_span_dedup_served",
+    "q_span_removal_shard_served", "q_span_dedup_shard_served",
     "q_dedup_incremental_served", "q_phrase_served", "q_bm25_served")
 
   /** Build the N× derived fixture under `outDir` (documents +

@@ -1723,6 +1723,33 @@ object Dedup {
   def spanDedupServed(s: SparkSession, d: String): DataFrame =
     spanDedupFromIndex(documents(s, d), servedGramIndex(s, d))
 
+  /** The PER-SHARD production operation itself: clean ONE incoming
+    * shard (doc_id % 10 == 0 — a tenth of the corpus) against the
+    * standing full-corpus gram index. The full-probe `_served` faces
+    * above prove the standing-index half of the claim but still gram
+    * the whole corpus as their probe, so their serve cost is
+    * corpus-proportional; a crawl pipeline never does that — it probes
+    * shard by shard, and THIS face's cost is what each shard costs:
+    * gram the shard, prune the index read to the shard's buckets,
+    * cut/profile the shard's rows against full-corpus counts. Counts
+    * are corpus-wide by construction (the index holds every doc, and
+    * a probe doc present in the index contributes its own occurrences
+    * through the stored partials), so the result is the scan face's
+    * rows restricted to the shard — the oracle is the scan SQL with
+    * one shard predicate on the OUTPUT (never on the gram counts). */
+  def spanRemovalShardServed(s: SparkSession, d: String): DataFrame =
+    spanRemovalFromIndex(
+      documents(s, d).filter(col("doc_id") % 10 === 0),
+      servedGramIndex(s, d),
+      graft.GraftConf.int(s, "spark.graft.span.minCut", 50))
+
+  /** Per-shard span-dedup PROFILE — [[spanRemovalShardServed]]'s
+    * profile twin over the same shard and the same shared index. */
+  def spanDedupShardServed(s: SparkSession, d: String): DataFrame =
+    spanDedupFromIndex(
+      documents(s, d).filter(col("doc_id") % 10 === 0),
+      servedGramIndex(s, d))
+
   /** 32-bit SimHash per document, computed entirely per-row (nested
     * higher-order aggregate over the token set — no explode, no shuffle):
     * bit b = sign of the sum over tokens of ±1 by md5-bit b. */
@@ -1775,9 +1802,11 @@ object Dedup {
     "q_span_dedup" -> (spanDedup _),
     "q_span_dedup_indexed" -> (spanDedupIndexed _),
     "q_span_dedup_served" -> (spanDedupServed _),
+    "q_span_dedup_shard_served" -> (spanDedupShardServed _),
     "q_span_removal" -> (spanRemoval _),
     "q_span_removal_indexed" -> (spanRemovalIndexed _),
     "q_span_removal_served" -> (spanRemovalServed _),
+    "q_span_removal_shard_served" -> (spanRemovalShardServed _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_normalized" -> (dedupNormalized _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -2036,6 +2065,13 @@ object Dedup {
     // serve-only face of the same lifecycle — same oracle again
     "q_span_dedup_served" -> spanDedupOracleSql,
 
+    // per-shard serving: the scan SQL verbatim with ONE output-side
+    // shard predicate — the gram-count CTEs stay corpus-wide, which is
+    // exactly the contract (shard rows judged against corpus counts)
+    "q_span_dedup_shard_served" -> spanDedupOracleSql.replace(
+      "ORDER BY base.doc_id",
+      "WHERE base.doc_id % 10 = 0 ORDER BY base.doc_id"),
+
     // same gram/count/runs chain as q_span_dedup, then the cut runs are
     // exploded into covered positions, unioned (DISTINCT), anti-joined
     // out of the token stream, and the survivors reassembled in order
@@ -2045,6 +2081,10 @@ object Dedup {
     // index-served face shares the scan face's oracle verbatim
     "q_span_removal_indexed" -> spanRemovalOracleSql,
     "q_span_removal_served" -> spanRemovalOracleSql,
+    // per-shard serving — see q_span_dedup_shard_served's comment
+    "q_span_removal_shard_served" -> spanRemovalOracleSql.replace(
+      "ORDER BY t.doc_id",
+      "WHERE t.doc_id % 10 = 0 ORDER BY t.doc_id"),
 
     "q_minhash_udaf" ->
       """WITH sig AS (

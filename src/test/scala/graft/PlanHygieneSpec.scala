@@ -36,6 +36,7 @@ class PlanHygieneSpec extends AnyFunSuite {
         "q_bm25_batch_indexed", "q_bm25_batch_served", "q_phrase_indexed",
         "q_phrase_served",
         "q_span_removal_served", "q_span_dedup_served",
+        "q_span_removal_shard_served", "q_span_dedup_shard_served",
         "q_dedup_incremental_served",
         "q_winnow_contamination_indexed", "q_winnow_contamination_served",
         "q_bucketed_join").contains(name)

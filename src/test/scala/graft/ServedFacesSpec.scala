@@ -87,6 +87,18 @@ class ServedFacesSpec extends SparkFunSuite {
     assert(removal === removalIndexed)
     assert(dedup === dedupIndexed)
     assert(removal.nonEmpty && dedup.nonEmpty)
+    // the per-shard faces serve the SAME artifact (no rebuild) and
+    // return exactly the full-probe rows restricted to the shard —
+    // corpus-wide counts, shard-only output
+    val shardRemoval = rows(Dedup.spanRemovalShardServed(spark, sf))
+    val shardDedup = rows(Dedup.spanDedupShardServed(spark, sf))
+    assert(Dedup.gramServedBuilds.get() === b0 + 1, "shard face rebuilt")
+    def shardOf(full: Seq[String]) =
+      full.filter(r => r.drop(1).takeWhile(_ != ',').toLong % 10 == 0)
+    assert(shardRemoval === shardOf(removal),
+      "shard removal rows must equal the full-probe rows restricted to the shard")
+    assert(shardDedup === shardOf(dedup))
+    assert(shardRemoval.nonEmpty && shardDedup.nonEmpty)
   }
 
   test("dedup_incremental_served: builds once, equals the indexed face; an LSH geometry retune rebuilds") {

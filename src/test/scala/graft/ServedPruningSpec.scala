@@ -87,6 +87,10 @@ class ServedPruningSpec extends SparkFunSuite {
   test("span served faces: gram-index read pruned to the probe's buckets") {
     assertPruned(Dedup.spanRemovalServed(spark, sf), "served_grams", "bucket")
     assertPruned(Dedup.spanDedupServed(spark, sf), "served_grams", "bucket")
+    // the per-shard faces carry the same filter over a SMALLER probe —
+    // the production case the pruning exists for
+    assertPruned(Dedup.spanRemovalShardServed(spark, sf), "served_grams", "bucket")
+    assertPruned(Dedup.spanDedupShardServed(spark, sf), "served_grams", "bucket")
   }
 
   test("phrase/bm25 served: pruning is EFFECTIVE — at most one file per probed term bucket") {
