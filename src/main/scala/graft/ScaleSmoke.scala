@@ -56,7 +56,13 @@ import org.apache.spark.sql.functions._
   * re-measured at reps=3 medians on both corpora before its row is
   * recorded (`"reps":3` marks rows whose re-measure completed; a
   * failed re-measure leaves reps:1 and warns). Unset, no escalation
-  * happens — the table then carries single-rep caveats.
+  * happens — the table then carries single-rep caveats. The HOT phase
+  * has the same contract against SPARK_GRAFT_PRIOR_HOT_RATIOS (the
+  * `hot_ratios.json` a hot run writes, mirrored to
+  * `SCALESMOKE_hot_ratios_latest.json`): a single-rep hot row whose
+  * hot/no-hot ratio is >1.5× off its prior re-measures the hot side
+  * at reps=3; `SPARK_GRAFT_HOT_REPS=3` skips the prior dance and
+  * measures everything at reps=3 outright.
   */
 object ScaleSmoke {
 
@@ -319,8 +325,34 @@ object ScaleSmoke {
     // capture only stores the frame (it runs inside the timed window);
     // the hot-pair counts run after measurement
     val frames = scala.collection.mutable.Map.empty[String, DataFrame]
-    val (detailed, fails) = Bench.measureDetailed(spark, workDir, reps, qs,
+    var (detailed, fails) = Bench.measureDetailed(spark, workDir, reps, qs,
       capture = (n, df) => { frames(n) = df; () })
+    // hot-ratio escalation, the fleet pass's contract applied here:
+    // SPARK_GRAFT_PRIOR_HOT_RATIOS points at a prior round's
+    // hot_ratios.json (hot_sec / no_hot_sec per guarded query, written
+    // below); a SINGLE-REP hot row whose ratio lands >1.5× off its
+    // prior — either direction — re-measures the HOT side at reps=3
+    // medians before being recorded (the no-hot denominator is the
+    // fleet pass's own number, already under that pass's escalation).
+    // The round-15 bm25 hot-growth question needed this by hand.
+    val hotPrior = sys.env.get("SPARK_GRAFT_PRIOR_HOT_RATIOS")
+      .map(readRatioFile).getOrElse(Map.empty)
+    if (reps == 1 && hotPrior.nonEmpty) {
+      val dm = detailed.toMap
+      val escalate = guardedQueries.filter { n =>
+        (for (rs <- dm.get(n); nh <- noHot.get(n); p <- hotPrior.get(n))
+          yield { val r = Bench.medianRep(rs).totalSec / nh
+            r > p * 1.5 || r < p / 1.5 }).getOrElse(false)
+      }
+      if (escalate.nonEmpty) {
+        System.err.println(s"[scale-smoke] hot ratio off >1.5x from prior " +
+          s"for ${escalate.mkString(", ")} — re-measuring at reps=3 medians")
+        val (d3, _) = Bench.measureDetailed(spark, workDir, 3,
+          qs.filter { case (n, _) => escalate.contains(n) })
+        val d3m = d3.toMap
+        detailed = detailed.map { case (n, rs) => n -> d3m.getOrElse(n, rs) }
+      }
+    }
     val counted = frames.flatMap { case (n, df) =>
       Seq("d1" -> "d2", "eval_id" -> "train_id",
         "contained_id" -> "container_id", "qid" -> "doc_id")
@@ -344,6 +376,19 @@ object ScaleSmoke {
     }
     println(s"""{"phase":"hot_guard","group_size":$HotGroupSize,""" +
       s""""reps":$reps,"fails":${fails.size},"rows":[${rows.mkString(",")}]}""")
+    // persist hot/no-hot ratios so the NEXT hot run can escalate against
+    // them (mirrors the fleet pass's ratios.json contract)
+    val hotRatioJson = guardedQueries.sorted.flatMap { n =>
+      for (rs <- tm.get(n); nh <- noHot.get(n) if nh > 0)
+        yield f""""$n":${Bench.medianRep(rs).totalSec / nh}%.2f"""
+    }.mkString("{", ",", "}")
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(workDir, "hot_ratios.json"), hotRatioJson + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALESMOKE_hot_ratios_latest.json"),
+        hotRatioJson + "\n")
+    } catch { case scala.util.control.NonFatal(_) => () }
     if (fails.nonEmpty)
       System.err.println(s"[scale-smoke] hot-phase failures: $fails")
   }
