@@ -63,6 +63,7 @@ object Bench {
       .config("spark.graft.dedup.shareClusters", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quietGlobalWindowWarnings()
     // SPARK_GRAFT_PROFILE=scale benches the deployment preset's plans
     // (semdedup via LSH, LM filter via CMS, guarded band joins, ...) so
     // default-vs-scale cost is a measured artifact, not a claim. The
@@ -222,6 +223,20 @@ object Bench {
     val sorted = rs.sortBy(_.totalSec)
     sorted(sorted.length / 2)
   }
+
+  /** Silence the per-task "No Partition Defined for Window operation"
+    * warning from `o.a.s.sql.execution.window` in the measurement
+    * mains: several catalog queries compute GLOBAL scalars through an
+    * unpartitioned window ON PURPOSE (funnel conversion, corpus-wide
+    * ranks — one-row outputs where single-partition is the plan you
+    * want), and at 32 threads × reps × queries the warning repeats
+    * thousands of times, burying the one JSON line the driver's
+    * bounded stdout tail exists to capture. Scoped to that one logger
+    * package — every other Spark WARN still surfaces. */
+  private[graft] def quietGlobalWindowWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
 
   /** 1-minute system load average (-1 when the platform can't say). */
   private def load1m: Double =

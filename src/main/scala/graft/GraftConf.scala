@@ -104,6 +104,36 @@ object GraftConf {
 
   val ProfileKey = "spark.graft.profile"
 
+  /** Default for `spark.graft.shuffle.targetBytesPerPartition`: the
+    * COMPRESSED parquet input bytes whose derived shuffle state one
+    * partition should carry. 96 KiB reads small because the dial is in
+    * INPUT bytes, not shuffle bytes: the heavy document families
+    * explode text to token rows (~10× decompression × ~10× row/key
+    * overhead), so 96 KiB of parquet is tens of MB in flight — the
+    * round-16 hot-fixture adjudication measured exactly this (a ~13 MB
+    * ×10 corpus spill-bound at 32 shuffle partitions, 1.7× faster and
+    * 6× tighter at 128 ≈ 13 MB / 96 KiB; NOTES.md round-16 section). */
+  val DefaultShuffleTargetBytes: Long = 96L * 1024
+
+  /** Shuffle-partition count sized to the corpus: ⌈inputBytes /
+    * targetBytes⌉ clamped to [cpus, cap]. The floor keeps every core
+    * busy on small fixtures (the catalog's oracle scales); the cap
+    * bounds task-scheduling overhead; in between, partitions grow
+    * LINEARLY with data — the sizing a cluster deployment applies by
+    * hand and the fixture-pinned constant (round 16's spill) gets
+    * wrong. With AQE on (the bench/smoke sessions), oversizing is
+    * self-healing — AQE coalesces small shuffles back down — so the
+    * dial only needs to be generous, not exact. ShuffleSizingSpec pins
+    * the clamps, linearity, and the round-16 calibration point. */
+  def sizedShufflePartitions(inputBytes: Long, cpus: Int,
+      targetBytes: Long = DefaultShuffleTargetBytes, cap: Int = 4096): Int = {
+    require(cpus >= 1, s"cpus must be >= 1, got $cpus")
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    require(cap >= cpus, s"cap $cap must be >= cpus $cpus")
+    val byBytes = math.ceil(math.max(inputBytes, 0L).toDouble / targetBytes)
+    math.min(math.max(byBytes, cpus.toDouble), cap.toDouble).toInt
+  }
+
   /** Conf values `spark.graft.profile=scale` implies when the conf is
     * not explicitly set. See the object doc for the per-key rationale. */
   val scaleDefaults: Map[String, String] = Map(
@@ -215,6 +245,7 @@ object GraftConf {
     "spark.graft.dedup.shareClusters",
     "spark.graft.index.compactEvery",
     "spark.graft.index.compactTargetBytes",
+    "spark.graft.ivf.cells",
     "spark.graft.ivf.lloydIters",
     "spark.graft.ivf.nprobe",
     "spark.graft.ivf.objectiveEps",
@@ -235,6 +266,7 @@ object GraftConf {
     "spark.graft.search.phrase",
     "spark.graft.search.terms",
     "spark.graft.semdedup.lsh",
+    "spark.graft.shuffle.targetBytesPerPartition",
     "spark.graft.span.minCut",
     "spark.graft.text.hhLocalCandidates",
     "spark.graft.topkPerGroup.maxBufferedRows",

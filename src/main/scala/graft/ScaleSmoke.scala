@@ -91,7 +91,16 @@ object ScaleSmoke {
     "q_winnow_contamination_served",
     "q_span_removal_served", "q_span_dedup_served",
     "q_span_removal_shard_served", "q_span_dedup_shard_served",
-    "q_dedup_incremental_served", "q_phrase_served", "q_bm25_served")
+    "q_dedup_incremental_served", "q_phrase_served", "q_bm25_served",
+    // fixed-probe faces: pinned query panel / pinned ingest batch vs
+    // the 1×-vs-N× standing index — the rows whose ratios measure pure
+    // index-side growth (their full-probe twins' probes grow with the
+    // fixture by construction)
+    "q_bm25_batch_shard_served", "q_dedup_incremental_shard_served",
+    // cell-count-scaled IVF serving: k = ceil(sqrt(N)) grows with the
+    // corpus, so the probed INSET shrinks relative to the cell universe
+    // — the pruning win the 16-cell oracle face can't show
+    "q_knn_ivf_scaled_served")
 
   /** Build the N× derived fixture under `outDir` (documents +
     * embeddings; the heavy families read nothing else). */
@@ -179,8 +188,11 @@ object ScaleSmoke {
       s"factor $factor exceeds the audited codepoint window (<= 14: " +
         "copies must stay below U+0300 combining diacritics)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // same scale-experiment dial as Bench: larger derived corpora need
-    // more shuffle partitions than local cores
+    // explicit override for targeted experiments; when UNSET the smoke
+    // sizes partitions to each measured corpus' bytes (below) — the
+    // round-16 hot adjudication proved a count pinned to the base
+    // corpus spills at ×10 (NOTES.md: 32 partitions 45.8–132.1 s,
+    // 128 partitions 53.4 s with 6× tighter spread)
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -190,6 +202,7 @@ object ScaleSmoke {
       .config("spark.graft.profile", "scale")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.quietGlobalWindowWarnings()
     // setting spark.driver.memory here would be a no-op (the JVM is
     // already up): the heap comes from the launcher (sbt -J-Xmx /
     // SPARK_DRIVER_MEM). Verify instead of pretending to configure.
@@ -223,7 +236,9 @@ object ScaleSmoke {
         spark.catalog.clearCache()
       }
     }
+    autoSizePartitions(spark, baseDir)
     val (baseTimes, baseFails) = Bench.measure(spark, baseDir, reps = 1, qs)
+    autoSizePartitions(spark, workDir)
     val (scaledTimes, scaledFails) = Bench.measure(spark, workDir, reps = 1, qs)
     var bt = baseTimes.toMap
     var st = scaledTimes.toMap
@@ -244,7 +259,9 @@ object ScaleSmoke {
       System.err.println(s"[scale-smoke] single-rep ratio off >1.5x from prior " +
         s"for ${escalate.mkString(", ")} — re-measuring at reps=3 medians")
       val eqs = qs.filter { case (n, _) => escalate.contains(n) }
+      autoSizePartitions(spark, baseDir)
       val (b3, _) = Bench.measure(spark, baseDir, reps = 3, eqs)
+      autoSizePartitions(spark, workDir)
       val (s3, _) = Bench.measure(spark, workDir, reps = 3, eqs)
       // only rows whose BOTH sides re-measured get the reps:3 label — a
       // re-measure that failed (time cap) must not stamp a single-rep
@@ -290,6 +307,38 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** Bytes of the corpus tables the heavy families read (documents +
+    * embeddings parquet under `dir` — the only tables this smoke's
+    * fixtures carry). */
+  private def corpusBytes(s: SparkSession, dir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("documents.parquet", "embeddings.parquet").map { t =>
+      val p = new org.apache.hadoop.fs.Path(root, t)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+  }
+
+  /** Size `spark.sql.shuffle.partitions` to the corpus about to be
+    * measured ([[GraftConf.sizedShufflePartitions]]): the base fixture
+    * clamps to the CPU floor (unchanged vs prior rounds' pinned count),
+    * the ×10 corpus gets ~10× the partitions — the dial a cluster run
+    * sets per dataset and a fixture-pinned constant gets wrong (the
+    * round-16 hot bm25_batch spill). An explicit
+    * SPARK_GRAFT_SHUFFLE_PARTITIONS wins: targeted experiments pin the
+    * count, the unattended smoke sizes it. */
+  private def autoSizePartitions(spark: SparkSession, dir: String): Unit =
+    if (sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").isEmpty) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+      val bytes = corpusBytes(spark, dir)
+      val n = GraftConf.sizedShufflePartitions(bytes, cpus,
+        GraftConf.long(spark, "spark.graft.shuffle.targetBytesPerPartition",
+          GraftConf.DefaultShuffleTargetBytes))
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      System.err.println(f"[scale-smoke] sized spark.sql.shuffle.partitions=$n " +
+        f"for $dir (${bytes / 1024.0 / 1024.0}%.1f MiB corpus)")
+    }
+
   /** Parse a flat `{"q_name": ratio, ...}` file (the shape this object
     * writes) without a JSON dependency — regex over quoted-key:number
     * pairs; unreadable file or malformed content degrades to empty
@@ -313,6 +362,10 @@ object ScaleSmoke {
   private def hotPhase(spark: SparkSession, workDir: String,
       noHot: Map[String, Double]): Unit = {
     appendHotGroup(spark, workDir)
+    // the hot group grew the corpus — re-derive the partition count so
+    // the hot walls measure the guards, not a partition-sizing artifact
+    // (the round-16 spill adjudication, institutionalized)
+    autoSizePartitions(spark, workDir)
     val qs = SparkEntry.queries.filter { case (n, _) => guardedQueries.contains(n) }
       .toSeq.sortBy(_._1)
     // reps dial for adjudication runs: the round-15 hot-phase bm25
@@ -351,6 +404,12 @@ object ScaleSmoke {
           qs.filter { case (n, _) => escalate.contains(n) })
         val d3m = d3.toMap
         detailed = detailed.map { case (n, rs) => n -> d3m.getOrElse(n, rs) }
+        // a failed/partial re-measure must not pass silently as a
+        // confirmed row — the fleet pass's unconfirmed contract
+        val unconfirmed = escalate.filterNot(d3m.contains)
+        if (unconfirmed.nonEmpty)
+          System.err.println(s"[scale-smoke] hot reps=3 re-measure FAILED " +
+            s"for ${unconfirmed.mkString(", ")} — rows stay at reps:1, unverified")
       }
     }
     val counted = frames.flatMap { case (n, df) =>
@@ -369,9 +428,14 @@ object ScaleSmoke {
           f""""steal_sec":${r.stealSec}%.2f}""").mkString("[", ",", "]"))
       // "rep_detail" matches BENCH_full's vocabulary — the phase-level
       // "reps" int and the per-row detail array must not share a key
+      // per-row "reps" (= rep_detail length) so an escalated row reads
+      // reps:3 without consumers inferring it from the array — the
+      // fleet pass's per-row label, mirrored (phase-level "reps" below
+      // stays the ASKED count; this is the DELIVERED one)
       f"""{"query":"$n","no_hot_sec":${noHot.get(n).map(v => f"$v%.2f").getOrElse("null")},""" +
         f""""hot_sec":${med.map(r => f"${r.totalSec}%.2f").getOrElse("null")},""" +
         f""""hot_pairs":${counted.get(n).map(_.toString).getOrElse("null")},""" +
+        f""""reps":${tm.get(n).map(_.length).getOrElse(0)},""" +
         f""""rep_detail":${repDetail.getOrElse("null")}}"""
     }
     println(s"""{"phase":"hot_guard","group_size":$HotGroupSize,""" +

@@ -695,7 +695,13 @@ object Dedup {
     * fast on the `_lsh_geometry` stamp — rebuild is the served face's
     * contract, crash is the library primitive's. Same oracle as
     * `q_dedup_incremental`, verbatim. */
-  def dedupIncrementalServed(s: SparkSession, d: String): DataFrame = {
+  def dedupIncrementalServed(s: SparkSession, d: String): DataFrame =
+    dedupIncrementalFromIndex(s, d, servedSigIndex(s, d))
+
+  /** The standing base-split signature index [[dedupIncrementalServed]]
+    * and [[dedupIncrementalShardServed]] SHARE, built at most once per
+    * (session, dataset, geometry) — one artifact, two probe shapes. */
+  private def servedSigIndex(s: SparkSession, d: String): String = {
     val fp = graft.Tables.filesFingerprint(s, d, "documents") +
       s"|${lshGeometry(s)}"
     val (idx, built) = graft.TempDirs.buildOnce("graft_sigindex_",
@@ -703,7 +709,35 @@ object Dedup {
       writeSignatureIndex(
         documents(s, d).filter(col("doc_id") % 10 < 8), p.toString))
     if (built) sigServedBuilds.incrementAndGet()
-    dedupIncrementalFromIndex(s, d, idx.toString)
+    idx.toString
+  }
+
+  /** The PINNED delta batch of [[dedupIncrementalShardServed]]: delta-
+    * split docs (`% 10 >= 8`) below this id — 50 docs at every fixture
+    * SF and every derived scale corpus (copy ids shift by i·10⁹, so
+    * only copy 0 contributes). Half the sf0.01 delta, so the driver's
+    * oracle distinguishes this face from the full `_served` face. */
+  private[graft] val IncShardDeltaMax = 250L
+
+  /** The FIXED-BATCH production shape of incremental dedup — one pinned
+    * 50-doc ingest batch matched against the standing signature index
+    * ([[spanRemovalShardServed]]'s ingest twin). The full
+    * `q_dedup_incremental_served` face's delta is the `% 10 >= 8`
+    * slice — 20% of the corpus, so its ×10 serve ratio measures
+    * delta-side growth by fixture construction. A streaming ingest's
+    * micro-batch is fixed-size while the index grows; this face's ×10
+    * ratio is that number: pinned batch, 1×-vs-N× standing index. Per-
+    * delta-doc results are independent and the base side is untouched,
+    * so the rows are exactly the full face's restricted to the batch
+    * (ServedFacesSpec asserts that identity); the oracle is the scan
+    * SQL with the one batch predicate on the delta side. */
+  def dedupIncrementalShardServed(s: SparkSession, d: String): DataFrame = {
+    val idx = servedSigIndex(s, d)
+    checkGeometryStamp(s, idx)
+    val deltaDocs = documents(s, d)
+      .filter(col("doc_id") % 10 >= 8 && col("doc_id") < IncShardDeltaMax)
+    incrementalMatch(s.read.parquet(idx), bandsOf(signaturesOf(deltaDocs)),
+      deltaDocs.select(col("doc_id")))
   }
 
   /** Near-dup CLUSTERS from the LSH pair graph — the step that turns
@@ -1818,6 +1852,7 @@ object Dedup {
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
     "q_dedup_incremental_served" -> (dedupIncrementalServed _),
+    "q_dedup_incremental_shard_served" -> (dedupIncrementalShardServed _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_simhash" -> (dedupSimhash _)
@@ -2131,6 +2166,15 @@ object Dedup {
     // derivation, so it shares the oracle verbatim
     "q_dedup_incremental_indexed" -> incrementalOracleSql,
     "q_dedup_incremental_served" -> incrementalOracleSql,
+    // fixed-batch serving: the scan SQL verbatim with ONE batch
+    // predicate on the delta side (candidate CTE and the reported doc
+    // set) — the base side stays the full standing split, which is
+    // exactly the contract (pinned batch judged against the corpus)
+    "q_dedup_incremental_shard_served" -> incrementalOracleSql
+      .replace("WHERE x.doc_id % 10 < 8 AND y.doc_id % 10 >= 8)",
+        "WHERE x.doc_id % 10 < 8 AND y.doc_id % 10 >= 8 AND y.doc_id < 250)")
+      .replace("FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d",
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8 AND doc_id < 250) d"),
 
     // same sig/band/estimate pipeline as q_dedup_minhash, then connected
     // components as a recursive reachability CTE (min reachable id = the

@@ -335,7 +335,17 @@ object Retrieval {
     * %97 train split) — no confs — so the file fingerprint is the whole
     * invalidation story. Same oracle as `q_bm25_batch`, verbatim: the
     * cached hop must stay invisible in the result. */
-  def bm25BatchServed(s: SparkSession, d: String): DataFrame = {
+  def bm25BatchServed(s: SparkSession, d: String): DataFrame =
+    bm25BatchFromIndex(
+      documents(s, d).filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text")),
+      servedTrainPostings(s, d))
+
+  /** The training-side postings index [[bm25BatchServed]] and
+    * [[bm25BatchShardServed]] SHARE, built at most once per (session,
+    * dataset) — one standing artifact, two probe shapes (the
+    * [[servedFullPostings]] one-artifact-many-consumers contract). */
+  private def servedTrainPostings(s: SparkSession, d: String): String = {
     val (idx, built) = graft.TempDirs.buildOnce("graft_postings_",
       graft.TempDirs.sessionKey(s, d), "served_train",
       graft.Tables.filesFingerprint(s, d, "documents")) { p =>
@@ -343,11 +353,37 @@ object Retrieval {
         documents(s, d).filter(col("doc_id") % 97 =!= 0), p.toString)
     }
     if (built) servedBuilds.incrementAndGet()
-    bm25BatchFromIndex(
-      documents(s, d).filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id"), col("text")),
-      idx.toString)
+    idx.toString
   }
+
+  /** The PINNED query panel of [[bm25BatchShardServed]]: eval docs
+    * (`% 97 == 0`) below this id — 5 queries (0, 97, 194, 291, 388) at
+    * every fixture SF and every derived scale corpus (copy i's ids
+    * shift by i·10⁹, so only copy 0 contributes). Deliberately BELOW
+    * the sf0.01 eval range (max eval id 485): the driver's oracle then
+    * distinguishes this face from the full `_served` face instead of
+    * replaying the identical panel. */
+  private[graft] val BatchShardPanelMax = 485L
+
+  /** The FIXED-PROBE production shape of batch retrieval — a pinned
+    * query panel served against the standing training-side postings
+    * index ([[Dedup.spanRemovalShardServed]]'s retrieval twin). The
+    * full `q_bm25_batch_served` face's probe is the `% 97` eval slice,
+    * which GROWS with the corpus — its ×10 serve ratio therefore
+    * measures query-side growth, not the engine. A deployment's panel
+    * (a benchmark suite, a alert query set) is fixed-size while the
+    * index grows; this face's ×10 ratio is that number: pinned panel,
+    * 1×-vs-N× standing index. Same SQL as `q_bm25_batch` with the one
+    * panel predicate in the qterms CTE — per-qid results are
+    * independent and train-side df/(N, A) don't depend on the panel,
+    * so the rows are exactly the full face's restricted to the panel
+    * (ServedFacesSpec asserts that identity). */
+  def bm25BatchShardServed(s: SparkSession, d: String): DataFrame =
+    bm25BatchFromIndex(
+      documents(s, d)
+        .filter(col("doc_id") % 97 === 0 && col("doc_id") < BatchShardPanelMax)
+        .select(col("doc_id"), col("text")),
+      servedTrainPostings(s, d))
 
   // ------------------------------------------------------------------
   // Persisted positional postings index — the production face of both
@@ -548,6 +584,7 @@ object Retrieval {
     "q_bm25_batch" -> (bm25Batch _),
     "q_bm25_batch_indexed" -> (bm25BatchIndexed _),
     "q_bm25_batch_served" -> (bm25BatchServed _),
+    "q_bm25_batch_shard_served" -> (bm25BatchShardServed _),
     "q_phrase_search" -> (phraseSearch _),
     "q_bm25_indexed" -> (bm25Indexed _),
     "q_bm25_served" -> (bm25Served _),
@@ -650,6 +687,13 @@ object Retrieval {
     "q_bm25_batch" -> bm25BatchOracleSql,
     "q_bm25_batch_indexed" -> bm25BatchOracleSql,
     "q_bm25_batch_served" -> bm25BatchOracleSql,
+    // fixed-panel serving: the scan SQL verbatim with ONE panel
+    // predicate in the qterms CTE — train-side stats/df CTEs are
+    // untouched (df per token and (N, A) don't depend on the panel),
+    // so this is the batch SQL a 5-query pinned panel would run
+    "q_bm25_batch_shard_served" -> bm25BatchOracleSql.replace(
+      "FROM docs WHERE doc_id % 97 = 0)",
+      "FROM docs WHERE doc_id % 97 = 0 AND doc_id < 485)"),
     "q_phrase_search" -> phraseOracleSql,
     // the indexed/served faces replay the scan-side SQL: same semantics
     // — the index is a layout decision the oracle must not see

@@ -133,13 +133,15 @@ object Similarity {
     * spherical k-means monotonically improves). Persisted + CacheScope-
     * tracked; caller releases via CacheScope. */
   private[graft] def ivfTop2(s: SparkSession, d: String, lloydIters: Int,
-      seeding: String = null, objectiveEps: java.lang.Double = null): DataFrame =
-    ivfModel(s, d, lloydIters, seeding, objectiveEps)._2
+      seeding: String = null, objectiveEps: java.lang.Double = null,
+      cells: java.lang.Integer = null): DataFrame =
+    ivfModel(s, d, lloydIters, seeding, objectiveEps, cells)._2
 
   /** [[ivfTop2]] plus the trained centroid table (cent_id, cvec, cnrm) —
     * the model a persisted index stores ([[writeIvfIndex]]). */
   private[graft] def ivfModel(s: SparkSession, d: String, lloydIters: Int,
-      seeding: String = null, objectiveEps: java.lang.Double = null)
+      seeding: String = null, objectiveEps: java.lang.Double = null,
+      cells: java.lang.Integer = null)
       : (DataFrame, DataFrame) = {
     graft.functions.VectorFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
@@ -163,9 +165,17 @@ object Similarity {
     // the session's spark.graft.ivf.* confs (knnIvf's behavior)
     val seedMode = Option(seeding)
       .getOrElse(graft.GraftConf.get(s, "spark.graft.ivf.seeding").getOrElse("first"))
+    // cell count k — the scale dial of the coarse quantizer (posting
+    // lists shrink as ~N/k, so a real deployment raises k with the
+    // corpus: FAISS guidance is k ≈ √N). The oracle pins the default 16
+    // (DuckDB replays `vec_id < 16` verbatim); explicit param > conf,
+    // like the other quantizer knobs.
+    val k = Option(cells).map(_.intValue)
+      .getOrElse(graft.GraftConf.int(s, "spark.graft.ivf.cells", 16))
+    require(k >= 1, s"spark.graft.ivf.cells must be >= 1, got $k")
     val seeds = seedMode match {
-      case "kmeanspp" => farthestPointSeeds(base, 16)
-      case _ => base.filter(col("vec_id") < 16)
+      case "kmeanspp" => farthestPointSeeds(base, k)
+      case _ => base.filter(col("vec_id") < k)
         .select(col("vec_id").as("cent_id"), col("emb_d").as("cvec"),
           col("nrm").as("cnrm"))
     }
@@ -250,9 +260,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     // the composed oracle replays exactly one Lloyd iteration over the
     // first-16 seeds with no early stop — pin ALL quantizer knobs
-    // explicitly so session confs (seeding/objectiveEps) can't silently
-    // diverge this query from its oracle
-    val top2 = ivfTop2(s, d, lloydIters = 1, seeding = "first", objectiveEps = 0.0)
+    // explicitly so session confs (seeding/objectiveEps/cells) can't
+    // silently diverge this query from its oracle
+    val top2 = ivfTop2(s, d, lloydIters = 1, seeding = "first",
+      objectiveEps = 0.0, cells = 16)
     val assigned = top2.filter(col("crk") === 1)
       .select(col("vec_id").as("cid"), col("cent_id").as("cell"))
     val qprobes = top2.filter(col("vec_id") < 30 && col("crk") <= 2)
@@ -302,7 +313,8 @@ object Similarity {
     * either engine. Scale shape: one pass over the already-persisted
     * top-2 assignment, a 16-group aggregate — free next to training. */
   def clusterProfile(s: SparkSession, d: String): DataFrame = {
-    val top2 = ivfTop2(s, d, lloydIters = 1, seeding = "first", objectiveEps = 0.0)
+    val top2 = ivfTop2(s, d, lloydIters = 1, seeding = "first",
+      objectiveEps = 0.0, cells = 16)
     val q = top2.select(col("vec_id"), col("cent_id"), col("crk"),
       expr("CAST(floor(cs * 1000000.0D + 0.5D) AS BIGINT)").as("qcs"))
     val a1 = q.filter(col("crk") === 1)
@@ -797,13 +809,21 @@ object Similarity {
     * root ignores it — the same sidecar convention as `_lsh_geometry`).
     * Train once, serve many: the quantizer runs here, never at query
     * time. */
-  def writeIvfIndex(s: SparkSession, d: String, path: String): Unit = {
-    val (cents, top2) = ivfModel(s, d,
-      lloydIters = graft.GraftConf.int(s, "spark.graft.ivf.lloydIters", 1))
+  def writeIvfIndex(s: SparkSession, d: String, path: String): Unit =
+    writeIvfIndexModel(path, ivfModel(s, d,
+      lloydIters = graft.GraftConf.int(s, "spark.graft.ivf.lloydIters", 1)))
+
+  /** Persist a trained (centroids, top-2 assignment) pair as the cell-
+    * partitioned posting-list layout — shared by the conf-shaped
+    * [[writeIvfIndex]] and the pinned-knob scaled build
+    * ([[knnIvfScaledServed]]). */
+  private def writeIvfIndexModel(path: String,
+      model: (DataFrame, DataFrame)): Unit = {
+    val (cents, top2) = model
     // cell as INT, matching read-back partition-type inference, so a
     // probe-cell literal filter lands on the RAW partition column (a
     // cast on the attribute would defeat directory pruning); cell ids
-    // are seed vec_ids < 16 by construction
+    // are seed vec_ids < cells by construction
     top2.filter(col("crk") === 1)
       .select(col("vec_id"), col("embedding"),
         col("cent_id").cast("int").as("cell"))
@@ -831,7 +851,13 @@ object Similarity {
     * driver state. Per-QUERY pruning beyond the batch-union of cells is
     * the serving system's job (route each query to its cells); within
     * one Spark job the union is the right granularity. */
-  def knnFromIvfIndex(queries: DataFrame, indexPath: String): DataFrame = {
+  /** The probe frame (qid, qemb, qnrm, cell) and the distinct probed-
+    * cell set for a query batch against a stored quantizer — the first
+    * half of [[knnFromIvfIndex]], shared with [[graft.IvfScaleProbe]]
+    * (the probed-vs-universe diagnostic) so the measured pruning
+    * fraction is the serving path's own numbers, not a re-derivation. */
+  private[graft] def ivfProbes(queries: DataFrame, indexPath: String)
+      : (DataFrame, Array[Int]) = {
     val s = queries.sparkSession
     graft.functions.VectorFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
@@ -853,6 +879,13 @@ object Similarity {
         col("nrm").as("qnrm"), col("cent_id").cast("int").as("cell"))
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
+    (probes, cells)
+  }
+
+  def knnFromIvfIndex(queries: DataFrame, indexPath: String): DataFrame = {
+    val s = queries.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val (probes, cells) = ivfProbes(queries, indexPath)
     val postings = s.read.parquet(indexPath)
       .filter(col("cell").isin(cells: _*))
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
@@ -940,11 +973,57 @@ object Similarity {
     val fp = graft.Tables.filesFingerprint(s, d, "embeddings") +
       s"|iters=${graft.GraftConf.int(s, "spark.graft.ivf.lloydIters", 1)}:" +
       s"seed=${graft.GraftConf.get(s, "spark.graft.ivf.seeding").getOrElse("first")}:" +
-      s"eps=${graft.GraftConf.double(s, "spark.graft.ivf.objectiveEps", 0.0)}"
+      s"eps=${graft.GraftConf.double(s, "spark.graft.ivf.objectiveEps", 0.0)}:" +
+      s"cells=${graft.GraftConf.int(s, "spark.graft.ivf.cells", 16)}"
     val (idx, built) = graft.TempDirs.buildOnce("graft_ivfindex_",
       graft.TempDirs.sessionKey(s, d), "served_ivf", fp)(p =>
       writeIvfIndex(s, d, p.toString))
     if (built) servedBuilds.incrementAndGet()
+    knnFromIvfIndex(
+      embeddings(s, d).filter(col("vec_id") < 30)
+        .select(col("vec_id"), col("embedding")),
+      idx.toString)
+  }
+
+  /** Corpus-scaled cell count for [[knnIvfScaledServed]]:
+    * k = max(16, ⌈√N⌉) — the FAISS sizing guidance (posting lists
+    * shrink as ~N/k, probe cost as ~nprobe·N/k), floored at the
+    * catalog's oracle-pinned 16 so small fixtures stay comparable. */
+  private[graft] def scaledCellCount(n: Long): Int =
+    math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+
+  /** Build count of the scaled served face — ServedFacesSpec pins
+    * build-once. */
+  private[graft] val scaledServedBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The CELL-COUNT-SCALED serve face — the evidence that IVF partition
+    * pruning GROWS with the corpus. `q_knn_ivf_served`'s quantizer is
+    * oracle-pinned at 16 cells, so at fixture scale the 30-query batch
+    * probes most or all of the cell universe and the pinned plan's
+    * `cell INSET` prunes little; a real deployment raises k with N
+    * (k ≈ √N) so each posting list stays bounded and the probed
+    * fraction FALLS as the corpus grows. This face trains at
+    * k = [[scaledCellCount]](N) — first-k seeds, one Lloyd step, no
+    * early stop, all knobs pinned so the DuckDB oracle can replay the
+    * training verbatim (the seed filter and the √N scalar are both
+    * SQL) — and serves the standard 30-query batch from the
+    * cell-partitioned files. The probed INSET stays ≤ 60 literals
+    * (30 queries × nprobe 2) while the cell universe grows as √N:
+    * 23 cells at sf0.01, 45 at sf0.1, 142 at the ×10 smoke corpus —
+    * the shrinking probed/universe ratio IS the pruning win
+    * (ServedPruningSpec asserts the bound, NOTES the measured table).
+    * k is a function of N, hence of the embeddings files already in
+    * the fingerprint; it rides the marker anyway so a human reading
+    * the marker sees the trained shape. */
+  def knnIvfScaledServed(s: SparkSession, d: String): DataFrame = {
+    val k = scaledCellCount(embeddings(s, d).count()) // scalar prelude
+    val fp = graft.Tables.filesFingerprint(s, d, "embeddings") + s"|cells=$k"
+    val (idx, built) = graft.TempDirs.buildOnce("graft_ivfindex_",
+      graft.TempDirs.sessionKey(s, d), "served_ivf_scaled", fp)(p =>
+      writeIvfIndexModel(p.toString, ivfModel(s, d, lloydIters = 1,
+        seeding = "first", objectiveEps = 0.0, cells = k)))
+    if (built) scaledServedBuilds.incrementAndGet()
     knnFromIvfIndex(
       embeddings(s, d).filter(col("vec_id") < 30)
         .select(col("vec_id"), col("embedding")),
@@ -1200,6 +1279,7 @@ object Similarity {
     "q_knn_ivf" -> (knnIvf _),
     "q_knn_ivf_indexed" -> (knnIvfIndexed _),
     "q_knn_ivf_served" -> (knnIvfServed _),
+    "q_knn_ivf_scaled_served" -> (knnIvfScaledServed _),
     "q_cluster_profile" -> (clusterProfile _),
     "q_knn_pq" -> (knnPq _),
     "q_knn_ivfpq" -> (knnIvfPq _),
@@ -1210,14 +1290,15 @@ object Similarity {
     "q_semantic_dedup_lsh" -> (semanticDedupLsh _)
   )
 
-  /** The IVF training replay (oracle-pinned seeds `vec_id < 16`, one
-    * exact-integer Lloyd step, q6-cosine rescoring) up through the
-    * per-vector assignment — shared verbatim by the `q_knn_ivf` family
-    * and `q_cluster_profile` so the faces cannot drift on what the
-    * trained quantizer IS. */
-  private val ivfTrainCtes =
+  /** The IVF training replay (seed predicate parametrized — the catalog
+    * default pins `vec_id < 16`, the scaled face computes k = ⌈√N⌉ in
+    * SQL; one exact-integer Lloyd step, q6-cosine rescoring) up through
+    * the per-vector assignment — shared verbatim by the `q_knn_ivf`
+    * family and `q_cluster_profile` so the faces cannot drift on what
+    * the trained quantizer IS. */
+  private def ivfTrainCtesWith(seedPred: String) =
     s"""seeds AS (
-        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE $seedPred),
         |s0 AS (
         |  SELECT e.vec_id, c.cent_id,
         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1244,8 +1325,19 @@ object Similarity {
         |assigned AS (
         |  SELECT vec_id AS cid, cent_id AS cell FROM scored WHERE crk = 1)""".stripMargin
 
-  private val ivfOracleSql =
-    s"""WITH $ivfTrainCtes,
+  /** The catalog-default train CTEs (16 pinned cells) — shared by the
+    * `q_knn_ivf` family and `q_cluster_profile`. */
+  private val ivfTrainCtes = ivfTrainCtesWith("vec_id < 16")
+
+  /** The √N-scaled seed predicate of `q_knn_ivf_scaled_served`,
+    * replayed by DuckDB as the same scalar subquery the engine's
+    * [[scaledCellCount]] prelude computes (IEEE sqrt/ceil on both
+    * sides — exact at any realistic N). */
+  private val scaledSeedPred = "vec_id < (SELECT GREATEST(16, " +
+    "CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM embeddings)"
+
+  private def ivfOracleSqlWith(trainCtes: String) =
+    s"""WITH $trainCtes,
         |qprobes AS (
         |  SELECT vec_id AS qid, cent_id AS cell FROM scored
         |  WHERE vec_id < 30 AND crk <= 2),
@@ -1260,6 +1352,8 @@ object Similarity {
         |    JOIN embeddings ce ON ce.vec_id = a.cid)
         |SELECT qid, cid, CAST(rn AS BIGINT) AS rn, sim
         |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  private val ivfOracleSql = ivfOracleSqlWith(ivfTrainCtes)
 
   val oracle: Map[String, String] = Map(
     "q_embed_quantize" ->
@@ -1416,6 +1510,11 @@ object Similarity {
     // storage the engine served from
     "q_knn_ivf_indexed" -> ivfOracleSql,
     "q_knn_ivf_served" -> ivfOracleSql,
+    // same training replay with the √N-scaled seed predicate — the
+    // persisted hop and the cell-count dial must both be invisible in
+    // what the trained quantizer IS at a given k
+    "q_knn_ivf_scaled_served" -> ivfOracleSqlWith(
+      ivfTrainCtesWith(scaledSeedPred)),
 
     // shares ivfTrainCtes verbatim with the q_knn_ivf family, so the
     // profile and the serving faces describe the SAME trained quantizer

@@ -32,12 +32,16 @@ class PlanHygieneSpec extends AnyFunSuite {
       Set("q_source_binary", "q_partitioned_sink", "q_dedup_minhash",
         "q_dedup_ngram", "q_dedup_clusters", "q_dedup_incremental",
         "q_knn_ivf", "q_knn_ivf_indexed", "q_knn_ivf_served",
+        // scaled IVF: eager buildOnce + probed-cell collect at plan
+        // time; its query×centroid broadcast scoring cross is the same
+        // intended shape q_knn_ivf whitelists (≤ ⌈√N⌉ broadcast rows)
+        "q_knn_ivf_scaled_served",
         "q_bm25_indexed", "q_bm25_served",
         "q_bm25_batch_indexed", "q_bm25_batch_served", "q_phrase_indexed",
-        "q_phrase_served",
+        "q_phrase_served", "q_bm25_batch_shard_served",
         "q_span_removal_served", "q_span_dedup_served",
         "q_span_removal_shard_served", "q_span_dedup_shard_served",
-        "q_dedup_incremental_served",
+        "q_dedup_incremental_served", "q_dedup_incremental_shard_served",
         "q_winnow_contamination_indexed", "q_winnow_contamination_served",
         "q_bucketed_join").contains(name)
 

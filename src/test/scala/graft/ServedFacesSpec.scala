@@ -38,6 +38,15 @@ class ServedFacesSpec extends SparkFunSuite {
     assert(first === viaIndexed)
     assert(second === viaIndexed)
     assert(first.nonEmpty)
+    // the fixed-panel face serves the SAME artifact (no rebuild) and
+    // returns exactly the full face's rows restricted to the panel —
+    // per-qid results are independent of the panel's other members
+    val shard = rows(Retrieval.bm25BatchShardServed(spark, sf))
+    assert(Retrieval.servedBuilds.get() === b0 + 1, "shard face rebuilt")
+    def qidOf(r: String) = r.drop(1).takeWhile(_ != ',').toLong
+    assert(shard === first.filter(qidOf(_) < Retrieval.BatchShardPanelMax),
+      "panel rows must equal the full-probe rows restricted to the panel")
+    assert(shard.nonEmpty)
   }
 
   test("bm25_batch_served: a missing marker (crashed build) forces a rebuild") {
@@ -111,6 +120,17 @@ class ServedFacesSpec extends SparkFunSuite {
     assert(Dedup.sigServedBuilds.get() === b0 + 1, "warm call rebuilt")
     assert(first === viaIndexed)
     assert(first.nonEmpty)
+    // the fixed-batch face serves the SAME artifact (no rebuild) and
+    // returns exactly the full face's rows restricted to the pinned
+    // batch — per-delta-doc results are independent and the base side
+    // (the standing index) is untouched by the batch predicate
+    val shard = rows(Dedup.dedupIncrementalShardServed(spark, sf))
+    assert(Dedup.sigServedBuilds.get() === b0 + 1, "shard face rebuilt")
+    def docOf(r: String) = r.drop(1).takeWhile(_ != ',').toLong
+    assert(shard === first.filter(docOf(_) < Dedup.IncShardDeltaMax),
+      "batch rows must equal the full-probe rows restricted to the batch")
+    assert(shard.nonEmpty && shard.size < first.size,
+      "the pinned batch must be a strict subset of the sf-proportional delta")
     // band keys are a function of the geometry: a retune must REBUILD
     // here — the library primitive (dedupIncrementalFromIndex) fails
     // fast on the _lsh_geometry stamp for the same mismatch
@@ -160,5 +180,31 @@ class ServedFacesSpec extends SparkFunSuite {
     // back on defaults the fingerprint differs from the retuned build
     rows(Similarity.knnIvfServed(spark, sf))
     assert(Similarity.servedBuilds.get() === b0 + 3)
+  }
+
+  test("knn_ivf_scaled_served: builds once at k=ceil(sqrt(N)); equals the conf'd in-query path") {
+    reset("graft_ivfindex_", "served_ivf_scaled")
+    val b0 = Similarity.scaledServedBuilds.get()
+    val first = rows(Similarity.knnIvfScaledServed(spark, sf))
+    assert(Similarity.scaledServedBuilds.get() === b0 + 1, "cold call must build")
+    rows(Similarity.knnIvfScaledServed(spark, sf))
+    assert(Similarity.scaledServedBuilds.get() === b0 + 1, "warm call rebuilt")
+    assert(first.nonEmpty)
+    // the trained universe is k = ceil(sqrt(500)) = 23 seed cells, not
+    // the oracle-pinned 16 — read the centroid sidecar back (<= 23:
+    // a cell that captures no member in the Lloyd step drops out)
+    val root = TempDirs.scratchFor("graft_ivfindex_",
+      TempDirs.sessionKey(spark, sf))
+    val cents = spark.read.parquet(
+      root.resolve("served_ivf_scaled").toString + "/_ivf_centroids")
+    val nCells = cents.count()
+    assert(nCells > 16 && nCells <= 23,
+      s"scaled quantizer trained $nCells cells — expected ceil(sqrt(500))=23ish")
+    // the persisted hop must be invisible: the same k through the
+    // spark.graft.ivf.cells conf on the IN-QUERY path is bit-equal
+    try {
+      spark.conf.set("spark.graft.ivf.cells", "23")
+      assert(first === rows(Similarity.knnIvf(spark, sf)))
+    } finally spark.conf.unset("spark.graft.ivf.cells")
   }
 }

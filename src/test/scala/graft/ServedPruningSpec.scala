@@ -73,6 +73,9 @@ class ServedPruningSpec extends SparkFunSuite {
 
   test("bm25_batch_served: postings read pruned to the query terms' buckets") {
     assertPruned(Retrieval.bm25BatchServed(spark, sf), "served_train", "bucket")
+    // the fixed-panel face carries the same filter over a SMALLER probe
+    // — the production case the pruning exists for
+    assertPruned(Retrieval.bm25BatchShardServed(spark, sf), "served_train", "bucket")
   }
 
   test("winnow_contamination_served: fingerprint read pruned to the eval side's buckets") {
@@ -82,6 +85,22 @@ class ServedPruningSpec extends SparkFunSuite {
 
   test("knn_ivf_served: posting-list read pruned to the probed cells") {
     assertPruned(Similarity.knnIvfServed(spark, sf), "served_ivf", "cell")
+  }
+
+  test("knn_ivf_scaled_served: pruned to probed cells; INSET bounded by the batch") {
+    val scans = assertPruned(
+      Similarity.knnIvfScaledServed(spark, sf), "served_ivf_scaled", "cell")
+    // the probed set is at most 30 queries x nprobe 2 literals however
+    // large the cell universe grows — the bound that makes the probed/
+    // universe fraction FALL with corpus size
+    scans.foreach { f =>
+      val inset = f.partitionFilters.collectFirst {
+        case org.apache.spark.sql.catalyst.expressions.InSet(_, hset) => hset.size
+        case org.apache.spark.sql.catalyst.expressions.In(_, list) => list.size
+      }
+      assert(inset.exists(_ <= 60),
+        s"probed cell set must stay <= 60 literals: ${f.partitionFilters}")
+    }
   }
 
   test("span served faces: gram-index read pruned to the probe's buckets") {
