@@ -106,25 +106,32 @@ object GraftConf {
 
   /** Default for `spark.graft.shuffle.targetBytesPerPartition`: the
     * COMPRESSED parquet input bytes whose derived shuffle state one
-    * partition should carry. 96 KiB reads small because the dial is in
-    * INPUT bytes, not shuffle bytes: the heavy document families
-    * explode text to token rows (~10× decompression × ~10× row/key
-    * overhead), so 96 KiB of parquet is tens of MB in flight — the
-    * round-16 hot-fixture adjudication measured exactly this (a ~13 MB
-    * ×10 corpus spill-bound at 32 shuffle partitions, 1.7× faster and
-    * 6× tighter at 128 ≈ 13 MB / 96 KiB; NOTES.md round-16 section). */
-  val DefaultShuffleTargetBytes: Long = 96L * 1024
+    * partition should carry (4 MiB input ≈ tens-to-hundreds of MB in
+    * flight after decompression + token explosion). Deliberately sized
+    * so LOCAL FIXTURES STAY AT THE CPU FLOOR: the round-17 A/B
+    * (NOTES.md, reps=3 medians on the clean ×10 corpus) measured
+    * bytes-proportional over-partitioning at 1.2–2.2× SLOWER across
+    * the mid-size pair families (minhash 54→89 s, winnow_matches
+    * 4.1→9.2 s at 121 vs 32 partitions; AQE coalescing does not
+    * recover the map-side cost), while a TB-scale cluster input still
+    * lands in the thousands-of-partitions regime this rule exists
+    * for. The round-16 hot-fixture spill that motivated sizing is a
+    * SKEW artifact, not a size artifact — the hot and no-hot ×10
+    * corpora differ by 0.2 MiB of input yet want 4× different counts —
+    * so the smoke's hot phase applies [[graft.ScaleSmoke
+    * .HotShufflePartitionsFactor]] on top of this rule instead of
+    * pretending bytes carry that signal. */
+  val DefaultShuffleTargetBytes: Long = 4L * 1024 * 1024
 
   /** Shuffle-partition count sized to the corpus: ⌈inputBytes /
     * targetBytes⌉ clamped to [cpus, cap]. The floor keeps every core
-    * busy on small fixtures (the catalog's oracle scales); the cap
-    * bounds task-scheduling overhead; in between, partitions grow
-    * LINEARLY with data — the sizing a cluster deployment applies by
-    * hand and the fixture-pinned constant (round 16's spill) gets
-    * wrong. With AQE on (the bench/smoke sessions), oversizing is
-    * self-healing — AQE coalesces small shuffles back down — so the
-    * dial only needs to be generous, not exact. ShuffleSizingSpec pins
-    * the clamps, linearity, and the round-16 calibration point. */
+    * busy AND is the measured-best count for fixture-scale corpora
+    * (see [[DefaultShuffleTargetBytes]] — over-partitioning small
+    * corpora costs 1.2–2.2×); the cap bounds task-scheduling overhead;
+    * in between, partitions grow LINEARLY with data — the sizing a
+    * cluster deployment applies by hand. ShuffleSizingSpec pins the
+    * clamps, linearity, and both round-17 calibration points (fixture
+    * → floor, TB-scale → thousands). */
   def sizedShufflePartitions(inputBytes: Long, cpus: Int,
       targetBytes: Long = DefaultShuffleTargetBytes, cap: Int = 4096): Int = {
     require(cpus >= 1, s"cpus must be >= 1, got $cpus")

@@ -255,6 +255,15 @@ object ScaleSmoke {
       (for (b <- bt.get(n); t <- st.get(n); p <- prior.get(n))
         yield t / b > p * 1.5 || t / b < p / 1.5).getOrElse(false)
     }
+    // audit line: the measured-vs-prior pair per query, for every query
+    // that HAS a prior — so a surprising (non-)escalation is a read of
+    // the artifact, not a forensic reconstruction
+    if (prior.nonEmpty)
+      System.err.println("[scale-smoke] ratio-vs-prior: " + heavyQueries.sorted
+        .flatMap { n =>
+          for (b <- bt.get(n); t <- st.get(n); p <- prior.get(n))
+            yield f"$n=${t / b}%.2f/p$p%.2f"
+        }.mkString(" "))
     if (escalate.nonEmpty) {
       System.err.println(s"[scale-smoke] single-rep ratio off >1.5x from prior " +
         s"for ${escalate.mkString(", ")} — re-measuring at reps=3 medians")
@@ -319,24 +328,39 @@ object ScaleSmoke {
     }.sum
   }
 
+  /** Hot-phase multiplier on [[GraftConf.sizedShufflePartitions]]: the
+    * planted 20k-duplicate group grows the guarded families'
+    * post-join/aggregate state ~4× past the per-partition comfort zone
+    * at the floor count — a SKEW property of the phase (input bytes
+    * barely move: 11.3 → 11.5 MiB), so the phase that plants the skew
+    * sizes for it. Adjudication-derived and re-measured round 17 on
+    * the hot fixture (reps=3 medians): hot q_bm25_batch 61.1 s with
+    * 50.8–58.9+ s rep spread at 32 partitions vs 37.5 s TIGHT at ~128
+    * (raw count; AQE initialPartitionNum=121 over 32 reads 42.9 s —
+    * close, but the raw count wins, so the phase sets the raw conf). */
+  private[graft] val HotShufflePartitionsFactor = 4
+
   /** Size `spark.sql.shuffle.partitions` to the corpus about to be
-    * measured ([[GraftConf.sizedShufflePartitions]]): the base fixture
-    * clamps to the CPU floor (unchanged vs prior rounds' pinned count),
-    * the ×10 corpus gets ~10× the partitions — the dial a cluster run
-    * sets per dataset and a fixture-pinned constant gets wrong (the
-    * round-16 hot bm25_batch spill). An explicit
+    * measured ([[GraftConf.sizedShufflePartitions]] × `factor`): at
+    * fixture scale the rule lands on the CPU floor — the round-17 A/B
+    * measured bytes-proportional over-partitioning as a 1.2–2.2×
+    * REGRESSION on the mid-size pair families, so the floor IS the
+    * right fleet count here — while a real cluster corpus lands in
+    * the thousands-of-partitions regime. The hot guard phase passes
+    * [[HotShufflePartitionsFactor]] for its planted skew. An explicit
     * SPARK_GRAFT_SHUFFLE_PARTITIONS wins: targeted experiments pin the
     * count, the unattended smoke sizes it. */
-  private def autoSizePartitions(spark: SparkSession, dir: String): Unit =
+  private def autoSizePartitions(spark: SparkSession, dir: String,
+      factor: Int = 1): Unit =
     if (sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").isEmpty) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
       val bytes = corpusBytes(spark, dir)
       val n = GraftConf.sizedShufflePartitions(bytes, cpus,
         GraftConf.long(spark, "spark.graft.shuffle.targetBytesPerPartition",
-          GraftConf.DefaultShuffleTargetBytes))
+          GraftConf.DefaultShuffleTargetBytes)) * factor
       spark.conf.set("spark.sql.shuffle.partitions", n.toString)
       System.err.println(f"[scale-smoke] sized spark.sql.shuffle.partitions=$n " +
-        f"for $dir (${bytes / 1024.0 / 1024.0}%.1f MiB corpus)")
+        f"for $dir (${bytes / 1024.0 / 1024.0}%.1f MiB corpus, factor $factor)")
     }
 
   /** Parse a flat `{"q_name": ratio, ...}` file (the shape this object
@@ -359,13 +383,46 @@ object ScaleSmoke {
     * guard did — winnow drops the boilerplate fingerprint outright
     * (0 hot-hot pairs), the LSH guard keeps the exact-dup group
     * connected through ~linear star edges. */
+  /** Hot queries whose skew-grown aggregate state SPILLS at the floor
+    * partition count — these measure at [[HotShufflePartitionsFactor]]×
+    * the sized count; everything else measures at the fleet's floor so
+    * the hot-vs-no-hot comparison is apples-to-apples. Adjudication-
+    * derived (r16+r17, reps=3): q_bm25_batch's hot scoring aggregate at
+    * 32 partitions reads 61.1 s with 50.8–132 s spread, 37.5–43 s
+    * TIGHT at ~128; the non-spilling guarded rows at 128 instead pay
+    * the same 1.3–2.5× over-partitioning tax the fleet A/B measured
+    * (winnow hot 10.9 s at 128 vs ~4.3 s at 32 with 0 hot pairs) —
+    * ONE phase-level count cannot measure both, so the sizing is
+    * per-row. */
+  private[graft] val HotSpillProne = Set("q_bm25_batch")
+
+  /** Measure `subset` with per-row partition sizing: floor rows first,
+    * spill-prone rows at the skew factor. Used by both the hot phase's
+    * main pass and its escalation re-measure, so a re-measured row
+    * always re-runs at ITS count. */
+  private def measureHotSized(spark: SparkSession, workDir: String, reps: Int,
+      subset: Seq[(String, (SparkSession, String) => DataFrame)],
+      capture: (String, DataFrame) => Unit = (_, _) => ())
+      : (Seq[(String, Seq[Bench.RepTiming])], Seq[String]) = {
+    val (spill, floor) = subset.partition { case (n, _) => HotSpillProne(n) }
+    val out = Seq.newBuilder[(String, Seq[Bench.RepTiming])]
+    val bad = Seq.newBuilder[String]
+    if (floor.nonEmpty) {
+      autoSizePartitions(spark, workDir)
+      val (d, f) = Bench.measureDetailed(spark, workDir, reps, floor, capture)
+      out ++= d; bad ++= f
+    }
+    if (spill.nonEmpty) {
+      autoSizePartitions(spark, workDir, HotShufflePartitionsFactor)
+      val (d, f) = Bench.measureDetailed(spark, workDir, reps, spill, capture)
+      out ++= d; bad ++= f
+    }
+    (out.result(), bad.result())
+  }
+
   private def hotPhase(spark: SparkSession, workDir: String,
       noHot: Map[String, Double]): Unit = {
     appendHotGroup(spark, workDir)
-    // the hot group grew the corpus — re-derive the partition count so
-    // the hot walls measure the guards, not a partition-sizing artifact
-    // (the round-16 spill adjudication, institutionalized)
-    autoSizePartitions(spark, workDir)
     val qs = SparkEntry.queries.filter { case (n, _) => guardedQueries.contains(n) }
       .toSeq.sortBy(_._1)
     // reps dial for adjudication runs: the round-15 hot-phase bm25
@@ -378,7 +435,7 @@ object ScaleSmoke {
     // capture only stores the frame (it runs inside the timed window);
     // the hot-pair counts run after measurement
     val frames = scala.collection.mutable.Map.empty[String, DataFrame]
-    var (detailed, fails) = Bench.measureDetailed(spark, workDir, reps, qs,
+    var (detailed, fails) = measureHotSized(spark, workDir, reps, qs,
       capture = (n, df) => { frames(n) = df; () })
     // hot-ratio escalation, the fleet pass's contract applied here:
     // SPARK_GRAFT_PRIOR_HOT_RATIOS points at a prior round's
@@ -400,7 +457,7 @@ object ScaleSmoke {
       if (escalate.nonEmpty) {
         System.err.println(s"[scale-smoke] hot ratio off >1.5x from prior " +
           s"for ${escalate.mkString(", ")} — re-measuring at reps=3 medians")
-        val (d3, _) = Bench.measureDetailed(spark, workDir, 3,
+        val (d3, _) = measureHotSized(spark, workDir, 3,
           qs.filter { case (n, _) => escalate.contains(n) })
         val d3m = d3.toMap
         detailed = detailed.map { case (n, rs) => n -> d3m.getOrElse(n, rs) }
