@@ -132,8 +132,14 @@ object GraftConf {
     * cluster deployment applies by hand. ShuffleSizingSpec pins the
     * clamps, linearity, and both round-17 calibration points (fixture
     * → floor, TB-scale → thousands). */
+  /** Upper clamp of [[sizedShufflePartitions]] — bounds task-scheduling
+    * overhead. Exposed so callers that MULTIPLY the sized count (the
+    * smoke's hot-skew factor) can re-clamp against the same bound. */
+  val DefaultShufflePartitionCap: Int = 4096
+
   def sizedShufflePartitions(inputBytes: Long, cpus: Int,
-      targetBytes: Long = DefaultShuffleTargetBytes, cap: Int = 4096): Int = {
+      targetBytes: Long = DefaultShuffleTargetBytes,
+      cap: Int = DefaultShufflePartitionCap): Int = {
     require(cpus >= 1, s"cpus must be >= 1, got $cpus")
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     require(cap >= cpus, s"cap $cap must be >= cpus $cpus")

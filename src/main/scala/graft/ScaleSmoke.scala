@@ -36,14 +36,21 @@ import org.apache.spark.sql.functions._
   * are unaffected.
   *
   * Usage: runMain graft.ScaleSmoke <baseSfDir> <factor> <workDir>
-  *        [hot|buildonly|hotbuildonly]
+  *        [hot|buildonly|hotbuildonly|hotonly]
   * `hot` appends the planted boilerplate group and runs the guard phase;
   * `buildonly` writes the derived fixture and exits — the seam for
   * targeted re-measures (`SPARK_GRAFT_SF_DIR=<workDir> runMain graft.Bench
   * q_x q_y` with reps) without paying the full heavy-query smoke;
   * `hotbuildonly` writes the derived fixture WITH the planted hot group
   * and exits — so guarded-query re-measures (the queries the hot phase
-  * exists for) can reproduce the exact hot fixture too.
+  * exists for) can reproduce the exact hot fixture too;
+  * `hotonly` rebuilds the derived fixture and runs ONLY the guard phase,
+  * taking its no-hot denominators from a PRIOR fleet pass's persisted
+  * `no_hot_sec.json` (SPARK_GRAFT_NO_HOT_FILE, required) — a hot
+  * adjudication becomes a ~10-minute loop instead of a ~30-minute
+  * fleet pass; the output rows carry the denominator file's path as
+  *  provenance (`no_hot_src`), so a cross-regime comparison is a read,
+  * not a guess. HotOnlySpec pins the mode's parsing + provenance.
   *
   * Outlier auto-escalation: the fleet pass is single-rep for breadth,
   * but this box's steal makes lone reps lie (round 14 re-adjudicated
@@ -73,6 +80,11 @@ object ScaleSmoke {
     * `_lsh`/`_ivf` variants exist. */
   val heavyQueries: Seq[String] = Seq(
     "q_dedup_minhash", "q_dedup_minhash_bucketed",
+    // bounded pair report (top-5 per bucket, <=320 rows at any corpus):
+    // its ratio is the candidate pipeline's growth with output volume
+    // and the gate's global sort taken out — the full face's 12.4 vs
+    // bucketed 8.2 split, completed with an output-constant point
+    "q_dedup_minhash_topn",
     "q_dedup_ngram", "q_dedup_ngram_bucketed",
     "q_dedup_containment", "q_dedup_containment_bucketed",
     "q_dedup_clusters", "q_dedup_clusters_collapsed",
@@ -173,12 +185,25 @@ object ScaleSmoke {
     // the full multi-SF smoke instead of buildonly, or complete a smoke
     // that looks done but lacks the guard phase it was run for
     if (args.length > 3) require(
-      Set("hot", "buildonly", "hotbuildonly").contains(args(3)),
-      s"unknown mode '${args(3)}' (supported: hot, buildonly, hotbuildonly)")
+      Set("hot", "buildonly", "hotbuildonly", "hotonly").contains(args(3)),
+      s"unknown mode '${args(3)}' (supported: hot, buildonly, hotbuildonly, hotonly)")
     val hotMode = args.length > 3 && args(3) == "hot"
     val buildOnly = args.length > 3 &&
       (args(3) == "buildonly" || args(3) == "hotbuildonly")
     val buildHot = args.length > 3 && args(3) == "hotbuildonly"
+    val hotOnly = args.length > 3 && args(3) == "hotonly"
+    // hotonly's denominators come from a prior fleet pass — resolve and
+    // validate BEFORE paying the fixture build, so a typo'd path fails
+    // in seconds, not minutes
+    val hotOnlyNoHot: Option[(String, Map[String, Double])] =
+      if (!hotOnly) None
+      else {
+        val path = sys.env.getOrElse("SPARK_GRAFT_NO_HOT_FILE",
+          sys.error("hotonly mode requires SPARK_GRAFT_NO_HOT_FILE — the " +
+            "no_hot_sec.json a prior fleet pass wrote (workDir or the " +
+            "SCALESMOKE_no_hot_latest.json mirror)"))
+        Some((path, loadNoHotFile(path)))
+      }
     require(factor >= 2, "factor must be >= 2")
     // copy i maps the 36-char alphabet into [0x0100 + 36i, 0x0100 + 36i
     // + 35]; factor 14 is the last whose top copy stays below U+0300 —
@@ -214,6 +239,21 @@ object ScaleSmoke {
     buildScaled(spark, baseDir, factor, workDir)
     if (buildHot) appendHotGroup(spark, workDir)
     if (buildOnly) { spark.stop(); return }
+    // per-query shuffle-byte accounting (free: two map updates per
+    // stage) — the NOTES input->shuffle expansion table's source
+    val shuffleStats = ShuffleStats.install(spark.sparkContext)
+    if (hotOnly) {
+      val (srcPath, noHot) = hotOnlyNoHot.get
+      System.err.println(s"[scale-smoke] hotonly: no-hot denominators " +
+        s"from $srcPath (${noHot.size} rows)")
+      // JVM/codegen warmup on the (pre-hot) derived fixture, so the
+      // first single-rep hot row doesn't absorb JIT/classload cost —
+      // the fleet pass's warmup, inherited
+      SparkEntry.queries(guardedQueries.head)(spark, workDir).count()
+      CacheScope.releaseAll(); spark.catalog.clearCache()
+      hotPhase(spark, workDir, noHot, noHotSrc = srcPath)
+      spark.stop(); return
+    }
     val qs = SparkEntry.queries.filter { case (n, _) => heavyQueries.contains(n) }
       .toSeq.sortBy(_._1)
     // JVM/codegen warmup: one throwaway query before the 1x pass, or the
@@ -238,8 +278,10 @@ object ScaleSmoke {
     }
     autoSizePartitions(spark, baseDir)
     val (baseTimes, baseFails) = Bench.measure(spark, baseDir, reps = 1, qs)
+    var baseShuffle = drainShuffle(shuffleStats)
     autoSizePartitions(spark, workDir)
     val (scaledTimes, scaledFails) = Bench.measure(spark, workDir, reps = 1, qs)
+    var scaledShuffle = drainShuffle(shuffleStats)
     var bt = baseTimes.toMap
     var st = scaledTimes.toMap
     val reported = scala.collection.mutable.Map.empty[String, Int]
@@ -270,8 +312,10 @@ object ScaleSmoke {
       val eqs = qs.filter { case (n, _) => escalate.contains(n) }
       autoSizePartitions(spark, baseDir)
       val (b3, _) = Bench.measure(spark, baseDir, reps = 3, eqs)
+      baseShuffle = baseShuffle ++ drainShuffle(shuffleStats)
       autoSizePartitions(spark, workDir)
       val (s3, _) = Bench.measure(spark, workDir, reps = 3, eqs)
+      scaledShuffle = scaledShuffle ++ drainShuffle(shuffleStats)
       // only rows whose BOTH sides re-measured get the reps:3 label — a
       // re-measure that failed (time cap) must not stamp a single-rep
       // number as a 3-rep median, which would defeat the adjudication
@@ -310,10 +354,68 @@ object ScaleSmoke {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("SCALESMOKE_ratios_latest.json"), ratioJson + "\n")
     } catch { case scala.util.control.NonFatal(_) => () }
+    // persist the no-hot scaled-side seconds: the denominators a later
+    // `hotonly` run replays (provenance = this file's path)
+    val noHotJson = heavyQueries.sorted.flatMap { n =>
+      st.get(n).map(v => f""""$n":$v%.2f""")
+    }.mkString("{", ",", "}")
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(workDir, "no_hot_sec.json"), noHotJson + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALESMOKE_no_hot_latest.json"), noHotJson + "\n")
+    } catch { case scala.util.control.NonFatal(_) => () }
+    // input -> shuffle expansion per heavy family, both corpora: the
+    // portable calibration evidence behind the 4 MiB/partition dial (a
+    // deployment re-derives its own target from ITS expansion factors)
+    val shufRows = heavyQueries.sorted.flatMap { n =>
+      def side(m: Map[String, ShuffleStats.Totals], tag: String): Option[String] =
+        m.get(n).map { t =>
+          val in = t.inputBytes.get / 1048576.0
+          val w = t.shuffleWriteBytes.get / 1048576.0
+          val exp = if (t.inputBytes.get > 0)
+            f"${t.shuffleWriteBytes.get.toDouble / t.inputBytes.get}%.3f" else "null"
+          f""""${tag}_input_mb":$in%.1f,"${tag}_shuffle_write_mb":$w%.1f,"${tag}_expansion":$exp"""
+        }
+      (side(baseShuffle, "base"), side(scaledShuffle, "scaled")) match {
+        case (None, None) => None
+        case (b, t) => Some(s"""{"query":"$n",${(b.toSeq ++ t.toSeq).mkString(",")}}""")
+      }
+    }
+    val shufLine = s"""{"phase":"shuffle_profile","rows":[${shufRows.mkString(",")}]}"""
+    println(shufLine)
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(workDir, "shuffle_profile.json"), shufLine + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALESMOKE_shuffle_latest.json"), shufLine + "\n")
+    } catch { case scala.util.control.NonFatal(_) => () }
     if (baseFails.nonEmpty || scaledFails.nonEmpty)
       System.err.println(s"[scale-smoke] failures: base=$baseFails scaled=$scaledFails")
     if (hotMode) hotPhase(spark, workDir, st)
     spark.stop()
+  }
+
+  /** Load + validate a `hotonly` denominator file: the flat
+    * `{"q_name": no_hot_sec}` map a prior fleet pass persisted. Fails
+    * fast — BEFORE the fixture build — when the file is missing,
+    * malformed, or carries none of the guarded queries (the wrong
+    * artifact, e.g. a ratios.json from a different era), because a hot
+    * table silently full of null denominators would defeat the mode's
+    * whole purpose. */
+  private[graft] def loadNoHotFile(path: String): Map[String, Double] = {
+    val m = readRatioFile(path)
+    require(guardedQueries.exists(m.contains),
+      s"no-hot file $path has no guarded-query rows — wrong file?")
+    m
+  }
+
+  /** Drain the listener after a short settle: the bus is asynchronous,
+    * but stage events trail the blocking noop action by milliseconds —
+    * 2 s is generosity, and a straggler merely lands in the next drain. */
+  private def drainShuffle(stats: ShuffleStats): Map[String, ShuffleStats.Totals] = {
+    Thread.sleep(2000)
+    stats.drain()
   }
 
   /** Bytes of the corpus tables the heavy families read (documents +
@@ -351,17 +453,34 @@ object ScaleSmoke {
     * SPARK_GRAFT_SHUFFLE_PARTITIONS wins: targeted experiments pin the
     * count, the unattended smoke sizes it. */
   private def autoSizePartitions(spark: SparkSession, dir: String,
-      factor: Int = 1): Unit =
-    if (sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").isEmpty) {
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-      val bytes = corpusBytes(spark, dir)
-      val n = GraftConf.sizedShufflePartitions(bytes, cpus,
-        GraftConf.long(spark, "spark.graft.shuffle.targetBytesPerPartition",
-          GraftConf.DefaultShuffleTargetBytes)) * factor
-      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-      System.err.println(f"[scale-smoke] sized spark.sql.shuffle.partitions=$n " +
-        f"for $dir (${bytes / 1024.0 / 1024.0}%.1f MiB corpus, factor $factor)")
+      factor: Int = 1): Int =
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") match {
+      case Some(v) => v.toInt // explicit pin: session already built with it
+      case None =>
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+        val bytes = corpusBytes(spark, dir)
+        // the hot-skew factor multiplies the SIZED count, then re-clamps
+        // under the same cap the sizing rule documents — factor x cap
+        // must not punch through the task-overhead bound
+        val n = sizedWithFactor(bytes, cpus,
+          GraftConf.long(spark, "spark.graft.shuffle.targetBytesPerPartition",
+            GraftConf.DefaultShuffleTargetBytes), factor)
+        spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+        System.err.println(f"[scale-smoke] sized spark.sql.shuffle.partitions=$n " +
+          f"for $dir (${bytes / 1024.0 / 1024.0}%.1f MiB corpus, factor $factor)")
+        n
     }
+
+  /** The sized count x the hot-skew factor, RE-CLAMPED under the cap:
+    * the factor exists to size for skew-grown aggregate state, not to
+    * punch through the task-overhead bound (factor x cap partitions on
+    * a TB corpus would be pure scheduling tax). ShuffleSizingSpec pins
+    * the re-clamp. */
+  private[graft] def sizedWithFactor(bytes: Long, cpus: Int,
+      targetBytes: Long, factor: Int): Int =
+    math.min(
+      GraftConf.sizedShufflePartitions(bytes, cpus, targetBytes) * factor,
+      GraftConf.DefaultShufflePartitionCap)
 
   /** Parse a flat `{"q_name": ratio, ...}` file (the shape this object
     * writes) without a JSON dependency — regex over quoted-key:number
@@ -403,25 +522,28 @@ object ScaleSmoke {
   private def measureHotSized(spark: SparkSession, workDir: String, reps: Int,
       subset: Seq[(String, (SparkSession, String) => DataFrame)],
       capture: (String, DataFrame) => Unit = (_, _) => ())
-      : (Seq[(String, Seq[Bench.RepTiming])], Seq[String]) = {
+      : (Seq[(String, Seq[Bench.RepTiming])], Seq[String], Map[String, Int]) = {
     val (spill, floor) = subset.partition { case (n, _) => HotSpillProne(n) }
     val out = Seq.newBuilder[(String, Seq[Bench.RepTiming])]
     val bad = Seq.newBuilder[String]
+    val parts = Map.newBuilder[String, Int]
     if (floor.nonEmpty) {
-      autoSizePartitions(spark, workDir)
+      val n = autoSizePartitions(spark, workDir)
+      floor.foreach { case (q, _) => parts += q -> n }
       val (d, f) = Bench.measureDetailed(spark, workDir, reps, floor, capture)
       out ++= d; bad ++= f
     }
     if (spill.nonEmpty) {
-      autoSizePartitions(spark, workDir, HotShufflePartitionsFactor)
+      val n = autoSizePartitions(spark, workDir, HotShufflePartitionsFactor)
+      spill.foreach { case (q, _) => parts += q -> n }
       val (d, f) = Bench.measureDetailed(spark, workDir, reps, spill, capture)
       out ++= d; bad ++= f
     }
-    (out.result(), bad.result())
+    (out.result(), bad.result(), parts.result())
   }
 
   private def hotPhase(spark: SparkSession, workDir: String,
-      noHot: Map[String, Double]): Unit = {
+      noHot: Map[String, Double], noHotSrc: String = "fleet"): Unit = {
     appendHotGroup(spark, workDir)
     val qs = SparkEntry.queries.filter { case (n, _) => guardedQueries.contains(n) }
       .toSeq.sortBy(_._1)
@@ -435,7 +557,7 @@ object ScaleSmoke {
     // capture only stores the frame (it runs inside the timed window);
     // the hot-pair counts run after measurement
     val frames = scala.collection.mutable.Map.empty[String, DataFrame]
-    var (detailed, fails) = measureHotSized(spark, workDir, reps, qs,
+    var (detailed, fails, partsByQuery) = measureHotSized(spark, workDir, reps, qs,
       capture = (n, df) => { frames(n) = df; () })
     // hot-ratio escalation, the fleet pass's contract applied here:
     // SPARK_GRAFT_PRIOR_HOT_RATIOS points at a prior round's
@@ -457,7 +579,7 @@ object ScaleSmoke {
       if (escalate.nonEmpty) {
         System.err.println(s"[scale-smoke] hot ratio off >1.5x from prior " +
           s"for ${escalate.mkString(", ")} — re-measuring at reps=3 medians")
-        val (d3, _) = measureHotSized(spark, workDir, 3,
+        val (d3, _, _) = measureHotSized(spark, workDir, 3,
           qs.filter { case (n, _) => escalate.contains(n) })
         val d3m = d3.toMap
         detailed = detailed.map { case (n, rs) => n -> d3m.getOrElse(n, rs) }
@@ -492,11 +614,16 @@ object ScaleSmoke {
       f"""{"query":"$n","no_hot_sec":${noHot.get(n).map(v => f"$v%.2f").getOrElse("null")},""" +
         f""""hot_sec":${med.map(r => f"${r.totalSec}%.2f").getOrElse("null")},""" +
         f""""hot_pairs":${counted.get(n).map(_.toString).getOrElse("null")},""" +
+        // the partition count this row MEASURED AT — hot ratios are only
+        // comparable across rounds at the same count (the r17 per-row
+        // sizing change broke that silently; now it's in the row)
+        f""""partitions":${partsByQuery.get(n).map(_.toString).getOrElse("null")},""" +
         f""""reps":${tm.get(n).map(_.length).getOrElse(0)},""" +
         f""""rep_detail":${repDetail.getOrElse("null")}}"""
     }
     println(s"""{"phase":"hot_guard","group_size":$HotGroupSize,""" +
-      s""""reps":$reps,"fails":${fails.size},"rows":[${rows.mkString(",")}]}""")
+      s""""reps":$reps,"no_hot_src":"$noHotSrc",""" +
+      s""""fails":${fails.size},"rows":[${rows.mkString(",")}]}""")
     // persist hot/no-hot ratios so the NEXT hot run can escalate against
     // them (mirrors the fleet pass's ratios.json contract)
     val hotRatioJson = guardedQueries.sorted.flatMap { n =>

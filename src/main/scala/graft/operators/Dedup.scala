@@ -164,6 +164,42 @@ object Dedup {
       .orderBy(col("bucket"))
   }
 
+  /** Bound of the top-N pair-report face: strongest
+    * [[PairTopNPerBucket]] pairs per report bucket — 64 × 5 = ≤ 320
+    * output rows at ANY corpus size. */
+  private[graft] val PairTopNPerBucket = 5
+
+  /** BOUNDED pair-report face — the audit-sampling shape of the pair
+    * family: the [[PairTopNPerBucket]] strongest pairs per report
+    * bucket (`d1 % 64`, ranked matches DESC with (d1, d2) ties). The
+    * full `q_dedup_minhash` report's output GROWS with the true pair
+    * structure (×10 data ⇒ ~×9.4 pairs ⇒ its ratio conflates engine
+    * cost with output volume, and the gate's global ORDER BY makes
+    * that worse); this face's output is CONSTANT (≤ 320 rows), so its
+    * ×10 ratio isolates the candidate-pipeline growth — the
+    * pair-report twin of the fixed-probe `_shard_served` serve faces.
+    * Spelled as the declarative row_number window: Spark's
+    * InferWindowGroupLimit plants a PARTIAL per-group limit before the
+    * bucket exchange, so each map task forwards ≤ N rows per bucket —
+    * no full-report shuffle, no full-report write, the top-k plan you
+    * want at 100×. Same sig→band→estimate pipeline as the other
+    * minhash faces; the oracle replays the ranking as a window over
+    * the shared CTEs. */
+  def dedupMinhashTopN(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("matches").desc, col("d1"), col("d2"))
+    minhashPairs(s, d)
+      .select(col("d1"), col("d2"), col("matches").cast("long").as("matches"),
+        (col("matches") / lshGeometry(s).width.toDouble).as("est_jaccard"))
+      .withColumn("bucket", pmod(col("d1"), lit(PairBuckets.toLong)).cast("int"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PairTopNPerBucket)
+      .select(col("bucket"), col("rn").cast("long").as("rn"),
+        col("d1"), col("d2"), col("matches"), col("est_jaccard"))
+      .orderBy(col("bucket"), col("rn"))
+  }
+
   /** The [[dedupNgram]] pair set written via [[writePairReport]] — the
     * production shape of the ngram report (same gate-imposed global-sort
     * escape as the minhash report; the containment twin is
@@ -1845,6 +1881,7 @@ object Dedup {
     "q_dedup_normalized" -> (dedupNormalized _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_minhash_bucketed" -> (dedupMinhashBucketed _),
+    "q_dedup_minhash_topn" -> (dedupMinhashTopN _),
     "q_dedup_ngram_bucketed" -> (dedupNgramBucketed _),
     "q_dedup_containment_bucketed" -> (dedupContainmentBucketed _),
     "q_dedup_clusters" -> (dedupClusters _),
@@ -2103,7 +2140,7 @@ object Dedup {
     // per-shard serving: the scan SQL verbatim with ONE output-side
     // shard predicate — the gram-count CTEs stay corpus-wide, which is
     // exactly the contract (shard rows judged against corpus counts)
-    "q_span_dedup_shard_served" -> spanDedupOracleSql.replace(
+    "q_span_dedup_shard_served" -> OracleSql.mustReplace(spanDedupOracleSql,
       "ORDER BY base.doc_id",
       "WHERE base.doc_id % 10 = 0 ORDER BY base.doc_id"),
 
@@ -2117,7 +2154,7 @@ object Dedup {
     "q_span_removal_indexed" -> spanRemovalOracleSql,
     "q_span_removal_served" -> spanRemovalOracleSql,
     // per-shard serving — see q_span_dedup_shard_served's comment
-    "q_span_removal_shard_served" -> spanRemovalOracleSql.replace(
+    "q_span_removal_shard_served" -> OracleSql.mustReplace(spanRemovalOracleSql,
       "ORDER BY t.doc_id",
       "WHERE t.doc_id % 10 = 0 ORDER BY t.doc_id"),
 
@@ -2158,6 +2195,21 @@ object Dedup {
         |FROM est WHERE m >= 6
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    // bounded face: the same pair set ranked per bucket, top-5 kept —
+    // output constant (<= 320 rows) at any corpus, so this oracle's
+    // global ORDER BY costs nothing while the ranking window pins the
+    // exact pair identities the face selected
+    "q_dedup_minhash_topn" ->
+      s"""WITH $minhashEstCtes,
+        |ranked AS (
+        |  SELECT CAST(d1 % 64 AS INT) AS bucket, d1, d2,
+        |    CAST(m AS BIGINT) AS matches, m / 8.0 AS est_jaccard,
+        |    row_number() OVER (PARTITION BY d1 % 64
+        |      ORDER BY m DESC, d1, d2) AS rn
+        |  FROM est WHERE m >= 6)
+        |SELECT bucket, CAST(rn AS BIGINT) AS rn, d1, d2, matches, est_jaccard
+        |FROM ranked WHERE rn <= 5 ORDER BY bucket, rn""".stripMargin,
+
     // same sig/band pipeline; base = doc_id%10<8, delta = the rest; the
     // oracle's DISTINCT equals the engine's minimal-band exactly-once trick
     "q_dedup_incremental" -> incrementalOracleSql,
@@ -2169,12 +2221,16 @@ object Dedup {
     // fixed-batch serving: the scan SQL verbatim with ONE batch
     // predicate on the delta side (candidate CTE and the reported doc
     // set) — the base side stays the full standing split, which is
-    // exactly the contract (pinned batch judged against the corpus)
-    "q_dedup_incremental_shard_served" -> incrementalOracleSql
-      .replace("WHERE x.doc_id % 10 < 8 AND y.doc_id % 10 >= 8)",
-        "WHERE x.doc_id % 10 < 8 AND y.doc_id % 10 >= 8 AND y.doc_id < 250)")
-      .replace("FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d",
-        "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8 AND doc_id < 250) d"),
+    // exactly the contract (pinned batch judged against the corpus).
+    // Derived via OracleSql.mustReplace with IncShardDeltaMax
+    // interpolated: a base-SQL reformat or a constant change throws at
+    // object init instead of silently diverging engine from oracle.
+    "q_dedup_incremental_shard_served" -> OracleSql.mustReplace(
+      OracleSql.mustReplace(incrementalOracleSql,
+        "WHERE x.doc_id % 10 < 8 AND y.doc_id % 10 >= 8)",
+        s"WHERE x.doc_id % 10 < 8 AND y.doc_id % 10 >= 8 AND y.doc_id < $IncShardDeltaMax)"),
+      "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d",
+      s"FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8 AND doc_id < $IncShardDeltaMax) d"),
 
     // same sig/band/estimate pipeline as q_dedup_minhash, then connected
     // components as a recursive reachability CTE (min reachable id = the

@@ -690,10 +690,14 @@ object Retrieval {
     // fixed-panel serving: the scan SQL verbatim with ONE panel
     // predicate in the qterms CTE — train-side stats/df CTEs are
     // untouched (df per token and (N, A) don't depend on the panel),
-    // so this is the batch SQL a 5-query pinned panel would run
-    "q_bm25_batch_shard_served" -> bm25BatchOracleSql.replace(
+    // so this is the batch SQL a 5-query pinned panel would run.
+    // Derived via OracleSql.mustReplace with the panel constant
+    // interpolated: a base-SQL reformat or a constant change can't
+    // silently diverge engine from oracle — the no-op replace throws
+    // at object init (any spec touching this map).
+    "q_bm25_batch_shard_served" -> OracleSql.mustReplace(bm25BatchOracleSql,
       "FROM docs WHERE doc_id % 97 = 0)",
-      "FROM docs WHERE doc_id % 97 = 0 AND doc_id < 485)"),
+      s"FROM docs WHERE doc_id % 97 = 0 AND doc_id < $BatchShardPanelMax)"),
     "q_phrase_search" -> phraseOracleSql,
     // the indexed/served faces replay the scan-side SQL: same semantics
     // — the index is a layout decision the oracle must not see

@@ -44,6 +44,32 @@ class PairReportSpec extends SparkFunSuite {
     } finally CacheScope.releaseAll()
   }
 
+  test("topN face: exactly the full face's top-5 per bucket, output bounded") {
+    try {
+      val full = Dedup.dedupMinhash(spark, sf01).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+          r.getAs[Long]("matches"), r.getAs[Double]("est_jaccard")))
+      CacheScope.releaseAll()
+      assert(full.nonEmpty, "fixture yields no pairs — subset proof vacuous")
+      // reference ranking, computed independently of the engine's window:
+      // per bucket, matches DESC then (d1, d2) ASC, top 5
+      val expect = full.groupBy { case (d1, _, _, _) => (d1 % 64).toInt }
+        .toSeq.flatMap { case (b, rows) =>
+          rows.sortBy { case (d1, d2, m, _) => (-m, d1, d2) }.take(5)
+            .zipWithIndex.map { case ((d1, d2, m, e), i) =>
+              (b, (i + 1).toLong, d1, d2, m, e) }.toSeq
+        }.toSet
+      val got = Dedup.dedupMinhashTopN(spark, sf01).collect()
+        .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("rn"),
+          r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+          r.getAs[Long]("matches"), r.getAs[Double]("est_jaccard"))).toSet
+      assert(got === expect, "topN face diverged from the full face's ranking")
+      // the boundedness that makes the face's x10 ratio output-free
+      assert(got.size <= 64 * Dedup.PairTopNPerBucket,
+        s"output ${got.size} exceeds the 64 x 5 bound")
+    } finally CacheScope.releaseAll()
+  }
+
   test("ngram bucketed report: content-equal to ordered face, bucketed by d1") {
     val path = TempDirs.scratch("graft_ngramrep_spec_").resolve("pairs").toString
     try {

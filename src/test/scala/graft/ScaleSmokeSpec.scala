@@ -114,6 +114,31 @@ class ScaleSmokeSpec extends SparkFunSuite {
       "the error must list the supported modes (incl. hotbuildonly)")
   }
 
+  test("hotonly is an accepted mode and its denominator file validates by content") {
+    // mode parsing: hotonly present in the supported set (the typo test
+    // below asserts the message lists modes; this asserts acceptance —
+    // it then fails fast on the MISSING env, not on the mode name)
+    val e = intercept[RuntimeException] {
+      ScaleSmoke.main(Array("/nonexistent", "2", "/nonexistent_out", "hotonly"))
+    }
+    assert(e.getMessage.contains("SPARK_GRAFT_NO_HOT_FILE"),
+      s"hotonly without a denominator file must name the env var, got: ${e.getMessage}")
+    // loadNoHotFile: a real fleet artifact passes, a wrong artifact
+    // (parseable numbers, no guarded queries) fails by name
+    val dir = TempDirs.scratch("graft_smokespec_nohot_")
+    val good = dir.resolve("no_hot_sec.json")
+    java.nio.file.Files.writeString(good,
+      """{"q_bm25_batch":16.80,"q_dedup_minhash":4.20}""" + "\n")
+    assert(ScaleSmoke.loadNoHotFile(good.toString) ===
+      Map("q_bm25_batch" -> 16.8, "q_dedup_minhash" -> 4.2))
+    val wrong = dir.resolve("ratios_from_another_era.json")
+    java.nio.file.Files.writeString(wrong, """{"q_something_else":1.00}""")
+    val bad = intercept[IllegalArgumentException] {
+      ScaleSmoke.loadNoHotFile(wrong.toString)
+    }
+    assert(bad.getMessage.contains("no guarded-query rows"))
+  }
+
   test("readRatioFile round-trips the ratio map this object writes") {
     val dir = TempDirs.scratch("graft_smokespec_ratios_")
     val p = dir.resolve("ratios.json")

@@ -26,9 +26,22 @@ class ShuffleSizingSpec extends AnyFunSuite {
     // the round-16/17 hot bm25_batch adjudication: ~128 partitions read
     // 37.5-53.4 s tight where 32 read 45.8-132 s spill-bound — the
     // phase-level skew factor (x4) over the floor reproduces it
-    val hot = GraftConf.sizedShufflePartitions(12L * 1024 * 1024, 32) *
-      ScaleSmoke.HotShufflePartitionsFactor
+    val hot = ScaleSmoke.sizedWithFactor(12L * 1024 * 1024, 32, target,
+      ScaleSmoke.HotShufflePartitionsFactor)
     assert(hot === 128, s"hot-phase count drifted to $hot")
+  }
+
+  test("the hot-skew factor cannot punch through the partition cap") {
+    // factor x cap on a TB corpus would be pure scheduling tax — the
+    // smoke re-clamps AFTER multiplying (round-17 advisor finding)
+    assert(ScaleSmoke.sizedWithFactor(1L << 50, 32, target,
+      ScaleSmoke.HotShufflePartitionsFactor)
+      === GraftConf.DefaultShufflePartitionCap)
+    // and the factor is a no-op above cap/factor but below cap: clamped
+    val nearCap = ScaleSmoke.sizedWithFactor(
+      2000L * target, 32, target, ScaleSmoke.HotShufflePartitionsFactor)
+    assert(nearCap === GraftConf.DefaultShufflePartitionCap,
+      s"2000-partition corpus x4 must clamp to the cap, got $nearCap")
   }
 
   test("cluster-scale inputs grow linearly between the clamps") {
