@@ -1050,7 +1050,20 @@ object Similarity {
     * (ServedPruningSpec asserts the bound, NOTES the measured table).
     * k is a function of N, hence of the embeddings files already in
     * the fingerprint; it rides the marker anyway so a human reading
-    * the marker sees the trained shape. */
+    * the marker sees the trained shape.
+    *
+    * QUALITY at the pinned nprobe=2 (RecallProbe round-18 sweep,
+    * recall@10 vs brute ground truth on this face's own 30-query
+    * batch): k=⌈√N⌉ reads 0.930 at sf0.1 (45 cells) and 0.953 at ×10
+    * (142 cells) — ABOVE the 16-cell quantizer even at its nprobe=8
+    * near-full scan (0.897/0.920) — and recall RISES with N while the
+    * probed fraction FALLS (0.80 → 0.37): finer cells make each
+    * query's 2 nearest cells a tighter true neighborhood, which is the
+    * FAISS √N sizing rationale measured. Deployment guidance: keep
+    * nprobe=2 as k scales with √N; raising nprobe buys ≤ 2 recall
+    * points here (0.953 → 0.973 at nprobe=8) for ~4× the probe I/O —
+    * spend cells, not probes. NOTES.md holds the full
+    * {16, √N} × {nprobe 2/4/8} × {sf0.1, ×10} table. */
   def knnIvfScaledServed(s: SparkSession, d: String): DataFrame = {
     // k is memoized per (sessionKey, embeddings-files fingerprint): the
     // corpus count is a full-column-pruned scan, and paying it on every
