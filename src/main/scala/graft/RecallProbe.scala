@@ -24,7 +24,7 @@ object RecallProbe {
     * pinned 30-query batch — [[Similarity.knnBrute]]'s kernel with the
     * batch and k parameterized (that face pins qid < 20, k = 5 for its
     * oracle; the sweep needs the serving batch at k = 10). */
-  private def bruteTopK(spark: SparkSession, dir: String, k: Int): Set[(Long, Long)] = {
+  private[graft] def bruteTopK(spark: SparkSession, dir: String, k: Int): Set[(Long, Long)] = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(spark)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")

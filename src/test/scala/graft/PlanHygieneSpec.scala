@@ -30,6 +30,9 @@ class PlanHygieneSpec extends AnyFunSuite {
   private def skip(name: String): Boolean =
     name.startsWith("q_stream") || name.startsWith("q_sink") ||
       Set("q_source_binary", "q_partitioned_sink", "q_dedup_minhash",
+        // same eager signature cache as q_dedup_minhash; its own
+        // dedicated plan test below pins the WindowGroupLimit shape
+        "q_dedup_minhash_topn",
         "q_dedup_ngram", "q_dedup_clusters", "q_dedup_incremental",
         "q_knn_ivf", "q_knn_ivf_indexed", "q_knn_ivf_served",
         // scaled IVF: eager buildOnce + probed-cell collect at plan
@@ -57,6 +60,22 @@ class PlanHygieneSpec extends AnyFunSuite {
       case other => other.children
     }
     self ++ kids.flatMap(offenders)
+  }
+
+  test("topN pair face plans a partial per-group limit before the bucket exchange") {
+    // the face's 100x claim: each map task forwards <= 5 rows per bucket
+    // BEFORE the shuffle (Spark's InferWindowGroupLimit), so the exchange
+    // never carries the full pair report. Measured x10: 16.8 MiB shuffle
+    // write vs the bucketed face's 282 MiB — this pins the plan shape
+    // that buys it. Both a Partial and a Final WindowGroupLimit must
+    // plan, Partial below the exchange.
+    val df = graft.operators.Dedup.dedupMinhashTopN(spark, SparkSpecBase.sf)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      val partials = "WindowGroupLimit".r.findAllIn(plan).size
+      assert(plan.contains("Partial") && plan.contains("Final") && partials >= 2,
+        s"expected Partial+Final WindowGroupLimit pair, got:\n${plan.take(4000)}")
+    } finally CacheScope.releaseAll()
   }
 
   test("AQE splits a skewed sort-merge join partition at runtime") {
