@@ -49,8 +49,10 @@ import org.apache.spark.sql.functions._
   * `no_hot_sec.json` (SPARK_GRAFT_NO_HOT_FILE, required) — a hot
   * adjudication becomes a ~10-minute loop instead of a ~30-minute
   * fleet pass; the output rows carry the denominator file's path as
-  *  provenance (`no_hot_src`), so a cross-regime comparison is a read,
-  * not a guess. HotOnlySpec pins the mode's parsing + provenance.
+  * provenance (`no_hot_src`), so a cross-regime comparison is a read,
+  * not a guess, and the standing hot prior is left untouched unless
+  * SPARK_GRAFT_UPDATE_HOT_PRIORS=1 (an adjudication loop must not move
+  * the baseline the next fleet run escalates against).
   *
   * Outlier auto-escalation: the fleet pass is single-rep for breadth,
   * but this box's steal makes lone reps lie (round 14 re-adjudicated
@@ -251,7 +253,8 @@ object ScaleSmoke {
       // the fleet pass's warmup, inherited
       SparkEntry.queries(guardedQueries.head)(spark, workDir).count()
       CacheScope.releaseAll(); spark.catalog.clearCache()
-      hotPhase(spark, workDir, noHot, noHotSrc = srcPath)
+      hotPhase(spark, workDir, noHot, noHotSrc = srcPath,
+        mirrorPriors = sys.env.get("SPARK_GRAFT_UPDATE_HOT_PRIORS").contains("1"))
       spark.stop(); return
     }
     val qs = SparkEntry.queries.filter { case (n, _) => heavyQueries.contains(n) }
@@ -542,8 +545,17 @@ object ScaleSmoke {
     (out.result(), bad.result(), parts.result())
   }
 
+  /** `mirrorPriors`: whether this phase's hot/no-hot ratios update the
+    * STANDING escalation prior (`SCALESMOKE_hot_ratios_latest.json`).
+    * True for the fleet-driven phase — the per-round measurement of
+    * record. False for `hotonly`: an adjudication/experiment loop must
+    * not move the baseline the next fleet run escalates against (its
+    * ratios still land in `workDir/hot_ratios.json` for the reader).
+    * Set SPARK_GRAFT_UPDATE_HOT_PRIORS=1 to promote a hotonly run's
+    * ratios deliberately. */
   private def hotPhase(spark: SparkSession, workDir: String,
-      noHot: Map[String, Double], noHotSrc: String = "fleet"): Unit = {
+      noHot: Map[String, Double], noHotSrc: String = "fleet",
+      mirrorPriors: Boolean = true): Unit = {
     appendHotGroup(spark, workDir)
     val qs = SparkEntry.queries.filter { case (n, _) => guardedQueries.contains(n) }
       .toSeq.sortBy(_._1)
@@ -633,9 +645,14 @@ object ScaleSmoke {
     try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(workDir, "hot_ratios.json"), hotRatioJson + "\n")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALESMOKE_hot_ratios_latest.json"),
-        hotRatioJson + "\n")
+      if (mirrorPriors)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("SCALESMOKE_hot_ratios_latest.json"),
+          hotRatioJson + "\n")
+      else
+        System.err.println("[scale-smoke] hotonly: standing hot prior NOT " +
+          "updated (ratios in workDir/hot_ratios.json; set " +
+          "SPARK_GRAFT_UPDATE_HOT_PRIORS=1 to promote)")
     } catch { case scala.util.control.NonFatal(_) => () }
     if (fails.nonEmpty)
       System.err.println(s"[scale-smoke] hot-phase failures: $fails")
