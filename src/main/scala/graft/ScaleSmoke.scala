@@ -54,6 +54,12 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_UPDATE_HOT_PRIORS=1 (an adjudication loop must not move
   * the baseline the next fleet run escalates against).
   *
+  * SPARK_GRAFT_SMOKE_ONLY=q_a,q_b subsets the fleet to named heavy
+  * queries (targeted ratio/expansion work at a second factor without
+  * the full fleet); a subset run keeps its artifacts in workDir but
+  * never updates the standing `SCALESMOKE_*_latest` mirrors — partial
+  * maps must not become the next fleet run's escalation baseline.
+  *
   * Outlier auto-escalation: the fleet pass is single-rep for breadth,
   * but this box's steal makes lone reps lie (round 14 re-adjudicated
   * three starred rows by hand). Set SPARK_GRAFT_PRIOR_RATIOS to the
@@ -86,7 +92,7 @@ object ScaleSmoke {
     // its ratio is the candidate pipeline's growth with output volume
     // and the gate's global sort taken out — the full face's 12.4 vs
     // bucketed 8.2 split, completed with an output-constant point
-    "q_dedup_minhash_topn",
+    "q_dedup_minhash_topn", "q_dedup_ngram_topn", "q_dedup_containment_topn",
     "q_dedup_ngram", "q_dedup_ngram_bucketed",
     "q_dedup_containment", "q_dedup_containment_bucketed",
     "q_dedup_clusters", "q_dedup_clusters_collapsed",
@@ -257,7 +263,19 @@ object ScaleSmoke {
         mirrorPriors = sys.env.get("SPARK_GRAFT_UPDATE_HOT_PRIORS").contains("1"))
       spark.stop(); return
     }
-    val qs = SparkEntry.queries.filter { case (n, _) => heavyQueries.contains(n) }
+    // SPARK_GRAFT_SMOKE_ONLY=q_a,q_b subsets the fleet to named heavy
+    // queries — the targeted-ratio seam (e.g. re-measuring the byte
+    // movers at a second factor for the expansion trend) without paying
+    // the full fleet. Unknown names fail fast; unset = whole fleet.
+    val onlyEnv = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    onlyEnv.foreach { names =>
+      val unknown = names.diff(heavyQueries.toSet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SMOKE_ONLY names not in heavyQueries: ${unknown.mkString(", ")}")
+    }
+    val selected = onlyEnv.fold(heavyQueries)(names => heavyQueries.filter(names))
+    val qs = SparkEntry.queries.filter { case (n, _) => selected.contains(n) }
       .toSeq.sortBy(_._1)
     // JVM/codegen warmup: one throwaway query before the 1x pass, or the
     // first measured rows absorb JIT/classload cost and their ratios
@@ -296,7 +314,7 @@ object ScaleSmoke {
     // steal-inflated scaled rep inflates it — both directions are
     // unverified single-rep numbers that would poison the persisted
     // priors for the next round's comparison
-    val escalate = heavyQueries.filter { n =>
+    val escalate = selected.filter { n =>
       (for (b <- bt.get(n); t <- st.get(n); p <- prior.get(n))
         yield t / b > p * 1.5 || t / b < p / 1.5).getOrElse(false)
     }
@@ -304,7 +322,7 @@ object ScaleSmoke {
     // that HAS a prior — so a surprising (non-)escalation is a read of
     // the artifact, not a forensic reconstruction
     if (prior.nonEmpty)
-      System.err.println("[scale-smoke] ratio-vs-prior: " + heavyQueries.sorted
+      System.err.println("[scale-smoke] ratio-vs-prior: " + selected.sorted
         .flatMap { n =>
           for (b <- bt.get(n); t <- st.get(n); p <- prior.get(n))
             yield f"$n=${t / b}%.2f/p$p%.2f"
@@ -335,7 +353,7 @@ object ScaleSmoke {
         System.err.println(s"[scale-smoke] reps=3 re-measure FAILED for " +
           s"${unconfirmed.mkString(", ")} — rows stay at reps:1, unverified")
     }
-    val rows = heavyQueries.sorted.map { n =>
+    val rows = selected.sorted.map { n =>
       val b = bt.get(n)
       val t = st.get(n)
       val ratio = for (x <- b; y <- t) yield y / x
@@ -348,30 +366,36 @@ object ScaleSmoke {
       s""""fails_base":${baseFails.size},"fails_scaled":${scaledFails.size},""" +
       s""""escalated":${escalate.size},"rows":[${rows.mkString(",")}]}""")
     // persist the final ratios so the NEXT run can escalate against them
-    val ratioJson = heavyQueries.sorted.flatMap { n =>
+    val ratioJson = selected.sorted.flatMap { n =>
       for (x <- bt.get(n); y <- st.get(n)) yield f""""$n":${y / x}%.2f"""
     }.mkString("{", ",", "}")
+    // a SMOKE_ONLY subset run must not clobber the standing fleet
+    // priors/mirrors with a partial map (the hotonly rule, applied to
+    // every *_latest mirror); its artifacts still land in workDir
+    val mirror = onlyEnv.isEmpty
     try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(workDir, "ratios.json"), ratioJson + "\n")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALESMOKE_ratios_latest.json"), ratioJson + "\n")
+      if (mirror)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("SCALESMOKE_ratios_latest.json"), ratioJson + "\n")
     } catch { case scala.util.control.NonFatal(_) => () }
     // persist the no-hot scaled-side seconds: the denominators a later
     // `hotonly` run replays (provenance = this file's path)
-    val noHotJson = heavyQueries.sorted.flatMap { n =>
+    val noHotJson = selected.sorted.flatMap { n =>
       st.get(n).map(v => f""""$n":$v%.2f""")
     }.mkString("{", ",", "}")
     try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(workDir, "no_hot_sec.json"), noHotJson + "\n")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALESMOKE_no_hot_latest.json"), noHotJson + "\n")
+      if (mirror)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("SCALESMOKE_no_hot_latest.json"), noHotJson + "\n")
     } catch { case scala.util.control.NonFatal(_) => () }
     // input -> shuffle expansion per heavy family, both corpora: the
     // portable calibration evidence behind the 4 MiB/partition dial (a
     // deployment re-derives its own target from ITS expansion factors)
-    val shufRows = heavyQueries.sorted.flatMap { n =>
+    val shufRows = selected.sorted.flatMap { n =>
       def side(m: Map[String, ShuffleStats.Totals], tag: String): Option[String] =
         m.get(n).map { t =>
           val in = t.inputBytes.get / 1048576.0
@@ -390,12 +414,13 @@ object ScaleSmoke {
     try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(workDir, "shuffle_profile.json"), shufLine + "\n")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALESMOKE_shuffle_latest.json"), shufLine + "\n")
+      if (mirror)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("SCALESMOKE_shuffle_latest.json"), shufLine + "\n")
     } catch { case scala.util.control.NonFatal(_) => () }
     if (baseFails.nonEmpty || scaledFails.nonEmpty)
       System.err.println(s"[scale-smoke] failures: base=$baseFails scaled=$scaledFails")
-    if (hotMode) hotPhase(spark, workDir, st)
+    if (hotMode) hotPhase(spark, workDir, st, mirrorPriors = mirror)
     spark.stop()
   }
 
@@ -650,9 +675,9 @@ object ScaleSmoke {
           java.nio.file.Paths.get("SCALESMOKE_hot_ratios_latest.json"),
           hotRatioJson + "\n")
       else
-        System.err.println("[scale-smoke] hotonly: standing hot prior NOT " +
-          "updated (ratios in workDir/hot_ratios.json; set " +
-          "SPARK_GRAFT_UPDATE_HOT_PRIORS=1 to promote)")
+        System.err.println("[scale-smoke] standing hot prior NOT updated " +
+          "(adjudication/subset run; ratios in workDir/hot_ratios.json; " +
+          "hotonly promotes with SPARK_GRAFT_UPDATE_HOT_PRIORS=1)")
     } catch { case scala.util.control.NonFatal(_) => () }
     if (fails.nonEmpty)
       System.err.println(s"[scale-smoke] hot-phase failures: $fails")

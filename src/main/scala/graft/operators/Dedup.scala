@@ -185,18 +185,54 @@ object Dedup {
     * want at 100×. Same sig→band→estimate pipeline as the other
     * minhash faces; the oracle replays the ranking as a window over
     * the shared CTEs. */
-  def dedupMinhashTopN(s: SparkSession, d: String): DataFrame = {
+  def dedupMinhashTopN(s: SparkSession, d: String): DataFrame =
+    topPairsPerBucket(
+      minhashPairs(s, d)
+        .select(col("d1"), col("d2"), col("matches").cast("long").as("matches"),
+          (col("matches") / lshGeometry(s).width.toDouble).as("est_jaccard")),
+      k1 = "d1", k2 = "d2", score = "matches")
+
+  /** [[dedupMinhashTopN]]'s ngram twin: top-5 highest-intersection
+    * verified Jaccard pairs per report bucket — same bounded-output
+    * contract (≤ 320 rows), same map-side WindowGroupLimit plan, over
+    * [[ngramPairsCore]]'s exact-verification pipeline. Its ×10 ratio
+    * reads the candidate-verify pipeline alone; the family's byte story
+    * is in NOTES (ngram moves ~140× the compressed corpus in shuffle —
+    * none of it reaches this face's output). */
+  def dedupNgramTopN(s: SparkSession, d: String): DataFrame =
+    topPairsPerBucket(ngramPairsCore(s, d),
+      k1 = "d1", k2 = "d2", score = "inter")
+
+  /** [[dedupMinhashTopN]]'s containment twin: top-5 by intersection per
+    * `contained_id % 64` bucket over the prefix-filtered directed
+    * containment pipeline (guard conf-gated as in [[dedupContainment]]).
+    * Completes the bounded face across all three pair-report families. */
+  def dedupContainmentTopN(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    topPairsPerBucket(
+      containmentPairsCore(cachedShingles(s, d), containmentMaxDocsPerShingle(s)),
+      k1 = "contained_id", k2 = "container_id", score = "inter")
+  }
+
+  /** Shared kernel of the bounded pair-report faces: rank `pairs`
+    * within their `k1 % 64` report bucket (score DESC, (k1, k2) ties —
+    * a total order) and keep the top [[PairTopNPerBucket]]. Declarative
+    * row_number window ON PURPOSE: Spark's InferWindowGroupLimit plants
+    * a PARTIAL per-group limit before the bucket exchange, so each map
+    * task forwards ≤ N rows per bucket and the exchange never carries
+    * the full pair report (PlanHygieneSpec pins the Partial+Final pair;
+    * measured ×10: 17 MiB shuffle vs the bucketed face's 282). */
+  private def topPairsPerBucket(pairs: DataFrame, k1: String, k2: String,
+      score: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("bucket"))
-      .orderBy(col("matches").desc, col("d1"), col("d2"))
-    minhashPairs(s, d)
-      .select(col("d1"), col("d2"), col("matches").cast("long").as("matches"),
-        (col("matches") / lshGeometry(s).width.toDouble).as("est_jaccard"))
-      .withColumn("bucket", pmod(col("d1"), lit(PairBuckets.toLong)).cast("int"))
+      .orderBy(col(score).desc, col(k1), col(k2))
+    pairs
+      .withColumn("bucket", pmod(col(k1), lit(PairBuckets.toLong)).cast("int"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= PairTopNPerBucket)
-      .select(col("bucket"), col("rn").cast("long").as("rn"),
-        col("d1"), col("d2"), col("matches"), col("est_jaccard"))
+      .select(col("bucket") +: col("rn").cast("long").as("rn") +:
+        pairs.columns.toSeq.map(col): _*)
       .orderBy(col("bucket"), col("rn"))
   }
 
@@ -1882,6 +1918,8 @@ object Dedup {
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_minhash_bucketed" -> (dedupMinhashBucketed _),
     "q_dedup_minhash_topn" -> (dedupMinhashTopN _),
+    "q_dedup_ngram_topn" -> (dedupNgramTopN _),
+    "q_dedup_containment_topn" -> (dedupContainmentTopN _),
     "q_dedup_ngram_bucketed" -> (dedupNgramBucketed _),
     "q_dedup_containment_bucketed" -> (dedupContainmentBucketed _),
     "q_dedup_clusters" -> (dedupClusters _),
@@ -2246,6 +2284,32 @@ object Dedup {
       s"""WITH $ngramPairCtes
         |SELECT d1, d2, inter, jaccard
         |FROM p ORDER BY d1, d2""".stripMargin,
+
+    // bounded ngram face: same pair CTEs, ranked per bucket, top-5 —
+    // see q_dedup_minhash_topn's comment
+    "q_dedup_ngram_topn" ->
+      s"""WITH $ngramPairCtes,
+        |ranked AS (
+        |  SELECT CAST(d1 % 64 AS INT) AS bucket, d1, d2, inter, jaccard,
+        |    row_number() OVER (PARTITION BY d1 % 64
+        |      ORDER BY inter DESC, d1, d2) AS rn
+        |  FROM p)
+        |SELECT bucket, CAST(rn AS BIGINT) AS rn, d1, d2, inter, jaccard
+        |FROM ranked WHERE rn <= 5 ORDER BY bucket, rn""".stripMargin,
+
+    // bounded containment face: same directed-pair CTEs, ranked per
+    // contained-side bucket, top-5
+    "q_dedup_containment_topn" ->
+      s"""WITH $containmentPairCtes,
+        |ranked AS (
+        |  SELECT CAST(contained_id % 64 AS INT) AS bucket,
+        |    contained_id, container_id, inter, containment,
+        |    row_number() OVER (PARTITION BY contained_id % 64
+        |      ORDER BY inter DESC, contained_id, container_id) AS rn
+        |  FROM p)
+        |SELECT bucket, CAST(rn AS BIGINT) AS rn,
+        |  contained_id, container_id, inter, containment
+        |FROM ranked WHERE rn <= 5 ORDER BY bucket, rn""".stripMargin,
 
     // per-bucket digest of the SAME pair set (bucket = d1 % 64) — the
     // ngram twin of q_dedup_minhash_bucketed

@@ -44,29 +44,58 @@ class PairReportSpec extends SparkFunSuite {
     } finally CacheScope.releaseAll()
   }
 
-  test("topN face: exactly the full face's top-5 per bucket, output bounded") {
+  /** Independent re-ranking proof shared by the three bounded faces:
+    * per k1 % 64 bucket, score DESC then (k1, k2) ASC, top 5 — computed
+    * from the FULL face's rows without the engine's window. */
+  private def checkTopN(fullRows: Array[(Long, Long, Long, Double)],
+      topn: org.apache.spark.sql.DataFrame,
+      k1: String, k2: String, score: String, extra: String): Unit = {
+    assert(fullRows.nonEmpty, "fixture yields no pairs — subset proof vacuous")
+    val expect = fullRows.groupBy { case (a, _, _, _) => (a % 64).toInt }
+      .toSeq.flatMap { case (b, rows) =>
+        rows.sortBy { case (a, c, m, _) => (-m, a, c) }.take(5)
+          .zipWithIndex.map { case ((a, c, m, e), i) =>
+            (b, (i + 1).toLong, a, c, m, e) }.toSeq
+      }.toSet
+    val got = topn.collect()
+      .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("rn"),
+        r.getAs[Long](k1), r.getAs[Long](k2),
+        r.getAs[Number](score).longValue, r.getAs[Double](extra))).toSet
+    assert(got === expect, s"topN($k1) diverged from the full face's ranking")
+    assert(got.size <= 64 * Dedup.PairTopNPerBucket,
+      s"output ${got.size} exceeds the 64 x 5 bound")
+  }
+
+  test("minhash topN face: exactly the full face's top-5 per bucket, bounded") {
     try {
       val full = Dedup.dedupMinhash(spark, sf01).collect()
         .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
           r.getAs[Long]("matches"), r.getAs[Double]("est_jaccard")))
       CacheScope.releaseAll()
-      assert(full.nonEmpty, "fixture yields no pairs — subset proof vacuous")
-      // reference ranking, computed independently of the engine's window:
-      // per bucket, matches DESC then (d1, d2) ASC, top 5
-      val expect = full.groupBy { case (d1, _, _, _) => (d1 % 64).toInt }
-        .toSeq.flatMap { case (b, rows) =>
-          rows.sortBy { case (d1, d2, m, _) => (-m, d1, d2) }.take(5)
-            .zipWithIndex.map { case ((d1, d2, m, e), i) =>
-              (b, (i + 1).toLong, d1, d2, m, e) }.toSeq
-        }.toSet
-      val got = Dedup.dedupMinhashTopN(spark, sf01).collect()
-        .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("rn"),
-          r.getAs[Long]("d1"), r.getAs[Long]("d2"),
-          r.getAs[Long]("matches"), r.getAs[Double]("est_jaccard"))).toSet
-      assert(got === expect, "topN face diverged from the full face's ranking")
-      // the boundedness that makes the face's x10 ratio output-free
-      assert(got.size <= 64 * Dedup.PairTopNPerBucket,
-        s"output ${got.size} exceeds the 64 x 5 bound")
+      checkTopN(full, Dedup.dedupMinhashTopN(spark, sf01),
+        "d1", "d2", "matches", "est_jaccard")
+    } finally CacheScope.releaseAll()
+  }
+
+  test("ngram topN face: exactly the full face's top-5 per bucket, bounded") {
+    try {
+      val full = Dedup.dedupNgram(spark, sf01).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+          r.getAs[Number]("inter").longValue, r.getAs[Double]("jaccard")))
+      CacheScope.releaseAll()
+      checkTopN(full, Dedup.dedupNgramTopN(spark, sf01),
+        "d1", "d2", "inter", "jaccard")
+    } finally CacheScope.releaseAll()
+  }
+
+  test("containment topN face: exactly the full face's top-5 per bucket, bounded") {
+    try {
+      val full = Dedup.dedupContainment(spark, sf01).collect()
+        .map(r => (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id"),
+          r.getAs[Number]("inter").longValue, r.getAs[Double]("containment")))
+      CacheScope.releaseAll()
+      checkTopN(full, Dedup.dedupContainmentTopN(spark, sf01),
+        "contained_id", "container_id", "inter", "containment")
     } finally CacheScope.releaseAll()
   }
 

@@ -32,7 +32,8 @@ class PlanHygieneSpec extends AnyFunSuite {
       Set("q_source_binary", "q_partitioned_sink", "q_dedup_minhash",
         // same eager signature cache as q_dedup_minhash; its own
         // dedicated plan test below pins the WindowGroupLimit shape
-        "q_dedup_minhash_topn",
+        "q_dedup_minhash_topn", "q_dedup_ngram_topn",
+        "q_dedup_containment_topn",
         "q_dedup_ngram", "q_dedup_clusters", "q_dedup_incremental",
         "q_knn_ivf", "q_knn_ivf_indexed", "q_knn_ivf_served",
         // scaled IVF: eager buildOnce + probed-cell collect at plan
