@@ -30,13 +30,18 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
   * blocking action by milliseconds, the margin is generosity, and a
   * straggler event merely lands in the next drain where the same
   * query's later rep would overwrite it anyway). */
-final class ShuffleStats extends SparkListener {
-  import ShuffleStats.Totals
+final class ShuffleStats(perStage: Boolean = false) extends SparkListener {
+  import ShuffleStats.{StageRow, Totals}
 
   private val stageGroup =
     scala.collection.concurrent.TrieMap.empty[Int, String]
   private val byGroup =
     scala.collection.concurrent.TrieMap.empty[String, Totals]
+  // per-stage rows (perStage mode only): the attribution layer below
+  // the per-query totals — which EXCHANGE carries the bytes, named by
+  // the stage's callsite (e.g. "persist at Dedup.scala:228")
+  private val stageRows =
+    new java.util.concurrent.ConcurrentLinkedQueue[StageRow]()
 
   override def onJobStart(j: SparkListenerJobStart): Unit = {
     val g = Option(j.properties)
@@ -53,7 +58,22 @@ final class ShuffleStats extends SparkListener {
       t.inputBytes.addAndGet(m.inputMetrics.bytesRead)
       t.shuffleWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       t.shuffleReadBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      if (perStage)
+        stageRows.add(StageRow(g, si.stageId, si.name,
+          m.inputMetrics.bytesRead, m.shuffleWriteMetrics.bytesWritten,
+          m.shuffleReadMetrics.totalBytesRead))
     }
+  }
+
+  /** Snapshot-and-clear the per-stage rows (perStage mode). Unlike
+    * [[drain]] this keeps EVERY rep's stages — callers aggregate by
+    * stage name (the callsite) to attribute a query's bytes to its
+    * exchanges. */
+  def drainStages(): Seq[StageRow] = {
+    val out = Seq.newBuilder[StageRow]
+    var r = stageRows.poll()
+    while (r != null) { out += r; r = stageRows.poll() }
+    out.result()
   }
 
   /** Snapshot-and-clear: per QUERY, the LAST completed rep's totals
@@ -81,9 +101,24 @@ object ShuffleStats {
     val shuffleReadBytes = new java.util.concurrent.atomic.AtomicLong(0)
   }
 
+  /** One completed stage's bytes under a bench group. `name` is Spark's
+    * stage name — the callsite string (`"<op> at <File.scala:line>"`)
+    * that makes the row self-attributing. */
+  final case class StageRow(group: String, stageId: Int, name: String,
+      inputBytes: Long, shuffleWriteBytes: Long, shuffleReadBytes: Long)
+
   /** Install on the context; returns the instance to [[ShuffleStats.drain]]. */
   def install(sc: SparkContext): ShuffleStats = {
     val s = new ShuffleStats
+    sc.addSparkListener(s)
+    s
+  }
+
+  /** [[install]] with per-stage retention — [[ShuffleStats.drainStages]]
+    * feeds the stage-level attribution read ([[graft.OrderProbe]]'s
+    * SPARK_GRAFT_STAGE_BYTES mode). */
+  def installPerStage(sc: SparkContext): ShuffleStats = {
+    val s = new ShuffleStats(perStage = true)
     sc.addSparkListener(s)
     s
   }
