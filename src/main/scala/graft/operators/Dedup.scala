@@ -851,7 +851,20 @@ object Dedup {
           java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
         s.sparkContext.setCheckpointDir(dir)
       }
-      df.checkpoint() // eager + reliable: survives executor loss
+      // persist BEFORE the eager checkpoint: Dataset.checkpoint runs the
+      // plan once for its materializing action and AGAIN for the
+      // checkpoint-file write, and under AQE the second execution
+      // re-plans with FRESH exchanges — so every shuffle upstream of the
+      // checkpoint is paid twice (the Spark docs' "strongly recommended
+      // to persist before checkpoint"). Measured on the ×10 smoke
+      // corpus: q_dedup_clusters' checkpoint jobs carried 425 of its
+      // 470 MiB of shuffle writes, with the dominant 223-MiB map stage
+      // appearing as TWINS. The cache makes the second pass a cache
+      // read; unpersist after is safe because the returned frame reads
+      // the checkpoint FILES, never this cache.
+      val cached = df.persist()
+      try cached.checkpoint() // eager + reliable: survives executor loss
+      finally cached.unpersist(blocking = false)
     } else df.localCheckpoint()
   }
 
