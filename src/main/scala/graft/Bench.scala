@@ -115,8 +115,14 @@ object Bench {
       s"""{"load1m_start":${f(loadStart)},"load1m_end":${f(loadEnd)},""" +
         s""""steal_sec_total":${f(stealSec(stealStart, stealEnd))},"user_hz":100}"""
     val total = results.map(_._2).sum
+    // steal-robust companion total: Σ per-query least-stolen rep (see
+    // minStealRep). value stays the median convention; value_stealmin
+    // is the number round-over-round closes compare without the manual
+    // three-run steal adjudication round 18 needed.
+    val totalStealMin = detailed.map { case (_, rs) => minStealRep(rs).totalSec }.sum
     val fullLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${f(total)},"value_stealmin":${f(totalStealMin)},""" +
+        s""""unit":"sec","queries":$qs,""" +
         s""""build":$builds,"rep_detail":$repDetail,"load":$loadStanza,""" +
         s""""sf":"$sfDir","reps":$reps,"failures":${failures.length}}"""
     println(fullLine)
@@ -133,7 +139,7 @@ object Bench {
       writePlans(spark, results, captured.toMap)
     }
     // short summary LAST: the bounded tail always keeps this line whole
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"failures":${failures.length}}""")
+    println(s"""{"metric":"total","value":${f(total)},"value_stealmin":${f(totalStealMin)},"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"failures":${failures.length}}""")
     spark.stop()
   }
 
@@ -224,6 +230,22 @@ object Bench {
     sorted(sorted.length / 2)
   }
 
+  /** The rep that ran with the LEAST box steal (ties → smaller total;
+    * reps without a steal counter fall back to the median). Behind the
+    * `value_stealmin` total: round-over-round comparison on this box
+    * needed three same-tree runs spanning 315.9–352.1 s in round 18
+    * just to establish "no regression", because the median still
+    * absorbs steal when 2 of 3 reps were stolen. Summing each query's
+    * least-stolen rep reads the engine, not the neighbors — it is NOT
+    * a fastest-rep cherry-pick: selection is by the /proc/stat steal
+    * column, and a genuinely slow plan is slow in its zero-steal reps
+    * too. */
+  private[graft] def minStealRep(rs: Seq[RepTiming]): RepTiming = {
+    val measured = rs.filter(_.stealSec >= 0)
+    if (measured.isEmpty) medianRep(rs)
+    else measured.minBy(r => (r.stealSec, r.totalSec))
+  }
+
   /** Silence the per-task "No Partition Defined for Window operation"
     * warning from `o.a.s.sql.execution.window` in the measurement
     * mains: several catalog queries compute GLOBAL scalars through an
@@ -262,16 +284,24 @@ object Bench {
   def measure(
       spark: SparkSession, sfDir: String, reps: Int,
       queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-      capture: (String, org.apache.spark.sql.DataFrame) => Unit = (_, _) => ())
+      capture: (String, org.apache.spark.sql.DataFrame) => Unit = (_, _) => (),
+      partitionsFor: String => Option[Int] = _ => None)
       : (Seq[(String, Double)], Seq[String]) = {
-    val (detailed, failures) = measureDetailed(spark, sfDir, reps, queries, capture)
+    val (detailed, failures) =
+      measureDetailed(spark, sfDir, reps, queries, capture, partitionsFor)
     (detailed.map { case (n, rs) => n -> medianRep(rs).totalSec }, failures)
   }
 
+  /** `partitionsFor`: optional PER-QUERY `spark.sql.shuffle.partitions`
+    * override applied before a query's reps (ScaleSmoke's
+    * expansion-aware sizing — heavy families size from their measured
+    * shuffle expansion, not one corpus-level count). None leaves the
+    * session's current count untouched. */
   def measureDetailed(
       spark: SparkSession, sfDir: String, reps: Int,
       queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-      capture: (String, org.apache.spark.sql.DataFrame) => Unit = (_, _) => ())
+      capture: (String, org.apache.spark.sql.DataFrame) => Unit = (_, _) => (),
+      partitionsFor: String => Option[Int] = _ => None)
       : (Seq[(String, Seq[RepTiming])], Seq[String]) = {
     val timeoutSec = GraftConf.int(spark, "spark.graft.bench.queryTimeoutSec", 900)
     require(timeoutSec > 0, "spark.graft.bench.queryTimeoutSec must be positive")
@@ -281,6 +311,8 @@ object Bench {
       val t = new Thread(r, "bench-watchdog"); t.setDaemon(true); t
     }
     val attempted = queries.map { case (name, fn) =>
+      partitionsFor(name).foreach(n =>
+        spark.conf.set("spark.sql.shuffle.partitions", n.toString))
       var timedOut = false
       val times = (1 to reps).flatMap { _ =>
         if (timedOut) None

@@ -20,6 +20,14 @@ import org.apache.spark.sql.SparkSession
   *     rest, and with no profile the hard defaults apply. The preset
   *     deliberately bundles only SAFETY/PERF switches:
   *
+  *      - `spark.graft.shuffle.expansionAware=true` — heavy-family
+  *        shuffle-partition sizing consumes the MEASURED per-family
+  *        input→shuffle expansion ([[ShuffleExpansionPerCorpusByte]])
+  *        instead of assuming one global expansion for every family.
+  *        Result-identical (partition counts only); at fixture scale
+  *        every family still sizes to the cpu floor by calibration, at
+  *        TB scale the ×0.4–×62 measured spread differentiates counts
+  *        by family instead of under-partitioning the heavy ones.
   *      - `spark.graft.lsh.maxBucket=10000` — degenerate-bucket guard on
   *        all three LSH band joins. Result-identical on healthy input
   *        (the adaptive probe runs the exact unguarded plan when no
@@ -147,9 +155,82 @@ object GraftConf {
     math.min(math.max(byBytes, cpus.toDouble), cap.toDouble).toInt
   }
 
+  // ------------------------------------------------------------------
+  // EXPANSION-AWARE sizing (round 19). The input-bytes rule above sizes
+  // every family from one global 4 MiB/partition dial, but the measured
+  // per-family input→shuffle expansion spans ×0.4–×62 of the compressed
+  // corpus (SCALESMOKE_shuffle r18/r19) — at TB scale the heavy
+  // families are under-partitioned by exactly the factor the smoke
+  // already measures. These constants feed the measured LARGE-REGIME
+  // slope back into the rule: partitions = ⌈corpusBytes × factor /
+  // targetShuffleBytes⌉, same [cpus, cap] clamps. Calibrated so every
+  // fixture-scale corpus still lands ON the floor (the A/B-measured
+  // best count — the heaviest factor × the 11.4 MiB ×10 smoke corpus
+  // is ~0.7 GiB of shuffle, 11 partitions at the 64 MiB target, under
+  // the 32-cpu floor) while a TB corpus differentiates by family
+  // instead of assuming one expansion for all.
+  // ------------------------------------------------------------------
+
+  /** Default for `spark.graft.shuffle.targetShuffleBytesPerPartition`:
+    * compressed SHUFFLE bytes one partition should carry. 64 MiB of
+    * lz4-compressed shuffle decompresses to roughly the few-hundred-MB
+    * in-flight state per task the 4 MiB INPUT dial was sized for. */
+  val DefaultTargetShuffleBytes: Long = 64L * 1024 * 1024
+
+  /** Expansion assumed for a family with NO measured factor: 16× makes
+    * the shuffle-target rule degenerate EXACTLY to the legacy input
+    * rule (corpus × 16 / 64 MiB ≡ corpus / 4 MiB), so unmeasured
+    * families size precisely as before. */
+  val DefaultShuffleExpansion: Double = 16.0
+
+  /** Measured shuffle-write bytes per COMPRESSED CORPUS byte, per heavy
+    * family, at the ×10 derived sf0.1 smoke corpus (11.4 MiB) — the
+    * large-regime slope (the 1× point sits in the broadcast-join regime
+    * and understates by ~50×; NOTES r18 trend table). Sources:
+    * SCALESMOKE_shuffle r18 rows, with ngram/containment re-measured
+    * r19 AFTER the verify-join broadcast + positional-filter rework
+    * (1618→464, 1894→702 MiB) and clusters post checkpoint-fix.
+    * Refreshed each round from the smoke's shuffle profile. */
+  val ShuffleExpansionPerCorpusByte: Map[String, Double] = Map(
+    "q_dedup_containment" -> 62.0, "q_dedup_containment_bucketed" -> 62.0,
+    "q_dedup_containment_topn" -> 62.0,
+    "q_dedup_ngram" -> 41.0, "q_dedup_ngram_bucketed" -> 41.0,
+    "q_dedup_ngram_topn" -> 41.0,
+    "q_bm25_batch_indexed" -> 44.0, "q_span_removal_served" -> 43.0,
+    "q_bm25_batch_served" -> 39.0, "q_bm25_batch" -> 37.0,
+    "q_dedup_minhash" -> 25.0, "q_dedup_minhash_bucketed" -> 25.0,
+    "q_span_dedup_served" -> 22.0, "q_span_removal_shard_served" -> 10.3,
+    "q_span_dedup_shard_served" -> 8.2, "q_span_dedup" -> 6.4,
+    "q_bpe_merges" -> 5.2, "q_semantic_dedup_lsh" -> 4.8,
+    "q_repetition_filter" -> 4.5, "q_curation_pipeline" -> 2.2,
+    "q_dedup_clusters" -> 2.1, "q_dedup_clusters_collapsed" -> 2.1,
+    "q_winnow_contamination_indexed" -> 1.6, "q_dedup_minhash_topn" -> 1.5,
+    "q_cdc_dedup" -> 1.5, "q_knn_ivf_indexed" -> 1.5,
+    "q_winnow_contamination" -> 1.0, "q_winnow_matches" -> 0.8,
+    "q_winnow_fingerprints" -> 0.5, "q_winnow_contamination_served" -> 0.4,
+    "q_bm25_batch_shard_served" -> 0.4, "q_knn_ivf_scaled_served" -> 0.2,
+    "q_dedup_incremental_served" -> 0.1,
+    "q_dedup_incremental_shard_served" -> 0.1,
+    "q_knn_ivf_served" -> 0.1, "q_phrase_served" -> 0.1,
+    "q_bm25_served" -> 0.1)
+
+  /** [[sizedShufflePartitions]] with the family's measured expansion
+    * applied: sizes from EXPECTED SHUFFLE bytes (corpus × factor)
+    * against a shuffle-byte target instead of from input bytes against
+    * an input target. Families without a measured factor assume
+    * [[DefaultShuffleExpansion]] — exactly the legacy input rule. */
+  def expansionSizedPartitions(query: String, corpusBytes: Long, cpus: Int,
+      targetShuffleBytes: Long = DefaultTargetShuffleBytes,
+      cap: Int = DefaultShufflePartitionCap): Int = {
+    val factor = ShuffleExpansionPerCorpusByte.getOrElse(query, DefaultShuffleExpansion)
+    val expected = math.ceil(math.max(corpusBytes, 0L) * factor).toLong
+    sizedShufflePartitions(expected, cpus, targetShuffleBytes, cap)
+  }
+
   /** Conf values `spark.graft.profile=scale` implies when the conf is
     * not explicitly set. See the object doc for the per-key rationale. */
   val scaleDefaults: Map[String, String] = Map(
+    "spark.graft.shuffle.expansionAware" -> "true",
     "spark.graft.lsh.maxBucket" -> "10000",
     "spark.graft.containment.maxDocsPerShingle" -> "10000",
     "spark.graft.semdedup.lsh" -> "true",
@@ -279,7 +360,10 @@ object GraftConf {
     "spark.graft.search.phrase",
     "spark.graft.search.terms",
     "spark.graft.semdedup.lsh",
+    "spark.graft.shingle.verifyBroadcastBytes",
+    "spark.graft.shuffle.expansionAware",
     "spark.graft.shuffle.targetBytesPerPartition",
+    "spark.graft.shuffle.targetShuffleBytesPerPartition",
     "spark.graft.span.minCut",
     "spark.graft.text.hhLocalCandidates",
     "spark.graft.topkPerGroup.maxBufferedRows",

@@ -77,7 +77,14 @@ object RecallProbe {
       }
       CacheScope.releaseAll(); spark.catalog.clearCache()
     }
-    scaledSweep(spark)
+    // the ×10 sweep builds a derived corpus in scratch and takes minutes
+    // — opt-in (ADVICE r18: unconditional, it made the formerly-cheap
+    // Lloyd trace impossible to run alone and pinned the main to one
+    // box's absolute path). SPARK_GRAFT_RECALL_SWEEP=1 enables;
+    // SPARK_GRAFT_RECALL_SWEEP_BASE overrides the base corpus dir.
+    if (sys.env.get("SPARK_GRAFT_RECALL_SWEEP").contains("1"))
+      scaledSweep(spark,
+        sys.env.getOrElse("SPARK_GRAFT_RECALL_SWEEP_BASE", "/root/testdata/sf0.1"))
     spark.stop()
   }
 
@@ -85,8 +92,7 @@ object RecallProbe {
     * doc). One trained index per (corpus, cell count); served at each
     * nprobe through [[Similarity.knnFromIvfIndexSwept]] — the real
     * partition-pruned serving path, k widened to 10. */
-  private def scaledSweep(spark: SparkSession): Unit = {
-    val sweepBase = "/root/testdata/sf0.1"
+  private def scaledSweep(spark: SparkSession, sweepBase: String): Unit = {
     val x10 = TempDirs.scratch("graft_recall_x10_").toString
     ScaleSmoke.buildScaled(spark, sweepBase, 10, x10)
     for ((tag, dir) <- Seq("sf0.1" -> sweepBase, "x10" -> x10)) {

@@ -225,8 +225,13 @@ object ScaleSmoke {
     // sizes partitions to each measured corpus' bytes (below) — the
     // round-16 hot adjudication proved a count pinned to the base
     // corpus spills at ×10 (NOTES.md: 32 partitions 45.8–132.1 s,
-    // 128 partitions 53.4 s with 6× tighter spread)
+    // 128 partitions 53.4 s with 6× tighter spread).
+    // Validated HERE with the other arg checks: autoSizePartitions
+    // re-reads the pin mid-run, and a non-integer value failing only
+    // after the fixture build has been paid (minutes in) was ADVICE r18
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    require(scala.util.Try(shuffleParts.trim.toInt).toOption.exists(_ >= 1),
+      s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive integer, got '$shuffleParts'")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
@@ -298,10 +303,12 @@ object ScaleSmoke {
       }
     }
     autoSizePartitions(spark, baseDir)
-    val (baseTimes, baseFails) = Bench.measure(spark, baseDir, reps = 1, qs)
+    val (baseTimes, baseFails) = Bench.measure(spark, baseDir, reps = 1, qs,
+      partitionsFor = expansionSizing(spark, baseDir))
     var baseShuffle = drainShuffle(shuffleStats)
     autoSizePartitions(spark, workDir)
-    val (scaledTimes, scaledFails) = Bench.measure(spark, workDir, reps = 1, qs)
+    val (scaledTimes, scaledFails) = Bench.measure(spark, workDir, reps = 1, qs,
+      partitionsFor = expansionSizing(spark, workDir))
     var scaledShuffle = drainShuffle(shuffleStats)
     var bt = baseTimes.toMap
     var st = scaledTimes.toMap
@@ -332,10 +339,12 @@ object ScaleSmoke {
         s"for ${escalate.mkString(", ")} — re-measuring at reps=3 medians")
       val eqs = qs.filter { case (n, _) => escalate.contains(n) }
       autoSizePartitions(spark, baseDir)
-      val (b3, _) = Bench.measure(spark, baseDir, reps = 3, eqs)
+      val (b3, _) = Bench.measure(spark, baseDir, reps = 3, eqs,
+        partitionsFor = expansionSizing(spark, baseDir))
       baseShuffle = baseShuffle ++ drainShuffle(shuffleStats)
       autoSizePartitions(spark, workDir)
-      val (s3, _) = Bench.measure(spark, workDir, reps = 3, eqs)
+      val (s3, _) = Bench.measure(spark, workDir, reps = 3, eqs,
+        partitionsFor = expansionSizing(spark, workDir))
       scaledShuffle = scaledShuffle ++ drainShuffle(shuffleStats)
       // only rows whose BOTH sides re-measured get the reps:3 label — a
       // re-measure that failed (time cap) must not stamp a single-rep
@@ -440,7 +449,10 @@ object ScaleSmoke {
 
   /** Drain the listener after a short settle: the bus is asynchronous,
     * but stage events trail the blocking noop action by milliseconds —
-    * 2 s is generosity, and a straggler merely lands in the next drain. */
+    * 2 s is generosity. A straggler arriving after the drain is dropped
+    * (ShuffleStats clears the stage→group map with the snapshot), which
+    * slightly undercounts rather than crediting one corpus pass's bytes
+    * to the other. */
   private def drainShuffle(stats: ShuffleStats): Map[String, ShuffleStats.Totals] = {
     Thread.sleep(2000)
     stats.drain()
@@ -499,6 +511,29 @@ object ScaleSmoke {
         n
     }
 
+  /** Per-query expansion-aware sizing hook for the fleet passes
+    * (`spark.graft.shuffle.expansionAware`, ON in the scale profile):
+    * each heavy family sizes `spark.sql.shuffle.partitions` from its
+    * MEASURED shuffle expansion × the corpus bytes
+    * ([[GraftConf.expansionSizedPartitions]]) instead of one
+    * corpus-level count for every family. At fixture scale every
+    * family lands on the same cpu floor the phase-level sizing picks
+    * (calibration in the GraftConf scaladoc — walls are unchanged); at
+    * TB scale the measured ×0.4–×62 spread differentiates counts. An
+    * explicit SPARK_GRAFT_SHUFFLE_PARTITIONS pin wins, as everywhere. */
+  private def expansionSizing(spark: SparkSession, dir: String): String => Option[Int] =
+    if (sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS") ||
+        !GraftConf.bool(spark, "spark.graft.shuffle.expansionAware", default = false))
+      _ => None
+    else {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+      val bytes = corpusBytes(spark, dir)
+      val tgt = GraftConf.long(spark,
+        "spark.graft.shuffle.targetShuffleBytesPerPartition",
+        GraftConf.DefaultTargetShuffleBytes)
+      q => Some(GraftConf.expansionSizedPartitions(q, bytes, cpus, tgt))
+    }
+
   /** The sized count x the hot-skew factor, RE-CLAMPED under the cap:
     * the factor exists to size for skew-grown aggregate state, not to
     * punch through the task-overhead bound (factor x cap partitions on
@@ -509,6 +544,21 @@ object ScaleSmoke {
     math.min(
       GraftConf.sizedShufflePartitions(bytes, cpus, targetBytes) * factor,
       GraftConf.DefaultShufflePartitionCap)
+
+  /** JSON string literal with backslash/quote/control escaping — the
+    * hot phase embeds a USER-SUPPLIED path (SPARK_GRAFT_NO_HOT_FILE) in
+    * its output line, and an unescaped quote or backslash there would
+    * hand downstream readers malformed JSON (ADVICE r18). */
+  private[graft] def jsonStr(v: String): String =
+    "\"" + v.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   /** Parse a flat `{"q_name": ratio, ...}` file (the shape this object
     * writes) without a JSON dependency — regex over quoted-key:number
@@ -659,14 +709,23 @@ object ScaleSmoke {
         f""""rep_detail":${repDetail.getOrElse("null")}}"""
     }
     println(s"""{"phase":"hot_guard","group_size":$HotGroupSize,""" +
-      s""""reps":$reps,"no_hot_src":"$noHotSrc",""" +
+      s""""reps":$reps,"no_hot_src":${jsonStr(noHotSrc)},""" +
       s""""fails":${fails.size},"rows":[${rows.mkString(",")}]}""")
     // persist hot/no-hot ratios so the NEXT hot run can escalate against
-    // them (mirrors the fleet pass's ratios.json contract)
-    val hotRatioJson = guardedQueries.sorted.flatMap { n =>
-      for (rs <- tm.get(n); nh <- noHot.get(n) if nh > 0)
-        yield f""""$n":${Bench.medianRep(rs).totalSec / nh}%.2f"""
-    }.mkString("{", ",", "}")
+    // them (mirrors the fleet pass's ratios.json contract). The leading
+    // _provenance_* stanza makes the standing mirror SELF-DESCRIBING —
+    // round 18's hotonly demo overwrote the fleet baseline and the only
+    // record was a NOTES admission. readRatioFile's quoted-key:number
+    // regex skips the string entries, and no guarded query is named
+    // "_provenance_reps", so escalation lookups are unaffected.
+    val hotRatioJson = (Seq(
+      s""""_provenance_mode":${jsonStr(if (noHotSrc == "fleet") "fleet" else "hotonly")}""",
+      s""""_provenance_no_hot_src":${jsonStr(noHotSrc)}""",
+      s""""_provenance_reps":$reps""") ++
+      guardedQueries.sorted.flatMap { n =>
+        for (rs <- tm.get(n); nh <- noHot.get(n) if nh > 0)
+          yield f""""$n":${Bench.medianRep(rs).totalSec / nh}%.2f"""
+      }).mkString("{", ",", "}")
     try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(workDir, "hot_ratios.json"), hotRatioJson + "\n")

@@ -25,11 +25,14 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
   * nothing. Cost: two map updates per stage — free at smoke scale.
   *
   * Reads happen once per measured pass via [[drain]], which snapshots
-  * and clears; the listener bus is asynchronous, so callers drain
-  * AFTER a short settle (the smoke sleeps 2 s — stage events trail the
-  * blocking action by milliseconds, the margin is generosity, and a
-  * straggler event merely lands in the next drain where the same
-  * query's later rep would overwrite it anyway). */
+  * and clears BOTH maps; the listener bus is asynchronous, so callers
+  * drain AFTER a short settle (the smoke sleeps 2 s — stage events
+  * trail the blocking action by milliseconds, the margin is
+  * generosity). A straggler completion arriving after the drain is
+  * DROPPED on purpose: its stage→group entry was cleared with the
+  * snapshot, and crediting it to the next drain would misattribute one
+  * pass's bytes to the other corpus — a small undercount beats a
+  * cross-pass smear. */
 final class ShuffleStats(perStage: Boolean = false) extends SparkListener {
   import ShuffleStats.{StageRow, Totals}
 

@@ -1072,6 +1072,11 @@ object Similarity {
     // covers the same file identity the buildOnce marker keys on, so a
     // changed corpus re-counts and a warm serve is count-free.
     val baseFp = graft.Tables.filesFingerprint(s, d, "embeddings")
+    // bound the memo (ADVICE r18: entries are tiny but accumulated for
+    // the JVM's lifetime across sessions/corpora) — a long-lived
+    // multi-tenant JVM resets the memo rather than growing it forever;
+    // a reset only costs the next serve one column-pruned count
+    if (scaledKCache.size > 4096) scaledKCache.clear()
     val k = scaledKCache.computeIfAbsent(
       graft.TempDirs.sessionKey(s, d) + "|" + baseFp,
       _ => Integer.valueOf(scaledCellCount(embeddings(s, d).count()))).intValue

@@ -53,6 +53,40 @@ class ShuffleSizingSpec extends AnyFunSuite {
     assert(GraftConf.sizedShufflePartitions(10L << 30, 32) === 2560)
   }
 
+  test("expansion-aware sizing: fixture floors, TB differentiation, legacy fallback") {
+    // round-19 calibration (GraftConf.ShuffleExpansionPerCorpusByte
+    // scaladoc). Fixture scale: even the heaviest measured factor (x62,
+    // containment) over the 11.4 MiB x10 smoke corpus stays under the
+    // cpu floor — fleet walls are unchanged by the feature
+    val x10 = 12L * 1024 * 1024
+    for (q <- GraftConf.ShuffleExpansionPerCorpusByte.keys)
+      assert(GraftConf.expansionSizedPartitions(q, x10, 32) === 32,
+        s"$q must stay on the floor at fixture scale")
+    // TB scale: counts scale with each family's MEASURED shuffle bytes,
+    // not one global assumption — at 10 GiB compressed corpus the x62
+    // containment family wants ~40x the partitions of the x0.8 winnow
+    // family (both uncapped at this size)
+    val tenGiB = 10L << 30
+    val heavy = GraftConf.expansionSizedPartitions("q_dedup_containment", tenGiB, 32,
+      cap = 1 << 20)
+    val light = GraftConf.expansionSizedPartitions("q_winnow_matches", tenGiB, 32,
+      cap = 1 << 20)
+    assert(heavy === math.ceil(tenGiB * 62.0 / GraftConf.DefaultTargetShuffleBytes).toInt)
+    assert(light === math.ceil(tenGiB * 0.8 / GraftConf.DefaultTargetShuffleBytes).toInt)
+    assert(heavy > 70 * light / 2 && heavy < 90 * light,
+      s"family differentiation lost: heavy=$heavy light=$light")
+    // the default cap still bounds everything
+    assert(GraftConf.expansionSizedPartitions("q_dedup_containment", tenGiB, 32)
+      === GraftConf.DefaultShufflePartitionCap)
+    // a family with NO measured factor sizes EXACTLY as the legacy
+    // input rule (16x expansion against the 64 MiB shuffle target is
+    // algebraically the 4 MiB input target)
+    for (bytes <- Seq(0L, 1L << 20, 123456789L, 10L << 30, 1L << 42))
+      assert(GraftConf.expansionSizedPartitions("q_unmeasured", bytes, 32)
+        === GraftConf.sizedShufflePartitions(bytes, 32),
+        s"legacy equivalence broke at $bytes bytes")
+  }
+
   test("the cap bounds task-count blowup; degenerate arguments fail fast by name") {
     assert(GraftConf.sizedShufflePartitions(1L << 50, 32) === 4096)
     assert(GraftConf.sizedShufflePartitions(1L << 50, 32, cap = 256) === 256)
