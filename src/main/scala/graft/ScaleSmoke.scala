@@ -427,10 +427,61 @@ object ScaleSmoke {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("SCALESMOKE_shuffle_latest.json"), shufLine + "\n")
     } catch { case scala.util.control.NonFatal(_) => () }
+    // recall-at-scale as a per-round artifact (VERDICT r18 #5): recall@10
+    // of the two STANDING served-IVF indexes (the same buildOnce
+    // artifacts the serve ratios above measured) at the catalog's pinned
+    // nprobe=2, against brute-force ground truth on each face's own
+    // 30-query batch, base and scaled — quality drift becomes a
+    // round-over-round read like the serve ratios instead of a manual
+    // RecallProbe run. IvfRecallGuardSpec stays the CI floor.
+    val recallFaces = Seq(
+      "q_knn_ivf_served" ->
+        ((dir: String) => operators.Similarity.servedIvfIndexPath(spark, dir)),
+      "q_knn_ivf_scaled_served" ->
+        ((dir: String) => operators.Similarity.scaledServedIvfIndexPath(spark, dir)))
+      .filter { case (n, _) => selected.contains(n) }
+    if (recallFaces.nonEmpty) {
+      val recRows = recallFaces.map { case (n, pathOf) =>
+        def r(dir: String): Double = {
+          val v = ivfRecall(spark, dir, pathOf(dir))
+          CacheScope.releaseAll(); spark.catalog.clearCache()
+          v
+        }
+        val (rb, rs2) = (r(baseDir), r(workDir))
+        f"""{"face":"$n","nprobe":2,"base_recall":$rb%.4f,"scaled_recall":$rs2%.4f}"""
+      }
+      val recLine = s"""{"phase":"ivf_recall","rows":[${recRows.mkString(",")}]}"""
+      println(recLine)
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(workDir, "ivf_recall.json"), recLine + "\n")
+        if (mirror)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get("SCALESMOKE_recall_latest.json"), recLine + "\n")
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     if (baseFails.nonEmpty || scaledFails.nonEmpty)
       System.err.println(s"[scale-smoke] failures: base=$baseFails scaled=$scaledFails")
     if (hotMode) hotPhase(spark, workDir, st, mirrorPriors = mirror)
     spark.stop()
+  }
+
+  /** Recall@10 of a standing served-IVF index vs brute-force cosine
+    * ground truth over the serve faces' pinned 30-query batch, through
+    * the REAL pruned serving path ([[operators.Similarity
+    * .knnFromIvfIndexSwept]] — partition-pruned cell scan, k widened
+    * to 10). Deterministic given the index (pinned training knobs), so
+    * a recall drop in the artifact is a code regression, never noise. */
+  private[graft] def ivfRecall(spark: SparkSession, dir: String,
+      indexPath: String, nprobe: Int = 2, k: Int = 10): Double = {
+    val truth = RecallProbe.bruteTopK(spark, dir, k)
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 30).select(col("vec_id"), col("embedding"))
+    val (res, _) =
+      operators.Similarity.knnFromIvfIndexSwept(queries, indexPath, nprobe, k)
+    val got = res.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    truth.intersect(got).size.toDouble / truth.size
   }
 
   /** Load + validate a `hotonly` denominator file: the flat

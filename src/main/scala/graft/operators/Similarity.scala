@@ -999,7 +999,17 @@ object Similarity {
     * instead of serving the other model's index. (`ivf.nprobe` is
     * serve-time only — correctly absent.) Same oracle as `q_knn_ivf`,
     * verbatim. */
-  def knnIvfServed(s: SparkSession, d: String): DataFrame = {
+  def knnIvfServed(s: SparkSession, d: String): DataFrame =
+    knnFromIvfIndex(
+      embeddings(s, d).filter(col("vec_id") < 30)
+        .select(col("vec_id"), col("embedding")),
+      servedIvfIndexPath(s, d))
+
+  /** The standing 16-cell (conf-shaped) served index's path — built at
+    * most once per (session, dataset, knobs). Factored out so the
+    * smoke's recall phase can probe THE standing artifact the serve
+    * ratios measure, instead of training a twin. */
+  private[graft] def servedIvfIndexPath(s: SparkSession, d: String): String = {
     val fp = graft.Tables.filesFingerprint(s, d, "embeddings") +
       s"|iters=${graft.GraftConf.int(s, "spark.graft.ivf.lloydIters", 1)}:" +
       s"seed=${graft.GraftConf.get(s, "spark.graft.ivf.seeding").getOrElse("first")}:" +
@@ -1009,10 +1019,7 @@ object Similarity {
       graft.TempDirs.sessionKey(s, d), "served_ivf", fp)(p =>
       writeIvfIndex(s, d, p.toString))
     if (built) servedBuilds.incrementAndGet()
-    knnFromIvfIndex(
-      embeddings(s, d).filter(col("vec_id") < 30)
-        .select(col("vec_id"), col("embedding")),
-      idx.toString)
+    idx.toString
   }
 
   /** Corpus-scaled cell count for [[knnIvfScaledServed]]:
@@ -1064,7 +1071,16 @@ object Similarity {
     * points here (0.953 → 0.973 at nprobe=8) for ~4× the probe I/O —
     * spend cells, not probes. NOTES.md holds the full
     * {16, √N} × {nprobe 2/4/8} × {sf0.1, ×10} table. */
-  def knnIvfScaledServed(s: SparkSession, d: String): DataFrame = {
+  def knnIvfScaledServed(s: SparkSession, d: String): DataFrame =
+    knnFromIvfIndex(
+      embeddings(s, d).filter(col("vec_id") < 30)
+        .select(col("vec_id"), col("embedding")),
+      scaledServedIvfIndexPath(s, d))
+
+  /** The standing ⌈√N⌉-cell served index's path — built at most once
+    * per (session, dataset, corpus). Factored out for the smoke's
+    * recall phase, like [[servedIvfIndexPath]]. */
+  private[graft] def scaledServedIvfIndexPath(s: SparkSession, d: String): String = {
     // k is memoized per (sessionKey, embeddings-files fingerprint): the
     // corpus count is a full-column-pruned scan, and paying it on every
     // WARM serve would dilute exactly the pinned-probe index-side-growth
@@ -1086,10 +1102,7 @@ object Similarity {
       writeIvfIndexModel(p.toString, ivfModel(s, d, lloydIters = 1,
         seeding = "first", objectiveEps = 0.0, cells = k)))
     if (built) scaledServedBuilds.incrementAndGet()
-    knnFromIvfIndex(
-      embeddings(s, d).filter(col("vec_id") < 30)
-        .select(col("vec_id"), col("embedding")),
-      idx.toString)
+    idx.toString
   }
 
   /** SemDeDup-style SEMANTIC dedup: connected components over the

@@ -42,4 +42,19 @@ class IvfRecallGuardSpec extends SparkFunSuite {
         "— the cell-scaling quality claim regressed")
     assert(scaled >= 0.5, f"scaled recall $scaled%.4f degenerate")
   }
+
+  test("smoke recall helper: probing every cell equals brute force (recall 1.0)") {
+    // ScaleSmoke.ivfRecall is the per-round artifact's kernel (VERDICT
+    // r18 #5). Its one analytic invariant: with nprobe = the full cell
+    // universe, the pruned serving path degenerates to an exact scan, so
+    // recall@10 vs the brute ground truth must be exactly 1.0 — any
+    // drift is a bug in the serve path or the truth kernel, not quality.
+    val sfSmall = "/root/testdata/sf0.001"
+    try {
+      val idx = Similarity.servedIvfIndexPath(spark, sfSmall)
+      assert(ScaleSmoke.ivfRecall(spark, sfSmall, idx, nprobe = 16) === 1.0)
+      val pinned = ScaleSmoke.ivfRecall(spark, sfSmall, idx, nprobe = 2)
+      assert(pinned > 0.0 && pinned <= 1.0, f"pinned-nprobe recall $pinned%.4f out of range")
+    } finally { CacheScope.releaseAll(); spark.catalog.clearCache() }
+  }
 }
