@@ -196,8 +196,9 @@ object GraftConf {
     "q_dedup_containment_topn" -> 62.0,
     "q_dedup_ngram" -> 41.0, "q_dedup_ngram_bucketed" -> 41.0,
     "q_dedup_ngram_topn" -> 41.0,
-    "q_bm25_batch_indexed" -> 44.0, "q_span_removal_served" -> 43.0,
-    "q_bm25_batch_served" -> 39.0, "q_bm25_batch" -> 37.0,
+    "q_span_removal_served" -> 43.0,
+    "q_bm25_batch_indexed" -> 7.9, "q_bm25_batch" -> 8.0,
+    "q_bm25_batch_served" -> 5.0,
     "q_dedup_minhash" -> 25.0, "q_dedup_minhash_bucketed" -> 25.0,
     "q_span_dedup_served" -> 22.0, "q_span_removal_shard_served" -> 10.3,
     "q_span_dedup_shard_served" -> 8.2, "q_span_dedup" -> 6.4,

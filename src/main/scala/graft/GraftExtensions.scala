@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, ShingleExplode, SortedLongIntersect}
+import graft.functions.{FloatVecDot, PostingExplode, ShingleExplode, SortedLongIntersect}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_explode"),
       new ExpressionInfo(classOf[ShingleExplode].getName, "shingle_explode"),
       exprs => ShingleExplode(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("posting_explode"),
+      new ExpressionInfo(classOf[PostingExplode].getName, "posting_explode"),
+      exprs => PostingExplode(exprs(0))))
     // the custom physical operator's planner strategy, so extension-
     // configured sessions plan TopKPerGroup without touching
     // spark.experimental (TopKPerGroupOp.topK still registers it

@@ -238,6 +238,16 @@ object Retrieval {
       nD: Long, aL: Long, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = hits
+      // ONE exchange of the narrow (token, doc, dl, tf) rows keyed by
+      // doc_id: HashPartitioning(doc_id) satisfies the scoring
+      // aggregate's (qid, doc_id) clustering (hash on a SUBSET of the
+      // group keys co-locates every group), so the per-(query, doc)
+      // sum completes in place with no exchange of its own. Without
+      // this, the aggregate's exchange ships partial rows with each
+      // (qid, doc) group duplicated once per token partition it scored
+      // in — ~25× for this corpus's ~25-term docs; measured at ×10 as
+      // 378 of q_bm25_batch_indexed's 507 MiB of shuffle (NOTES r19).
+      .repartition(col("doc_id"))
       .join(broadcast(dfs), "token")
       .withColumn("tf_q6", tfQ6Expr(nD, aL))
       .withColumn("idf_q6", idfQ6Expr(nD))
@@ -419,18 +429,22 @@ object Retrieval {
     * Positions make the index POSITIONAL (phrase queries); BM25 serving
     * never reads that column — parquet column pruning keeps the ranked
     * path paying only (token, doc_id, dl, tf). */
-  private def postingsRows(docs: DataFrame): DataFrame =
+  private def postingsRows(docs: DataFrame): DataFrame = {
+    // posting_explode folds each doc's token→positions map IN THE ROW,
+    // replacing the posexplode + groupBy(token, doc) form whose
+    // exchange shipped one row per token POSITION in document order —
+    // 401 of this build's 507 MiB of ×10 shuffle (NOTES r19; tf ≈ 1
+    // for natural text, so the aggregation combined nothing). The only
+    // exchange left in the build is the 64-bucket layout repartition.
+    graft.functions.PostingExplode.register(docs.sparkSession)
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
-      .select(col("doc_id"), col("dl"),
-        posexplode(col("toks")).as(Seq("i", "token")))
-      .groupBy(col("token"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list(col("i").cast("long"))).as("positions"))
+      .select(col("doc_id"), col("dl"), expr("posting_explode(toks)"))
       .withColumn("bucket",
         (conv(substring(md5(col("token")), 1, 6), 16, 10).cast("long")
           % IndexBuckets).cast("int"))
+  }
 
   /** Build the postings index at `path`: parquet PARTITIONED BY the
     * token's md5 bucket (serving prunes to the query terms' buckets

@@ -20,6 +20,37 @@ class PostingsIndexSpec extends SparkFunSuite {
       case _                        => Nil
     }))
 
+  test("posting_explode is bit-equal to the posexplode+groupBy formulation") {
+    // the round-19 generator replaces the aggregation whose exchange
+    // shipped one row per token POSITION (401 of 507 MiB at the x10
+    // corpus) — this pins the replacement to the declarative form it
+    // displaced, over the whole fixture corpus plus the edge shapes
+    // (empty text -> one empty-string token; repeated tokens -> tf > 1
+    // with ascending positions)
+    graft.functions.PostingExplode.register(spark)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .unionByName(spark.createDataFrame(Seq(
+        (900001L, ""), (900002L, "a b a c b a"))).toDF("doc_id", "text"))
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("token"), col("tf"),
+        col("positions").cast("array<long>").as("positions"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getSeq[Long](3)))
+      .sortBy(t => (t._1, t._2))
+    val gen = canon(toks.select(col("doc_id"), expr("posting_explode(toks)")))
+    val agg = canon(toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "token")))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("i").cast("long"))).as("positions")))
+    assert(gen.nonEmpty && gen.length === agg.length)
+    assert(gen === agg)
+    // the planted repeat doc: tf and position order are the aggregate's
+    val rep = gen.filter(t => t._1 == 900002L && t._2 == "a").head
+    assert(rep._3 === 3L && rep._4 === Seq(0L, 2L, 5L))
+  }
+
   test("driver-side tokenBucket replicates the engine's md5 bucket expression") {
     val rows = Tables.documents(spark, sf)
       .select(explode(split(col("text"), " ")).as("token")).distinct()
