@@ -244,10 +244,17 @@ object Retrieval {
       // group keys co-locates every group), so the per-(query, doc)
       // sum completes in place with no exchange of its own. Without
       // this, the aggregate's exchange ships partial rows with each
-      // (qid, doc) group duplicated once per token partition it scored
-      // in — ~25× for this corpus's ~25-term docs; measured at ×10 as
-      // 378 of q_bm25_batch_indexed's 507 MiB of shuffle (NOTES r19).
-      .repartition(col("doc_id"))
+      // (qid, doc) group duplicated once per query×token partition it
+      // scored in — measured at ×10 as 378 of q_bm25_batch_indexed's
+      // 507 MiB of shuffle (NOTES r19). The partition count is PINNED
+      // to the session's shuffle.partitions: a bare repartition(col)
+      // lets AQE coalesce this few-MB exchange to ONE partition by
+      // advisory size, serializing the downstream query fan-out + q6
+      // scoring on one core (measured: serve 3.3 → 15 s at sf0.1) —
+      // the bytes through this exchange are small precisely because
+      // the expensive fan-out happens AFTER it.
+      .repartition(hits.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       .join(broadcast(dfs), "token")
       .withColumn("tf_q6", tfQ6Expr(nD, aL))
       .withColumn("idf_q6", idfQ6Expr(nD))
