@@ -218,15 +218,73 @@ object GraftConf {
   /** [[sizedShufflePartitions]] with the family's measured expansion
     * applied: sizes from EXPECTED SHUFFLE bytes (corpus × factor)
     * against a shuffle-byte target instead of from input bytes against
-    * an input target. Families without a measured factor assume
+    * an input target. `factors` defaults to the static snapshot;
+    * callers with a session should pass [[activeExpansionFactors]] so a
+    * deployment can point sizing at THIS round's measured artifact.
+    * Families absent from `factors` fall back to the snapshot, then to
     * [[DefaultShuffleExpansion]] — exactly the legacy input rule. */
   def expansionSizedPartitions(query: String, corpusBytes: Long, cpus: Int,
       targetShuffleBytes: Long = DefaultTargetShuffleBytes,
-      cap: Int = DefaultShufflePartitionCap): Int = {
-    val factor = ShuffleExpansionPerCorpusByte.getOrElse(query, DefaultShuffleExpansion)
+      cap: Int = DefaultShufflePartitionCap,
+      factors: Map[String, Double] = ShuffleExpansionPerCorpusByte): Int = {
+    val factor = factors.getOrElse(query,
+      ShuffleExpansionPerCorpusByte.getOrElse(query, DefaultShuffleExpansion))
     val expected = math.ceil(math.max(corpusBytes, 0L) * factor).toLong
     sizedShufflePartitions(expected, cpus, targetShuffleBytes, cap)
   }
+
+  /** Parse a ScaleSmoke `shuffle_profile.json` artifact (the
+    * `SCALESMOKE_shuffle_latest.json` mirror) into per-query expansion
+    * factors: scaled-side shuffle-write bytes / scaled corpus bytes —
+    * the same definition [[ShuffleExpansionPerCorpusByte]] snapshots.
+    * Returns EMPTY when the file is absent, unparseable, or predates
+    * the `scaled_corpus_mb` field (pre-round-20 artifacts carry only
+    * per-query input bytes, whose denominator is not the corpus);
+    * callers decide whether empty means "fall back to the snapshot"
+    * ([[activeExpansionFactors]] when the conf is unset) or "fail
+    * fast" (when a deployment explicitly pointed at an artifact). */
+  def expansionFactorsFrom(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      val corpusMb = root.path("scaled_corpus_mb").asDouble(0.0)
+      if (corpusMb <= 0.0) Map.empty
+      else {
+        val rows = root.path("rows")
+        (0 until rows.size).flatMap { i =>
+          val r = rows.get(i)
+          val q = r.path("query").asText("")
+          val w = r.path("scaled_shuffle_write_mb")
+          if (q.nonEmpty && w.isNumber) Some(q -> w.asDouble() / corpusMb)
+          else None
+        }.toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** The expansion-factor map sizing should consume — the round-19
+    * verdict's staleness loop, closed: when
+    * `spark.graft.shuffle.expansionArtifact` names a shuffle-profile
+    * artifact, factors come from that MEASURED file (per-query fallback
+    * to the snapshot inside [[expansionSizedPartitions]]); a set-but-
+    * unusable artifact FAILS FAST (a deployment that pointed sizing at
+    * an artifact expects it consumed — silently reverting to the frozen
+    * snapshot is exactly the divergence failure the conf exists to
+    * kill). Unset, the static snapshot applies, and
+    * ShuffleSizingSpec's divergence guard is what catches staleness. */
+  def activeExpansionFactors(s: SparkSession): Map[String, Double] =
+    get(s, "spark.graft.shuffle.expansionArtifact") match {
+      case None => ShuffleExpansionPerCorpusByte
+      case Some(path) =>
+        val m = expansionFactorsFrom(path)
+        require(m.nonEmpty,
+          s"spark.graft.shuffle.expansionArtifact=$path is missing, " +
+            "unparseable, or predates the scaled_corpus_mb field — " +
+            "point it at a current shuffle_profile.json / " +
+            "SCALESMOKE_shuffle_latest.json, or unset it to size from " +
+            "the built-in snapshot")
+        m
+    }
 
   /** Conf values `spark.graft.profile=scale` implies when the conf is
     * not explicitly set. See the object doc for the per-key rationale. */
@@ -362,6 +420,7 @@ object GraftConf {
     "spark.graft.search.terms",
     "spark.graft.semdedup.lsh",
     "spark.graft.shingle.verifyBroadcastBytes",
+    "spark.graft.shuffle.expansionArtifact",
     "spark.graft.shuffle.expansionAware",
     "spark.graft.shuffle.targetBytesPerPartition",
     "spark.graft.shuffle.targetShuffleBytesPerPartition",

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, PostingExplode, ShingleExplode, SortedLongIntersect}
+import graft.functions.{FloatVecDot, GramCountExplode, PostingExplode, ShingleExplode, SortedLongIntersect}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("posting_explode"),
       new ExpressionInfo(classOf[PostingExplode].getName, "posting_explode"),
       exprs => PostingExplode(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("gram_count_explode"),
+      new ExpressionInfo(classOf[GramCountExplode].getName, "gram_count_explode"),
+      exprs => GramCountExplode(exprs(0), exprs(1))))
     // the custom physical operator's planner strategy, so extension-
     // configured sessions plan TopKPerGroup without touching
     // spark.experimental (TopKPerGroupOp.topK still registers it

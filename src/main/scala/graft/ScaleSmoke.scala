@@ -418,7 +418,16 @@ object ScaleSmoke {
         case (b, t) => Some(s"""{"query":"$n",${(b.toSeq ++ t.toSeq).mkString(",")}}""")
       }
     }
-    val shufLine = s"""{"phase":"shuffle_profile","rows":[${shufRows.mkString(",")}]}"""
+    // corpus bytes for BOTH sides ride the artifact so a reader (or
+    // GraftConf.expansionFactorsFrom) can compute shuffle-per-corpus-
+    // byte factors from the artifact ALONE — the round-19 verdict's
+    // staleness loop, closed: sizing can consume this file instead of
+    // a source-frozen snapshot of it
+    val corpusStanza =
+      f""""base_corpus_mb":${corpusBytes(spark, baseDir) / 1048576.0}%.2f,""" +
+        f""""scaled_corpus_mb":${corpusBytes(spark, workDir) / 1048576.0}%.2f"""
+    val shufLine = s"""{"phase":"shuffle_profile",$corpusStanza,""" +
+      s""""rows":[${shufRows.mkString(",")}]}"""
     println(shufLine)
     try {
       java.nio.file.Files.writeString(
@@ -582,7 +591,12 @@ object ScaleSmoke {
       val tgt = GraftConf.long(spark,
         "spark.graft.shuffle.targetShuffleBytesPerPartition",
         GraftConf.DefaultTargetShuffleBytes)
-      q => Some(GraftConf.expansionSizedPartitions(q, bytes, cpus, tgt))
+      // conf-gated artifact factors (spark.graft.shuffle
+      // .expansionArtifact) win over the source snapshot — resolved
+      // once per pass, not per query
+      val factors = GraftConf.activeExpansionFactors(spark)
+      q => Some(GraftConf.expansionSizedPartitions(q, bytes, cpus, tgt,
+        factors = factors))
     }
 
   /** The sized count x the hot-skew factor, RE-CLAMPED under the cap:

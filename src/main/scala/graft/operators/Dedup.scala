@@ -1299,11 +1299,27 @@ object Dedup {
     * record shipping, the distributed set-similarity verify's inherent
     * cost (Vernica et al., "Efficient Parallel Set-Similarity Joins
     * Using MapReduce", SIGMOD'10); the prefix/positional filters and
-    * the hot-shingle guard are what bound that regime. */
+    * the hot-shingle guard are what bound that regime.
+    *
+    * HEAP ASSUMPTION behind the 256 MiB default: under the cap BOTH
+    * verify joins broadcast the table, so up to two cap-sized
+    * broadcasts sit on the driver/executors concurrently ON TOP of the
+    * cached table itself — ~3× the cap resident. That clears any
+    * multi-GB executor heap (and this box's), but a deployment on
+    * small heaps should lower the conf. The gate trusts
+    * `stats.sizeInBytes` only when the frame IS a materialized cache
+    * (every caller passes [[cachedShingles]], whose InMemoryRelation
+    * stats are measured bytes); an unmaterialized frame would gate on
+    * a child ESTIMATE that can run orders of magnitude off, so
+    * anything else conservatively declines the broadcast. */
   private def broadcastVerifySides(sh: DataFrame): Boolean = {
     val cap = graft.GraftConf.long(sh.sparkSession,
       "spark.graft.shingle.verifyBroadcastBytes", 256L * 1024 * 1024)
-    cap > 0 && sh.queryExecution.optimizedPlan.stats.sizeInBytes <= cap
+    val materialized = sh.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }.isDefined
+    cap > 0 && materialized &&
+      sh.queryExecution.optimizedPlan.stats.sizeInBytes <= cap
   }
 
   private def ngramCandidates(sh: DataFrame): DataFrame = {

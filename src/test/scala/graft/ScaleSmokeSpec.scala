@@ -177,12 +177,15 @@ class ScaleSmokeSpec extends SparkFunSuite {
   }
 
   private object json {
+    // a real parse (Spark's bundled Jackson), not a structural heuristic:
+    // the earlier leading/trailing-brace + even-quote check passed
+    // malformed output like {"a":} and could not catch the breakage the
+    // assertion claims to guard
     def parseable(p: java.nio.file.Path): Boolean =
       try {
-        // javax-free structural check: balanced quotes/braces via the
-        // same regex family the reader uses, plus a paranoid brace test
-        val t = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-        t.startsWith("{") && t.endsWith("}") && t.count(_ == '"') % 2 == 0
+        val t = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+        node != null && node.isObject
       } catch { case scala.util.control.NonFatal(_) => false }
   }
 

@@ -87,6 +87,67 @@ class ShuffleSizingSpec extends AnyFunSuite {
         s"legacy equivalence broke at $bytes bytes")
   }
 
+  test("expansionFactorsFrom: parses the artifact, degrades to empty on every bad shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sizingspec_")
+    val p = dir.resolve("shuffle_profile.json")
+    // current format: factors = scaled_shuffle_write_mb / scaled_corpus_mb
+    java.nio.file.Files.writeString(p,
+      """{"phase":"shuffle_profile","base_corpus_mb":1.30,"scaled_corpus_mb":11.40,""" +
+        """"rows":[{"query":"q_a","scaled_input_mb":393.0,"scaled_shuffle_write_mb":701.5},""" +
+        """{"query":"q_b","base_shuffle_write_mb":1.0}]}""" + "\n")
+    val m = GraftConf.expansionFactorsFrom(p.toString)
+    assert(math.abs(m("q_a") - 701.5 / 11.4) < 1e-9)
+    assert(!m.contains("q_b"), "a row without a scaled side must be skipped, not zeroed")
+    // pre-round-20 format (no corpus field) → empty, never a guess from
+    // per-query input bytes (whose denominator is not the corpus)
+    java.nio.file.Files.writeString(p,
+      """{"phase":"shuffle_profile","rows":[{"query":"q_a","scaled_shuffle_write_mb":7.0}]}""")
+    assert(GraftConf.expansionFactorsFrom(p.toString) === Map.empty)
+    // absent / malformed → empty, never a throw
+    assert(GraftConf.expansionFactorsFrom(dir.resolve("absent.json").toString) === Map.empty)
+    java.nio.file.Files.writeString(p, "not json")
+    assert(GraftConf.expansionFactorsFrom(p.toString) === Map.empty)
+  }
+
+  test("artifact factors override the snapshot in sizing; absent families fall back") {
+    val tenGiB = 10L << 30
+    val measured = Map("q_dedup_containment" -> 31.0)
+    val fromArtifact = GraftConf.expansionSizedPartitions(
+      "q_dedup_containment", tenGiB, 32, cap = 1 << 20, factors = measured)
+    assert(fromArtifact ===
+      math.ceil(tenGiB * 31.0 / GraftConf.DefaultTargetShuffleBytes).toInt,
+      "sizing must consume the artifact factor, not the x62 snapshot")
+    // a family the artifact lacks still sizes from the snapshot
+    assert(GraftConf.expansionSizedPartitions(
+      "q_dedup_ngram", tenGiB, 32, cap = 1 << 20, factors = measured) ===
+      GraftConf.expansionSizedPartitions("q_dedup_ngram", tenGiB, 32, cap = 1 << 20))
+  }
+
+  test("snapshot-vs-artifact divergence guard: no stale factor survives >2x off the measured file") {
+    // the round-19 lesson: bm25's factor moved x37-44 -> x5-8 within ONE
+    // round's rework, and nothing failed. This guard reads the repo's
+    // standing SCALESMOKE_shuffle_latest.json; once it carries the
+    // corpus field (every round-20+ fleet run writes it), any snapshot
+    // entry >2x off the measured factor fails CI by name — refresh
+    // GraftConf.ShuffleExpansionPerCorpusByte from the artifact.
+    val measured = GraftConf.expansionFactorsFrom("SCALESMOKE_shuffle_latest.json")
+    assume(measured.nonEmpty,
+      "standing artifact predates the corpus field — guard arms on the next fleet run")
+    val drifted = GraftConf.ShuffleExpansionPerCorpusByte.toSeq.sorted.flatMap {
+      case (q, snap) => measured.get(q).collect {
+        // sub-2x factors are broadcast-regime noise (0.1 vs 0.25 is a
+        // rounding story, and both floor at fixture scale anyway): only
+        // families whose larger side is >= 2x corpus can mis-size
+        case meas if math.max(snap, meas) >= 2.0 &&
+          math.max(snap, meas) / math.min(snap, meas) > 2.0 =>
+          f"$q: snapshot $snap vs measured $meas%.1f"
+      }
+    }
+    assert(drifted.isEmpty,
+      s"stale expansion snapshot (refresh ShuffleExpansionPerCorpusByte " +
+        s"from the artifact): ${drifted.mkString("; ")}")
+  }
+
   test("the cap bounds task-count blowup; degenerate arguments fail fast by name") {
     assert(GraftConf.sizedShufflePartitions(1L << 50, 32) === 4096)
     assert(GraftConf.sizedShufflePartitions(1L << 50, 32, cap = 256) === 256)
