@@ -42,6 +42,31 @@ object RecallProbe {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  /** Brute-force EXACT-L2 top-k (excluding self) for the same pinned
+    * 30-query batch — the ground truth for the QUANTIZING faces'
+    * recall rows (ScaleSmoke pqRecall): PQ/IVFPQ rank by ADC squared
+    * distance, so their quality question is "how much does
+    * quantization (and probing) disturb the exact-L2 ranking" — a
+    * cosine truth would mix metric disagreement into the number for
+    * non-normalized vectors. Same 6-dp rounding and id tie order as
+    * the engine's kernels. */
+  private[graft] def bruteTopKL2(spark: SparkSession, dir: String, k: Int): Set[(Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    val c = e.select(col("vec_id").as("cid"), col("emb").as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("d2", round(expr("vec_dist2_d(qv, cv)"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[16]").config("spark.sql.shuffle.partitions","16")

@@ -449,7 +449,7 @@ object ScaleSmoke {
       "q_knn_ivf_scaled_served" ->
         ((dir: String) => operators.Similarity.scaledServedIvfIndexPath(spark, dir)))
       .filter { case (n, _) => selected.contains(n) }
-    if (recallFaces.nonEmpty) {
+    if (recallFaces.nonEmpty || mirror) {
       val recRows = recallFaces.map { case (n, pathOf) =>
         def r(dir: String): Double = {
           val v = ivfRecall(spark, dir, pathOf(dir))
@@ -457,8 +457,8 @@ object ScaleSmoke {
           v
         }
         val (rb, rs2) = (r(baseDir), r(workDir))
-        f"""{"face":"$n","nprobe":2,"base_recall":$rb%.4f,"scaled_recall":$rs2%.4f}"""
-      }
+        f"""{"face":"$n","nprobe":2,"truth":"cosine","base_recall":$rb%.4f,"scaled_recall":$rs2%.4f}"""
+      } ++ pqRecallRows(spark, baseDir, workDir, ifMirror = mirror)
       val recLine = s"""{"phase":"ivf_recall","rows":[${recRows.mkString(",")}]}"""
       println(recLine)
       try {
@@ -491,6 +491,39 @@ object ScaleSmoke {
     val got = res.collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
     truth.intersect(got).size.toDouble / truth.size
+  }
+
+  /** Recall rows for the QUANTIZING ANN faces (VERDICT r19 #5) — the
+    * `ivf_recall` treatment extended to q_knn_pq / q_knn_ivfpq:
+    * recall@10 of the ADC-ranked pipelines (codebook knobs pinned to
+    * the catalog faces' oracle replay — first-16 seeds, zero PQ Lloyd
+    * iters) against brute-force EXACT-L2 top-10 over the same 30-query
+    * batch, base and scaled. L2 truth, not cosine: these faces rank by
+    * ADC squared distance, so the line isolates quantization (+ probe)
+    * loss instead of mixing in metric disagreement (see
+    * [[RecallProbe.bruteTopKL2]]). Fleet-runs only (`ifMirror`): the
+    * faces are not in [[heavyQueries]], so a subset run can't name
+    * them, and partial artifacts must not feed the standing mirror.
+    * IvfRecallGuardSpec pins the CI floors. */
+  private def pqRecallRows(spark: SparkSession, baseDir: String,
+      workDir: String, ifMirror: Boolean): Seq[String] = {
+    if (!ifMirror) return Seq.empty
+    val faces = Seq(
+      "q_knn_pq" ->
+        ((dir: String) => operators.Similarity.pqTopK(spark, dir, 10)),
+      "q_knn_ivfpq" ->
+        ((dir: String) => operators.Similarity.ivfPqTopK(spark, dir, 10)))
+    faces.map { case (n, fn) =>
+      def r(dir: String): Double = {
+        val truth = RecallProbe.bruteTopKL2(spark, dir, 10)
+        val got = fn(dir).collect()
+          .map(x => (x.getAs[Long]("qid"), x.getAs[Long]("cid"))).toSet
+        CacheScope.releaseAll(); spark.catalog.clearCache()
+        truth.intersect(got).size.toDouble / truth.size
+      }
+      val (rb, rs2) = (r(baseDir), r(workDir))
+      f"""{"face":"$n","k":10,"truth":"l2","base_recall":$rb%.4f,"scaled_recall":$rs2%.4f}"""
+    }
   }
 
   /** Load + validate a `hotonly` denominator file: the flat

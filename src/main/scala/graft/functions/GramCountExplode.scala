@@ -3,14 +3,14 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.unsafe.Platform
 
 /** `gram_count_explode(tokens, w)`: one row per DISTINCT token `w`-gram
-  * of a document with its md5 hex hash and within-doc occurrence count
+  * of a document with its 64-bit hash and within-doc occurrence count
   * — the per-document gram-count-index row, computed inside the row.
   *
   * Why a Generator and not gram positions + `groupBy(gh, doc_id)`: the
@@ -19,17 +19,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * aggregation's exchange ships one row per gram POSITION — the same
   * combined-nothing smell [[PostingExplode]] killed in the postings
   * build (NOTES r19: 401 of 507 MiB), here owning the gram-index
-  * build's first of two full-position exchanges. A document's grams
-  * all live in its own row, so the count needs no exchange at all:
-  * this generator folds each doc's gram→count map in one pass, and the
-  * gram-index build's only remaining exchange is the 64-bucket layout
-  * repartition.
+  * build's first of two full-position exchanges (measured r20: the
+  * build halved, 166.8 → 83.1 MiB at ×10, when this fold landed). A
+  * document's grams all live in its own row, so the count needs no
+  * exchange at all: this generator folds each doc's gram→count map in
+  * one pass, and the gram-index build's only remaining exchange is the
+  * 64-bucket layout repartition.
   *
   * Output is bit-equal to `groupBy(gh, doc_id).agg(count(1) AS cnt)`
   * over the positional form `explode(transform(sequence(1, n - w + 1),
-  * i -> md5(array_join(slice(toks, i, w), ' '))))` — `gh` is the
-  * lowercase md5 hex of the UTF-8 bytes of the space-joined gram
-  * (null tokens skipped, matching `array_join`), rows come out in
+  * i -> xxhash64(array_join(slice(toks, i, w), ' '))))` — `gh` is
+  * Spark's `xxhash64` (seed 42) of the UTF-8 bytes of the space-joined
+  * gram (null tokens skipped, matching `array_join`), rows come out in
   * first-occurrence order, a doc with fewer than `w` tokens (or a NULL
   * array) emits nothing. SpanIndexSpec pins the equivalence over the
   * fixture corpus plus planted repeat/short/empty docs.
@@ -44,7 +45,7 @@ case class GramCountExplode(child: Expression, width: Expression)
   override def children: Seq[Expression] = Seq(child, width)
 
   override def elementSchema: StructType = StructType(Seq(
-    StructField("gh", StringType, nullable = false),
+    StructField("gh", LongType, nullable = false),
     StructField("cnt", LongType, nullable = false)))
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -55,6 +56,9 @@ case class GramCountExplode(child: Expression, width: Expression)
         s"gram_count_explode expects (ARRAY<STRING>, foldable INT), got " +
           s"(${c.sql}, ${wd.sql}${if (f) "" else ", non-foldable"})")
     }
+
+  /** Spark's xxhash64 seed (XxHash64 expression default). */
+  private val Seed = 42L
 
   @transient private lazy val w: Int = {
     val v = width.eval(null).asInstanceOf[Int]
@@ -78,35 +82,33 @@ case class GramCountExplode(child: Expression, width: Expression)
           toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
           i += 1
         }
-        val md = java.security.MessageDigest.getInstance("MD5")
         // insertion-ordered so output order is deterministic
         // (first-occurrence order, like the displaced groupBy's input)
-        val acc = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+        val acc = new java.util.LinkedHashMap[java.lang.Long, Array[Long]]()
+        var buf = new Array[Byte](64)
         var s = 0
         while (s + w <= n) {
           // space-joined gram bytes, null tokens skipped — array_join
-          // semantics, so gh is bit-equal to the positional form's md5
-          md.reset()
+          // semantics, so gh is bit-equal to the positional form's
+          // xxhash64 over the same UTF-8 bytes
+          var len = 0
           var first = true
           var j = s
           while (j < s + w) {
-            if (toks(j) != null) {
-              if (!first) md.update(' '.toByte)
-              md.update(toks(j))
+            val t = toks(j)
+            if (t != null) {
+              val need = len + t.length + (if (first) 0 else 1)
+              if (need > buf.length)
+                buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+              if (!first) { buf(len) = ' '.toByte; len += 1 }
+              System.arraycopy(t, 0, buf, len, t.length)
+              len += t.length
               first = false
             }
             j += 1
           }
-          val hex = new Array[Byte](32)
-          val dig = md.digest()
-          var k = 0
-          while (k < 16) {
-            val b = dig(k) & 0xff
-            hex(2 * k) = GramCountExplode.HexDigits(b >>> 4)
-            hex(2 * k + 1) = GramCountExplode.HexDigits(b & 0xf)
-            k += 1
-          }
-          val gh = UTF8String.fromBytes(hex)
+          val gh = java.lang.Long.valueOf(
+            XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, Seed))
           val cur = acc.get(gh)
           if (cur == null) acc.put(gh, Array(1L)) else cur(0) += 1L
           s += 1
@@ -116,7 +118,7 @@ case class GramCountExplode(child: Expression, width: Expression)
           def hasNext: Boolean = it.hasNext
           def next(): InternalRow = {
             val e = it.next()
-            InternalRow(e.getKey, e.getValue()(0))
+            InternalRow(e.getKey.longValue(), e.getValue()(0))
           }
         }
       }
@@ -129,8 +131,6 @@ case class GramCountExplode(child: Expression, width: Expression)
 }
 
 object GramCountExplode {
-  private val HexDigits: Array[Byte] = "0123456789abcdef".getBytes("US-ASCII")
-
   /** Session-local registration (idempotent). */
   def register(s: SparkSession): Unit =
     s.sessionState.functionRegistry.createOrReplaceTempFunction(

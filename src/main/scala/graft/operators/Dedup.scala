@@ -1508,6 +1508,28 @@ object Dedup {
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
     }
+    // Candidate-emission FLOOR, measured and CLOSED (r20, DuckDB at
+    // sf0.1, replicating this exact prefix scheme): 5.37M occurrence
+    // emissions → 875k distinct pairs → 163k verified. The two count
+    // levers on the r19 backlog were measured BEFORE any rework and
+    // both fail the ≥2× ship bar:
+    //  - length-stratified candidate joins (Vernica §4 banding): the
+    //    5·nb ≥ 4·na gate already sits IN the join condition, i.e. it
+    //    prunes BEFORE the emission exchange; unGATED enumeration is
+    //    only 1.19× the gated count (6.40M vs 5.37M) and a ×1.25
+    //    length band realizes just 69% of even that sliver — zero
+    //    emitted bytes saved, ≤16% enumeration CPU saved, one extra
+    //    band column through the full posting explode. Rejected.
+    //  - per-pair emission dedup (the 6.14× occurrence/pair factor):
+    //    inherent to the distributed prefix scheme — a pair sharing k
+    //    prefix shingles is emitted k times under k DIFFERENT join
+    //    keys, so the duplicates land in different tasks and the
+    //    distinct's map-side partial agg cannot collapse them;
+    //    emitting once would require prefix(A) ∩ B at emission time,
+    //    which IS the verify join. (Positional filter: measured r19,
+    //    14%, rejected — the contained prefix is too short to bite.)
+    // The emission exchange is therefore at its measured floor for
+    // this candidate scheme: ~16 bytes × 6.1 per surviving pair.
     // size-gated broadcast of the verify sides — see broadcastVerifySides
     val bcast = broadcastVerifySides(sh)
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
@@ -1558,7 +1580,8 @@ object Dedup {
     * gram → one shuffle join back on the gram hash (both sides
     * corpus-positional — inherent to exact-substring semantics), then
     * doc-local windows (doc-sized groups) for the gaps-and-islands run
-    * length. Grams travel as md5 hashes, never as 10-token strings. */
+    * length. Grams travel as 64-bit xxhash64 values, never as 10-token
+    * strings (see [[gramPositions]] for the hash-width rationale). */
   def spanDedup(s: SparkSession, d: String): DataFrame = {
     val g = gramPositions(tokenized(documents(s, d)), SpanGramWidth)
     val counts = g.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
@@ -1599,14 +1622,22 @@ object Dedup {
   /** Token `w`-gram positions `(doc_id, i, gh)` with 1-based `i` — shared
     * by [[spanDedup]] (the profile face) and [[spanRemoval]] (the
     * application face) so the two can never disagree on gram semantics.
-    * Grams travel as md5 hashes, never as w-token strings. */
+    * Grams travel as 64-bit xxhash64 values, never as w-token strings:
+    * gh is internal (no output or oracle column carries it), and the
+    * 8-byte long through every gram exchange and the persisted index is
+    * ~5× smaller than the md5 hex string it replaced — measured r20 as
+    * the dominant byte carrier of the serve side; xxhash64 is also far
+    * cheaper per position than MD5. The DuckDB oracle keys ITS counts
+    * on md5 — the results agree because dup positions depend only on
+    * count equality under an injective-enough hash (the 3-gram shingle
+    * families made the same trade, Dedup.scala shingleSetsOf). */
   private def gramPositions(docs: DataFrame, w: Int): DataFrame =
     docs
       .filter(col("n") >= w)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, CAST(n AS INT) - ${w - 1}),
            |  i -> struct(CAST(i AS BIGINT) AS i,
-           |    md5(array_join(slice(toks, i, $w), ' ')) AS gh))""".stripMargin))
+           |    xxhash64(array_join(slice(toks, i, $w), ' ')) AS gh))""".stripMargin))
         .as("p"))
       .select(col("doc_id"), col("p.i").as("i"), col("p.gh").as("gh"))
 
@@ -1650,7 +1681,23 @@ object Dedup {
     * index-served face ([[spanRemovalFromIndex]]): given the tokenized
     * docs and their corpus-repeated gram positions `dup (doc_id, i)`,
     * cut every qualifying maximal run and reassemble the cleaned text.
-    * The two faces can only differ in WHERE the gram counts came from. */
+    * The two faces can only differ in WHERE the gram counts came from.
+    *
+    * Tokens never leave their row: the cut runs collapse to per-doc
+    * INTERVAL ARRAYS (a handful of [s, e] token ranges — qualifying
+    * runs cover ≥ minCut tokens, so a doc carries at most n/minCut of
+    * them) and the cleaned text is rebuilt in-row with an
+    * index-aware `filter` over the doc's own token array — overlapping
+    * runs remove the UNION of their ranges because the coverage test
+    * is per position, exactly the displaced `explode(sequence)` +
+    * `distinct` semantics. The displaced form shipped the WHOLE token
+    * stream through two exchanges (posexplode + anti-join on (doc_id,
+    * pos), then groupBy(doc_id) collect_list of (pos, tok) structs) —
+    * measured (AQE-off per-stage, r20) as the bulk of the serve side's
+    * ~340 MiB of ×10 shuffle for an 11.4 MiB corpus. The in-row test
+    * is O(tokens × intervals) per doc, bounded by n²/minCut — fine for
+    * document-sized rows, and the exchange it replaces was
+    * corpus-proportional. */
   private def spanRemovalTail(
       docs: DataFrame, dup: DataFrame, minCut: Int): DataFrame = {
     val w = SpanGramWidth
@@ -1662,27 +1709,24 @@ object Dedup {
       .groupBy(col("doc_id"), col("isl"))
       .agg(min(col("i")).as("start"), count(lit(1)).as("rl"))
       .filter(col("rl") + (w - 1) >= minCut)
-    val nsp = cut.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans_cut"))
-    val removed = cut
-      .select(col("doc_id"),
-        explode(expr(s"sequence(start, start + rl + ${w - 2})")).as("pos"))
-      .distinct()
-    val toks = docs
-      .select(col("doc_id"), posexplode(col("toks")))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("tok"))
-    val kept = toks.join(removed, Seq("doc_id", "pos"), "left_anti")
-    val clean = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
-          .as("text_clean"))
-    docs.select(col("doc_id"), col("n").as("n_tokens"))
-      .join(nsp, Seq("doc_id"), "left")
-      .join(clean, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
+    // per-doc qualifying-run count and covered token intervals [s, e]
+    // (1-based, inclusive; runs may overlap through the + w - 1 tail —
+    // the per-position coverage test below resolves the union)
+    val ivs = cut.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans_cut"),
+        collect_list(struct(col("start").as("s"),
+          (col("start") + col("rl") + lit(w - 2)).as("e"))).as("ivs"))
+    docs
+      .join(ivs, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        """CASE WHEN ivs IS NULL THEN toks
+          |  ELSE filter(toks, (t, j) ->
+          |    NOT exists(ivs, v -> j + 1 >= v.s AND j + 1 <= v.e)) END"""
+          .stripMargin))
+      .select(col("doc_id"), col("n").as("n_tokens"),
         coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+        (col("n") - size(col("kept")).cast("long")).as("n_removed"),
+        array_join(col("kept"), " ").as("text_clean"))
       .orderBy(col("doc_id"))
   }
 
@@ -1705,40 +1749,94 @@ object Dedup {
     * another, so the `_gram_meta` sidecar records it fail-fast. */
   private[graft] val SpanGramWidth = 10
 
-  /** Gram-hash partition count; the first 4 hex chars of the md5 gram
-    * hash are already uniform, so `% 64` buckets evenly with no re-hash
+  /** Gram-hash partition count; the xxhash64 gram hash is already
+    * uniform, so `pmod(gh, 64)` buckets evenly with no re-hash
     * (mirrors [[TextAnalysis.WinnowBuckets]] / [[PairBuckets]]). */
   private[graft] val GramBuckets = 64
 
   private def gramBucketCol =
-    pmod(conv(substring(col("gh"), 1, 4), 16, 10).cast("long"),
-      lit(GramBuckets.toLong)).cast("int")
+    pmod(col("gh"), lit(GramBuckets.toLong)).cast("int")
 
   private def requireGramMeta(s: SparkSession, path: String): Unit = {
     val m = s.read.parquet(path + "/_gram_meta").select(col("w")).collect()(0)
     require(m.getInt(0) == SpanGramWidth,
       s"gram index at $path was built at w=${m.getInt(0)} but this engine's " +
         s"span family runs at w=$SpanGramWidth — rebuild the index")
+    // the r20 layout stores gh as a 64-bit hash; a pre-r20 md5-hex index
+    // would otherwise fail much later with a cast error inside a job
+    val ghType = s.read.parquet(path).schema("gh").dataType
+    require(ghType == org.apache.spark.sql.types.LongType,
+      s"gram index at $path stores gh as ${ghType.sql} but this engine " +
+        "runs 64-bit gram hashes — rebuild the index")
   }
 
   /** Build the gram-count index at `path`: per-(gram, doc) counts
-    * partitioned by `gh`-prefix % 64, one file per bucket, plus the
-    * one-row `_gram_meta` (w) geometry sidecar. */
+    * partitioned by `pmod(gh, 64)`, one file per bucket, plus the
+    * one-row `_gram_meta` (w) geometry sidecar and the `_gram_totals`
+    * serving sidecar ([[refreshGramTotals]]). */
   def writeGramIndex(s: SparkSession, d: String, path: String): Unit =
     writeGramIndexOf(documents(s, d), path)
+
+  /** Per-(gram, doc) counts `(gh, doc_id, cnt)` folded INSIDE each doc's
+    * row by [[graft.functions.GramCountExplode]] — shared by the index
+    * build and append. Why not gram positions + `groupBy(gh, doc_id)`:
+    * that grouping key is ~unique per position row (a 10-gram rarely
+    * repeats within a doc), so the aggregation's exchange shipped one
+    * row per gram POSITION — measured (AQE-off per-stage, r20) as half
+    * the build's 166.8 MiB of ×10 shuffle; with the fold in-row the
+    * build's only exchange is the 64-bucket layout repartition. */
+  private def gramDocCounts(docs: DataFrame): DataFrame = {
+    graft.functions.GramCountExplode.register(docs.sparkSession)
+    tokenized(docs)
+      .select(col("doc_id"),
+        expr(s"gram_count_explode(toks, $SpanGramWidth)"))
+  }
 
   /** [[writeGramIndex]] over any (doc_id, text) frame — the unit the
     * spec uses to index a partial corpus before growing it. */
   def writeGramIndexOf(docs: DataFrame, path: String): Unit = {
     val s = docs.sparkSession
-    gramPositions(tokenized(docs), SpanGramWidth)
-      .groupBy(col("gh"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+    val counts = gramDocCounts(docs)
       .withColumn("bucket", gramBucketCol)
       .repartition(GramBuckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    s.range(1).select(lit(SpanGramWidth).as("w"))
-      .coalesce(1).write.mode("overwrite").parquet(path + "/_gram_meta")
+      .persist()
+    try {
+      counts.write.mode("overwrite").partitionBy("bucket").parquet(path)
+      s.range(1).select(lit(SpanGramWidth).as("w"))
+        .coalesce(1).write.mode("overwrite").parquet(path + "/_gram_meta")
+      // totals from the SAME bucket-partitioned frame: hash(bucket)
+      // already co-locates every gh (bucket is a function of gh), so
+      // the aggregation completes in place — the fresh build pays no
+      // read-back and no second exchange for its sidecar; only append
+      // uses the idempotent read-back refresh
+      counts.groupBy(col("bucket"), col("gh")).agg(sum(col("cnt")).as("cnt"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(path + "/_gram_totals")
+    } finally counts.unpersist()
   }
+
+  /** Rebuild the `_gram_totals` sidecar: per-gram CORPUS totals, summed
+    * from the index's per-(gram, doc) partials, bucket-partitioned like
+    * the index itself so serving's probe-bucket pruning reaches it.
+    * DERIVED state with the [[graft.operators.Retrieval
+    * .refreshPostingsMeta]] contract: the single writer both the
+    * builder and [[appendToGramIndex]] call, idempotent, so a crash
+    * between an append and its refresh is recovered by calling refresh
+    * again — never by re-ingesting, and never by incrementally adding a
+    * batch (a retried increment would double-count). Why it exists:
+    * without it every serve re-aggregated the WHOLE index's partials on
+    * gh to learn which grams repeat — measured (AQE-off per-stage, r20)
+    * as ~90 of the serve side's ~270 MiB of ×10 shuffle, paid per
+    * query; the sum belongs at build time, which is what an index IS.
+    * The exchange here rides the bucket layout: hash(bucket) already
+    * co-locates every gh (bucket is a function of gh), so the
+    * aggregation completes inside the 64 layout partitions. */
+  def refreshGramTotals(s: SparkSession, path: String): Unit =
+    s.read.parquet(path)
+      .repartition(GramBuckets, col("bucket"))
+      .groupBy(col("bucket"), col("gh")).agg(sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(path + "/_gram_totals")
 
   /** Index GROWTH, replay-safe under at-least-once delivery: already
     * indexed doc_ids are anti-joined out (column-pruned read of the
@@ -1761,12 +1859,12 @@ object Dedup {
     val existing = s.read.parquet(path).select(col("doc_id")).distinct()
     val fresh = batch.dropDuplicates("doc_id")
       .join(existing, Seq("doc_id"), "left_anti")
-    gramPositions(tokenized(fresh), SpanGramWidth)
-      .groupBy(col("gh"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+    gramDocCounts(fresh)
       .withColumn("bucket", gramBucketCol)
       .repartition(col("bucket")) // one new file per bucket per batch
       .write.mode("append").partitionBy("bucket").parquet(path)
     IndexMaintenance.maybeCompactPartitioned(s, path)
+    refreshGramTotals(s, path)
   }
 
   /** Serve [[spanRemoval]] from a [[writeGramIndex]] table — bit-equal
@@ -1798,33 +1896,60 @@ object Dedup {
   /** The corpus-repeated gram-hash set served from a [[writeGramIndex]]
     * table, given the PROBE's persisted gram positions `g (doc_id, i,
     * gh)` — the count origin shared by [[spanRemovalFromIndex]] and
-    * [[spanDedupFromIndex]]. The index read is pruned to the probe's
-    * gram buckets (≤ 64 ints collected to the driver, pushed as a
-    * literal partition filter): a gram absent from the probe cannot
-    * produce a dup position, so skipping its bucket is sound, and a
-    * small probe set touches a handful of bucket directories. The
-    * corpus is never re-grammed here — that is the point of the index.
+    * [[spanDedupFromIndex]]. Reads come pruned to the probe's gram
+    * buckets (≤ 64 ints collected to the driver, pushed as literal
+    * partition filters): a gram absent from the probe cannot produce a
+    * dup position, so skipping its bucket is sound, and a small probe
+    * set touches a handful of bucket directories. The corpus is never
+    * re-grammed here — that is the point of the index.
+    *
+    * Corpus-repeated grams come STRAIGHT from the `_gram_totals`
+    * sidecar ([[refreshGramTotals]]) — serving no longer re-sums the
+    * whole index's per-(gram, doc) partials on every query (that
+    * exchange was ~90 of the serve side's ~270 MiB at ×10; it now runs
+    * once per build/append). A sidecar-less index (crash between
+    * append and refresh, or a pre-sidecar layout) fails fast by name —
+    * refresh is idempotent, so recovery is one call.
     *
     * Probe docs ABSENT from the index get their own gram occurrences
-    * credited via a defensive union (anti-join on the pruned read's
-    * doc_id — sound because an indexed probe doc's rows necessarily
-    * fall inside the probe's own buckets): without it, a gram repeated
-    * within an unindexed probe doc would never reach cnt > 1 and its
-    * spans would silently survive. For an already-indexed probe (the
-    * catalog/spec use) the union branch is empty and the counts are
-    * bit-equal to the scan face's. */
+    * credited defensively (semi-join of the probe grams against the
+    * unindexed probe ids — for an indexed probe, the catalog/spec use,
+    * the set is EMPTY, AQE broadcasts it, and the probe grams never
+    * cross an exchange here): without it, a gram repeated within an
+    * unindexed probe doc would never reach cnt > 1 and its spans would
+    * silently survive. An own-side gram promotes to dup only when the
+    * stored total ALONE did not already (stored ≤ 1) — the two
+    * branches are disjoint by construction, so no dedup pass is
+    * needed. Membership (is the probe doc indexed?) is a column-pruned
+    * read of the index's own doc_id — sound against the bucket
+    * pruning because an indexed probe doc's rows necessarily fall
+    * inside the probe's own buckets. */
   private def dupGramsFromIndex(g: DataFrame, indexPath: String): DataFrame = {
     val s = g.sparkSession
+    val totalsPath = indexPath + "/_gram_totals"
+    val fs = new org.apache.hadoop.fs.Path(totalsPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(totalsPath)),
+      s"gram index at $indexPath has no _gram_totals sidecar — run " +
+        "Dedup.refreshGramTotals (idempotent) or rebuild the index")
     val buckets = g.select(gramBucketCol.as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ 64 rows by construction
-    val pruned = s.read.parquet(indexPath)
+    val totals = s.read.parquet(totalsPath)
       .filter(col("bucket").isin(buckets: _*))
-    val own = g
-      .join(pruned.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    val storedDup = totals.filter(col("cnt") > 1).select(col("gh"))
+    val indexedIds = s.read.parquet(indexPath)
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("doc_id")).distinct()
+    val unindexed = g.select(col("doc_id")).distinct()
+      .join(indexedIds, Seq("doc_id"), "left_anti")
+    val own = g.join(unindexed, Seq("doc_id"), "left_semi")
       .groupBy(col("gh")).agg(count(lit(1)).cast("long").as("cnt"))
-    pruned.select(col("gh"), col("cnt")).unionByName(own)
-      .groupBy(col("gh")).agg(sum(col("cnt")).as("cnt"))
-      .filter(col("cnt") > 1).select(col("gh"))
+    val ownDup = own
+      .join(totals.select(col("gh"), col("cnt").as("stored")), Seq("gh"), "left")
+      .filter(coalesce(col("stored"), lit(0L)) <= 1 &&
+        col("cnt") + coalesce(col("stored"), lit(0L)) > 1)
+      .select(col("gh"))
+    storedDup.unionByName(ownDup)
   }
 
   /** Serve [[spanDedup]] (the PROFILE face) from a [[writeGramIndex]]
@@ -1856,14 +1981,34 @@ object Dedup {
   def spanDedupIndexed(s: SparkSession, d: String): DataFrame =
     spanDedupFromIndex(documents(s, d), gramIndexFor(s, d))
 
-  /** Session-stable gram index for dataset `d`, (re)built on every call
-    * (the catalog faces each adjudicate the full build+serve lifecycle;
-    * the stable path bounds /tmp growth across bench reps — see
-    * [[graft.TempDirs.scratchFor]]). */
+  /** Per-invocation gram index for dataset `d`, rebuilt on every call
+    * (the catalog faces each adjudicate the full build+serve lifecycle)
+    * into a fresh GENERATION subdir under the session-stable root.
+    *
+    * Generations, not an in-place overwrite: a serve over the index
+    * persists frames whose LINEAGE scans the index files
+    * ([[spanDedupTail]]'s `dg`), and Spark's CacheManager dedupes a
+    * later serve's identical analyzed plan onto that entry — whose
+    * captured physical plan lists the PREVIOUS build's part files, so
+    * an in-place rebuild made the next serve recompute from deleted
+    * files (FAILED_READ_FILE, caught r20). A rebuilt index at a NEW
+    * path is a different plan, so stale cache entries are simply never
+    * matched again. The previous generation is deleted to bound /tmp
+    * growth across bench reps (≤ 2 generations transiently on disk);
+    * its cached frames are never re-accessed (path mismatch) and fall
+    * to the consumer's `CacheScope.releaseAll`. General rule for every
+    * index family: MUTATING an index path in-session requires either a
+    * fresh path per build (here) or no persisted serve frame whose
+    * lineage reads the files. */
+  private val gramIndexGen = new java.util.concurrent.atomic.AtomicLong(0)
   private def gramIndexFor(s: SparkSession, d: String): String = {
-    val path = graft.TempDirs.scratchFor("graft_gramidx_", graft.TempDirs.sessionKey(s, d))
-      .resolve("grams").toString
+    val root = graft.TempDirs.scratchFor("graft_gramidx_", graft.TempDirs.sessionKey(s, d))
+    val gen = gramIndexGen.incrementAndGet()
+    val path = root.resolve(s"grams_g$gen").toString
     writeGramIndex(s, d, path)
+    val prev = new org.apache.hadoop.fs.Path(root.resolve(s"grams_g${gen - 1}").toString)
+    val fs = prev.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(prev)) fs.delete(prev, true)
     path
   }
 
@@ -1883,7 +2028,7 @@ object Dedup {
     * rebuild); `span.minCut` is serve-time — correctly absent. */
   private def servedGramIndex(s: SparkSession, d: String): String = {
     val fp = graft.Tables.filesFingerprint(s, d, "documents") +
-      s"|w=$SpanGramWidth"
+      s"|w=$SpanGramWidth|gh=xxh64"
     val (idx, built) = graft.TempDirs.buildOnce("graft_gramidx_",
       graft.TempDirs.sessionKey(s, d), "served_grams", fp)(p =>
       writeGramIndexOf(documents(s, d), p.toString))

@@ -255,7 +255,12 @@ object Similarity {
     * over everything and a scan over almost nothing. Both stages reuse
     * their standalone operators' oracle-exact machinery, so the
     * composition stays hash-checkable. */
-  def knnIvfPq(s: SparkSession, d: String): DataFrame = {
+  def knnIvfPq(s: SparkSession, d: String): DataFrame = ivfPqTopK(s, d, 3)
+
+  /** [[knnIvfPq]] with the per-query depth parameterized — the catalog
+    * face pins k = 3 for its oracle; the smoke's recall artifact ranks
+    * the same probe+ADC pipeline at k = 10 (ScaleSmoke pqRecall). */
+  private[graft] def ivfPqTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
     // the composed oracle replays exactly one Lloyd iteration over the
@@ -289,7 +294,7 @@ object Similarity {
       .agg(sum(col("d2").cast(DecimalType(18, 6))).cast("double").as("adc_dist2"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adc_dist2"), col("cid"))))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("rn").cast("long").as("rn"),
         col("adc_dist2"))
       .orderBy(col("qid"), col("rn"))
@@ -1212,7 +1217,12 @@ object Similarity {
     * scale the codes pivot to one row per vector and the LUT lookups
     * become a map-side expression; the long format here keeps every
     * intermediate oracle-replayable. */
-  def knnPq(s: SparkSession, d: String): DataFrame = {
+  def knnPq(s: SparkSession, d: String): DataFrame = pqTopK(s, d, 3)
+
+  /** [[knnPq]] with the per-query depth parameterized — the catalog
+    * face pins k = 3 for its oracle; the smoke's recall artifact ranks
+    * the same ADC pipeline at k = 10 (ScaleSmoke pqRecall). */
+  private[graft] def pqTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
     val subs = pqSubs(s, d)
@@ -1238,7 +1248,7 @@ object Similarity {
       .agg(sum(col("d2").cast(DecimalType(18, 6))).cast("double").as("adc_dist2"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adc_dist2"), col("cid"))))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("rn").cast("long").as("rn"),
         col("adc_dist2"))
       .orderBy(col("qid"), col("rn"))

@@ -126,6 +126,88 @@ class SpanIndexSpec extends SparkFunSuite {
     } finally CacheScope.releaseAll()
   }
 
+  test("a sidecar-less index fails fast by name; refreshGramTotals recovers it") {
+    val idx = scratch("graft_gramidx_totals_")
+    try {
+      Dedup.writeGramIndexOf(docs(sf), idx)
+      val before = removalRows(Dedup.spanRemovalFromIndex(docs(sf), idx, minCut = 50))
+      CacheScope.releaseAll()
+      // crash-between-append-and-refresh shape: the sidecar is gone
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx + "/_gram_totals"), true)
+      val e = intercept[IllegalArgumentException](
+        Dedup.spanRemovalFromIndex(docs(sf), idx, minCut = 50))
+      assert(e.getMessage.contains("refreshGramTotals"),
+        "a sidecar-less index must name the recovery call")
+      CacheScope.releaseAll()
+      // recovery is ONE idempotent call, and serving is unchanged by it
+      Dedup.refreshGramTotals(spark, idx)
+      Dedup.refreshGramTotals(spark, idx) // idempotent: twice is a no-op
+      val after = removalRows(Dedup.spanRemovalFromIndex(docs(sf), idx, minCut = 50))
+      assert(after === before, "refreshGramTotals changed the served result")
+    } finally CacheScope.releaseAll()
+  }
+
+  test("an unindexed probe doc promotes a stored-once gram to dup (stored=1 + own=1)") {
+    // the own-branch guard (stored <= 1) must still PROMOTE: a gram
+    // appearing once in the index and once in an unindexed probe doc
+    // has corpus total 2 — its position is a dup position for the probe
+    import spark.implicits._
+    val idx = scratch("graft_gramidx_promote_")
+    try {
+      val gram = (1 to 10).map(i => s"pm$i").mkString(" ")
+      val indexed = Seq((1L, gram), (2L, (1 to 10).map(i => s"zz$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      Dedup.writeGramIndexOf(indexed, idx)
+      val probe = Seq((777L, gram)).toDF("doc_id", "text")
+      val row = Dedup.spanDedupFromIndex(probe, idx).collect()(0)
+      CacheScope.releaseAll()
+      assert(row.getAs[Long]("n_dup_pos") === 1L,
+        "stored=1 + own=1 must promote the gram to corpus-repeated")
+    } finally CacheScope.releaseAll()
+  }
+
+  test("gram_count_explode is bit-equal to the displaced positional groupBy form") {
+    // the index build folds per-doc gram counts IN the row (the
+    // near-unique-key aggregation it displaced shipped one row per gram
+    // position); equivalence is pinned over the fixture corpus PLUS the
+    // planted edges: within-doc repeats (cnt > 1), exactly-w tokens,
+    // under-w tokens (no rows), empty text, all-identical tokens
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, explode, expr, lit, size, split}
+    graft.functions.GramCountExplode.register(spark)
+    val planted = Seq(
+      (9000001L, Seq.fill(3)((1 to 10).map(i => s"r$i").mkString(" ")).mkString(" ")),
+      (9000002L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (9000003L, (1 to 9).map(i => s"u$i").mkString(" ")),
+      (9000004L, ""),
+      (9000005L, Seq.fill(25)("x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpus = docs(sf).unionByName(planted)
+    val toks = corpus.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val viaGen = toks
+      .select(col("doc_id"), expr("gram_count_explode(toks, 10)"))
+      .collect().map(_.toString).sorted.toSeq
+    val displaced = toks
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 10)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, CAST(n AS INT) - 9),
+          |  i -> xxhash64(array_join(slice(toks, i, 10), ' ')))""".stripMargin)).as("gh"))
+      .groupBy(col("doc_id"), col("gh")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("gh"), col("cnt"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaGen === displaced,
+      "gram_count_explode diverged from the positional groupBy form")
+    // non-vacuous: the all-identical-token doc must fold to cnt = 16
+    // (25 - 10 + 1 positions of ONE distinct gram) and the short/empty
+    // docs must emit nothing
+    assert(viaGen.count(_.contains("9000005")) === 1)
+    assert(viaGen.exists(r => r.contains("9000005") && r.endsWith("16]")))
+    assert(!viaGen.exists(r => r.contains("9000003") || r.contains("9000004")))
+  }
+
   test("geometry sidecar: serving fails fast when w disagrees") {
     val idx = scratch("graft_gramidx_meta_")
     Dedup.writeGramIndexOf(docs(sf).limit(5), idx)
