@@ -189,20 +189,24 @@ object GraftConf {
     * and understates by ~50×; NOTES r18 trend table). Sources:
     * SCALESMOKE_shuffle r18 rows, with ngram/containment re-measured
     * r19 AFTER the verify-join broadcast + positional-filter rework
-    * (1618→464, 1894→702 MiB) and clusters post checkpoint-fix.
+    * (1618→464, 1894→702 MiB), clusters post checkpoint-fix, and the
+    * five span-family rows refreshed r20 AFTER the sidecar/in-row
+    * serve rework (494→127 MiB etc.) — the refresh the divergence
+    * guard in ShuffleSizingSpec demanded, now that the standing
+    * artifact carries `scaled_corpus_mb` and the guard is armed.
     * Refreshed each round from the smoke's shuffle profile. */
   val ShuffleExpansionPerCorpusByte: Map[String, Double] = Map(
     "q_dedup_containment" -> 62.0, "q_dedup_containment_bucketed" -> 62.0,
     "q_dedup_containment_topn" -> 62.0,
     "q_dedup_ngram" -> 41.0, "q_dedup_ngram_bucketed" -> 41.0,
     "q_dedup_ngram_topn" -> 41.0,
-    "q_span_removal_served" -> 43.0,
+    "q_span_removal_served" -> 11.2,
     "q_bm25_batch_indexed" -> 7.9, "q_bm25_batch" -> 8.0,
     "q_bm25_batch_served" -> 5.0,
     "q_dedup_minhash" -> 25.0, "q_dedup_minhash_bucketed" -> 25.0,
-    "q_span_dedup_served" -> 22.0, "q_span_removal_shard_served" -> 10.3,
-    "q_span_dedup_shard_served" -> 8.2, "q_span_dedup" -> 6.4,
-    "q_bpe_merges" -> 5.2, "q_semantic_dedup_lsh" -> 4.8,
+    "q_span_dedup_served" -> 9.5, "q_span_removal_shard_served" -> 2.8,
+    "q_span_dedup_shard_served" -> 3.1, "q_span_dedup" -> 2.3,
+    "q_bpe_merges" -> 7.3, "q_semantic_dedup_lsh" -> 4.8,
     "q_repetition_filter" -> 4.5, "q_curation_pipeline" -> 2.2,
     "q_dedup_clusters" -> 2.1, "q_dedup_clusters_collapsed" -> 2.1,
     "q_winnow_contamination_indexed" -> 1.6, "q_dedup_minhash_topn" -> 1.5,
