@@ -115,4 +115,44 @@ object Tables {
         md.digest().map(b => f"${b & 0xff}%02x").mkString
     }
   }
+
+  /** Scale-adaptive parallelism floor for CPU-heavy NARROW work riding a
+    * scan (guide: per-task work lives in the stage that reads the input).
+    *
+    * Why: the fixture tables are single-file, single-ROW-GROUP parquet,
+    * and Spark assigns a parquet row group to exactly one split — so
+    * every pre-exchange stage of every catalog query runs as ONE task no
+    * matter what `maxPartitionBytes`/`openCostInBytes` say. All per-row
+    * compute that sits before the first shuffle (codec decode, shingle
+    * hashing, MinHash partial aggregation, HOF token batteries) was
+    * measured running single-core on a 32-core box (round-20 baseline:
+    * q_image_pipeline 4.1 s, q_pdf_transforms 3.7 s close — almost pure
+    * single-task compute).
+    *
+    * What it does: when the frame's planned partition count is BELOW the
+    * cluster's total core count, insert one round-robin repartition up to
+    * that count; otherwise return the frame untouched. The gate makes the
+    * helper scale-correct by construction:
+    *
+    *  - small input (the only case where a scan plans fewer partitions
+    *    than cores): the added exchange moves at most the input itself —
+    *    here ≤ ~600 KiB — and buys core-count parallelism for the
+    *    CPU-bound projection above it;
+    *  - 100 TB input: the scan already plans orders of magnitude more
+    *    partitions than cores, the gate is false, NO new exchange — the
+    *    helper cannot regress the large-scale plan.
+    *
+    * The target is `defaultParallelism` (local[n] → n; cluster → total
+    * executor cores), NOT a constant — the driver re-benches at a lower
+    * core count and the widened stage scales with it.
+    *
+    * Call it on the narrow (scan/filter/project-only) input of a
+    * compute-heavy projection or mapPartitions. Do NOT call it above an
+    * exchange: the partition-count probe plans the frame, and under AQE
+    * that would materialize upstream query stages. */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (target <= 1 || df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
 }

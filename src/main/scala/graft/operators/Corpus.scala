@@ -66,7 +66,7 @@ object Corpus {
     require(budget > 0 && shards > 0, "packBudget and packShards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents(s, d)
+    graft.Tables.widen(documents(s, d))
       .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
         expr("size(split(text, ' '))").cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
@@ -107,7 +107,7 @@ object Corpus {
     * content-defined cuts). Only [[cdcDedup]]'s hash groupBy exchanges,
     * and that input is chunk-rows, partial-aggregated map-side. */
   private def cdcRows(s: SparkSession, d: String): DataFrame =
-    cdcRowsOf(s, documents(s, d))
+    cdcRowsOf(s, graft.Tables.widen(documents(s, d)))
 
   /** [[cdcRows]] over any (doc_id, text) frame — the unit the property
     * suite drives (edit-resynchronization on synthetic documents). */
@@ -212,7 +212,7 @@ object Corpus {
         expr(s"transform(sequence(1, size(toks) - ${gw - 1}), i -> md5(array_join(slice(toks, i, $gw), ' ')))"))
         .as("g"))
       .distinct()
-    val docs = documents(s, d)
+    val docs = graft.Tables.widen(documents(s, d))
     val eval = grams(docs.filter(col("doc_id") % 97 === 0), "eval_doc")
     val train = grams(docs.filter(col("doc_id") % 97 =!= 0), "train_doc")
     train.join(broadcast(eval), "g")
@@ -295,7 +295,7 @@ object Corpus {
     val w = confInt(s, "spark.graft.corpus.boilerBlock", 3)
     val minDf = confInt(s, "spark.graft.corpus.boilerDf", 3)
     require(w >= 1 && minDf >= 2, "boilerBlock >= 1, boilerDf >= 2")
-    val blocks = documents(s, d)
+    val blocks = graft.Tables.widen(documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .withColumn("block_id",
@@ -369,7 +369,7 @@ object Corpus {
   def lineDedup(s: SparkSession, d: String): DataFrame = {
     val w = confInt(s, "spark.graft.corpus.lineBlock", 5)
     require(w >= 1, "lineBlock must be >= 1")
-    val blocks = documents(s, d)
+    val blocks = graft.Tables.widen(documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .withColumn("block_id",

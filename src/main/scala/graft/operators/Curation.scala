@@ -201,7 +201,7 @@ object Curation {
     val clusters = Dedup.sharedClusters(s, d)
       .getOrElse(Dedup.dedupClusters(s, d))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-    val q = withQuality(documents(s, d)).select(col("doc_id"), col("quality"))
+    val q = withQuality(graft.Tables.widen(documents(s, d))).select(col("doc_id"), col("quality"))
     clusters.join(q, "doc_id")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cluster_id"))
@@ -239,7 +239,7 @@ object Curation {
         expr(s"transform(sequence(1, size(toks) - ${gw - 1}), i -> md5(array_join(slice(toks, i, $gw), ' ')))"))
         .as("g"))
       .distinct()
-    val docs = documents(s, d)
+    val docs = graft.Tables.widen(documents(s, d))
     grams(docs.filter(col("doc_id") % 97 === 0), "eval_doc")
       .createOrReplaceTempView("graft_contam_eval_g")
     grams(docs.filter(col("doc_id") % 97 =!= 0), "train_doc")
@@ -267,7 +267,7 @@ object Curation {
     * the oracle can replay it; a real pipeline feeds two real
     * snapshots through the identical plan.) */
   def corpusDiff(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    val docs = documents(s, d) // diff joins md5 fingerprints: widen inside v-frames below
     val b = docs.filter(col("doc_id") % 7 =!= 0)
       .select(col("doc_id"), col("source"),
         when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
@@ -465,7 +465,7 @@ object Curation {
   /** [[dsirWeights]] core, keeping `source` in flight (doc_id is unique,
     * so grouping on both adds no exchange) for [[dsirSelect]]'s report. */
   private def dsirWeightsWithSource(s: SparkSession, d: String): DataFrame = {
-    def feat = documents(s, d)
+    def feat = graft.Tables.widen(documents(s, d))
       .select(col("doc_id"), col("source"),
         explode(expr("filter(split(lower(text), ' '), t -> t != '')")).as("w"))
       .select(col("doc_id"), col("source"),

@@ -86,7 +86,10 @@ object Dedup {
     val s = docs.sparkSession
     import s.implicits._
     val g = lshGeometry(s)
-    docs
+    // widen: the MinHash partial aggregation (width hash chains per
+    // token — the pipeline's dominant CPU) runs in the stage that reads
+    // the input; a single-row-group fixture scan would run it one-core
+    graft.Tables.widen(docs)
       .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("t"))
       .as[(Long, String)]
       .groupByKey(_._1)
@@ -1197,11 +1200,19 @@ object Dedup {
       // One HOP of neighbor-min (the Pregel superstep) ...
       val minNbr = cBoth.join(labels, cBoth("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      // lazily cached, not checkpointed: the self-join below reads hop
+      // twice, and a cache serves both reads from one execution inside
+      // the SAME job that materializes `next` — the per-round eager
+      // checkpoint job this used to pay bought nothing (lineage is
+      // truncated once per round, at `next`), and at ~6 CC invocations
+      // per catalog run those extra jobs were pure fixed overhead.
+      // Plan growth is bounded: hop's plan embeds only the round's
+      // checkpointed inputs.
       val hop = labels.as("l")
         .join(minNbr, col("l.node") === minNbr("dst"), "left")
         .select(col("l.node").as("node"),
           least(col("l.lbl"), coalesce(col("nlbl"), col("l.lbl"))).as("lbl"))
-        .transform(truncateLineage) // eager: the self-join below reads it twice
+        .persist()
       // ... then POINTER DOUBLING (path halving): every node also takes
       // its label's own label. A label is always a same-component node id
       // and only ever decreases, so correctness is untouched — but the
@@ -1219,6 +1230,7 @@ object Dedup {
         .select(col("a.node").as("node"),
           least(col("a.lbl"), coalesce(col("plbl"), col("a.lbl"))).as("lbl"))
         .transform(truncateLineage) // eager: materializes AND truncates lineage
+      hop.unpersist(blocking = false) // next reads its checkpoint files now
       val newSum = next.agg(sum(col("lbl"))).head().getLong(0)
       labels = next
       converged = newSum == prevSum
@@ -1250,7 +1262,9 @@ object Dedup {
     shingleSetsOf(documents(s, d))
 
   private def shingleSetsOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("source"),
+    // widen: per-position xxhash64 + array_sort/distinct is the scan
+    // stage's CPU; see [[graft.Tables.widen]]
+    graft.Tables.widen(docs).select(col("doc_id"), col("source"),
       expr("""CASE WHEN length(text) >= 3
              |  THEN array_sort(array_distinct(transform(
              |    sequence(1, length(text) - 2), i -> xxhash64(substring(text, i, 3)))))
@@ -1615,7 +1629,9 @@ object Dedup {
   /** `(doc_id, toks, n)` token frame — the shared tokenization of the
     * span family (exact-substring semantics live at token granularity). */
   private def tokenized(docs: DataFrame): DataFrame =
-    docs
+    // widen: every span face's gram hashing (and the removal tail's
+    // in-row interval filter) runs in the stage that reads this frame
+    graft.Tables.widen(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
 
@@ -1787,7 +1803,7 @@ object Dedup {
     * build's only exchange is the 64-bucket layout repartition. */
   private def gramDocCounts(docs: DataFrame): DataFrame = {
     graft.functions.GramCountExplode.register(docs.sparkSession)
-    tokenized(docs)
+    tokenized(docs) // widened inside tokenized
       .select(col("doc_id"),
         expr(s"gram_count_explode(toks, $SpanGramWidth)"))
   }
@@ -2089,7 +2105,7 @@ object Dedup {
     // whole-stage codegen (the nested higher-order fold variant ran
     // interpreted and recomputed md5 per bit position; this hashes each
     // token once and shuffles only (doc, bit, ±1) partial sums).
-    val tok = documents(s, d)
+    val tok = graft.Tables.widen(documents(s, d))
       .select(col("doc_id"),
         explode(expr("array_distinct(split(text, ' '))")).as("t"))
       .withColumn("m", md5(col("t")))

@@ -187,7 +187,10 @@ object Multimodal {
     * codec; solid fill makes the means exact under any interpolation. */
   def imagePipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val out = documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+    // widen: the whole encode→decode→resize runs in the stage that reads
+    // the (single-row-group) fixture scan — one task without the floor
+    val out = graft.Tables.widen(documents(s, d).select(col("doc_id")))
+      .as[Long].mapPartitions { it =>
       // codec instances are JVM-static (ImageIO registry) — init amortized.
       // Default ImageIO streams are DISK-cached (a temp file per encode/
       // decode!) — keep them in memory.
@@ -242,7 +245,14 @@ object Multimodal {
     * its amplitude, so the oracle is analytic. */
   def audioPipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val out = documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+    // NOT widened (measured r20): javax.sound's AudioSystem entry points
+    // route every encode/decode through a synchronized JDK provider
+    // lookup (JDK13Services.getProviders), so 32 concurrent tasks
+    // serialize on that monitor and run SLOWER than one (1.8 s single
+    // task → 3.0-3.8 s widened). The image pipeline has no such global
+    // lock and widens 4.5×.
+    val out = documents(s, d).select(col("doc_id"))
+      .as[Long].mapPartitions { it =>
       it.map { id =>
         val rate = 8000
         val nFrames = (800 + id % 800).toInt

@@ -167,8 +167,9 @@ object Pdf {
     * doc_id % 70 == 0 plays the unfetchable blob. */
   def pdfTransforms(s: SparkSession, d: String): DataFrame = {
     registerUdfs(s)
-    documents(s, d)
-      .filter(col("doc_id") % 5 === 0)
+    // widen: PDF synth + PDFBox convert per row is the scan stage's CPU
+    graft.Tables.widen(
+      documents(s, d).filter(col("doc_id") % 5 === 0))
       .select(
         col("doc_id"),
         element_at(

@@ -162,7 +162,7 @@ object Retrieval {
     * the scan-side form here is the reference semantics for it. */
   def phraseSearch(s: SparkSession, d: String): DataFrame = {
     val phrase = confPhrase(s)
-    val pos = documents(s, d)
+    val pos = graft.Tables.widen(documents(s, d))
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "token")))
       .select(col("doc_id"), col("token"), col("i").cast("long").as("i"))
       .filter(col("token").isin(phrase.distinct: _*))
@@ -211,7 +211,7 @@ object Retrieval {
     import org.apache.spark.sql.expressions.Window
     val k = GraftConf.int(s, "spark.graft.search.batchK", 5)
     require(k >= 1, "spark.graft.search.batchK must be >= 1")
-    val docs = documents(s, d)
+    val docs = graft.Tables.widen(documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val train = docs.filter(col("doc_id") % 97 =!= 0)
@@ -444,7 +444,8 @@ object Retrieval {
     // for natural text, so the aggregation combined nothing). The only
     // exchange left in the build is the 64-bucket layout repartition.
     graft.functions.PostingExplode.register(docs.sparkSession)
-    docs
+    // widen: tokenize + posting_explode is the scan stage's CPU
+    graft.Tables.widen(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
       .select(col("doc_id"), col("dl"), expr("posting_explode(toks)"))

@@ -482,7 +482,7 @@ object Similarity {
   def embedNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val B = 16
-    val blocks = embeddings(s, d)
+    val blocks = graft.Tables.widen(embeddings(s, d))
       .groupBy(pmod(hash(col("vec_id")), lit(B)).as("bid"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vecs"))
     val tiles = s.createDataset(
@@ -490,7 +490,14 @@ object Similarity {
     val tiled = blocks.select(col("bid").as("bi"), col("vecs").as("va"))
       .join(broadcast(tiles), "bi")
       .join(blocks.select(col("bid").as("bj"), col("vecs").as("vb")), "bj")
-    val out = tiled.select(col("bi"), col("bj"), col("va"), col("vb")).flatMap { r =>
+    // pinned-count repartition before the kernel: the tile frame is a few
+    // MB, so AQE's size-based coalescing folds the join output to ONE
+    // partition and serializes the O(n²/B²·d) per-tile kernel — the same
+    // blind spot as the bm25 scoring fan-out (r19); the count is pinned so
+    // the runtime cannot re-coalesce it. B(B+1)/2 tiles spread round-robin.
+    val out = tiled.select(col("bi"), col("bj"), col("va"), col("vb"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .flatMap { r =>
       def unpack(field: String) = {
         val rows = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](field)
         val ids = new Array[Long](rows.length)
@@ -1317,7 +1324,7 @@ object Similarity {
     // edge); a top-k beyond 1e6 neighbors is meaningless anyway
     require(k >= 1 && k <= 1000000,
       "spark.graft.bitext.k must be in [1, 1000000]")
-    val e = embeddings(s, d)
+    val e = graft.Tables.widen(embeddings(s, d))
     val a = e.filter(col("label") < 5)
       .select(col("vec_id").as("aid"), col("embedding").as("ae"),
         sqrt(expr("vec_dot(embedding, embedding)")).as("an"))

@@ -16,6 +16,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TextAnalysis {
 
+  /** [[graft.Tables.widen]]-floored documents scan: the token batteries
+    * here are per-row HOF compute in the stage that reads the input, and
+    * the single-row-group fixture files plan that stage as ONE task.
+    * The widen gate is a no-op at real scale (scan partitions ≥ cores). */
+  private def docsW(s: SparkSession, d: String): DataFrame =
+    graft.Tables.widen(documents(s, d))
+
   /** Whitespace tokenization + char stats + type-token ratio. */
   def textStats(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -77,7 +84,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val approx =
       graft.GraftConf.bool(s, "spark.graft.quality.approxThreshold", default = false)
-    val q = documents(s, d)
+    val q = docsW(s, d)
       .withColumn("ttr",
         expr("size(array_distinct(split(text, ' ')))").cast("double") /
           expr("size(split(text, ' '))"))
@@ -163,7 +170,7 @@ object TextAnalysis {
     winnowSelected(s, d).orderBy(col("doc_id"), col("pos"))
 
   private def winnowSelected(s: SparkSession, d: String): DataFrame =
-    winnowSelectedOf(s, documents(s, d))
+    winnowSelectedOf(s, docsW(s, d))
 
   /** [[winnowFingerprints]]'s selection core over any (doc_id, text)
     * frame — the unit the guarantee test drives with synthetic shared
@@ -301,7 +308,7 @@ object TextAnalysis {
     val cap = graft.GraftConf.int(s, "spark.graft.winnow.maxDocsPerFp", 0)
     val evalMod = graft.GraftConf.int(s, "spark.graft.winnow.evalMod", 7)
     require(evalMod >= 2, "winnow.evalMod must be >= 2")
-    val docs = documents(s, d)
+    val docs = docsW(s, d)
     winnowContaminationOf(
       winnowSelectedOf(s, docs.filter(col("doc_id") % evalMod === 0)),
       winnowSelectedOf(s, docs.filter(col("doc_id") % evalMod =!= 0)),
@@ -389,7 +396,7 @@ object TextAnalysis {
     * repartitioned so each bucket writes one file instead of one per
     * task, plus the one-row `_winnow_meta` (k, w) geometry sidecar. */
   def writeWinnowIndex(s: SparkSession, d: String, path: String): Unit =
-    writeWinnowIndexOf(documents(s, d), path)
+    writeWinnowIndexOf(docsW(s, d), path)
 
   /** [[writeWinnowIndex]] over any (doc_id, text) frame — the unit
     * [[winnowContaminationIndexed]] uses to index the train side only. */
@@ -529,7 +536,7 @@ object TextAnalysis {
     val cap = graft.GraftConf.long(s, "spark.graft.winnow.maxSpanMatchesPerPair", 0L)
     val evalMod = graft.GraftConf.int(s, "spark.graft.winnow.evalMod", 7)
     require(evalMod >= 2, "winnow.evalMod must be >= 2")
-    val docs = documents(s, d)
+    val docs = docsW(s, d)
     contaminationSpansOf(
       winnowContamination(s, d).select(col("eval_id"), col("train_id")),
       docs.filter(col("doc_id") % evalMod === 0),
@@ -587,7 +594,7 @@ object TextAnalysis {
     require(evalMod >= 2, "winnow.evalMod must be >= 2")
     val path = graft.TempDirs.freshUnder("graft_winnowidx_",
       graft.TempDirs.sessionKey(s, d), "train").toString
-    val docs = documents(s, d)
+    val docs = docsW(s, d)
     writeWinnowIndexOf(docs.filter(col("doc_id") % evalMod =!= 0), path)
     contaminationFromIndex(
       docs.filter(col("doc_id") % evalMod === 0).select(col("doc_id"), col("text")),
@@ -618,7 +625,7 @@ object TextAnalysis {
       s"|evalMod=$evalMod" +
       s":k=${graft.GraftConf.int(s, "spark.graft.winnow.gram", 5)}" +
       s":w=${graft.GraftConf.int(s, "spark.graft.winnow.window", 8)}"
-    val docs = documents(s, d)
+    val docs = docsW(s, d)
     val (idx, built) = graft.TempDirs.buildOnce("graft_winnowidx_",
       graft.TempDirs.sessionKey(s, d), "served_train", fp)(p =>
       writeWinnowIndexOf(docs.filter(col("doc_id") % evalMod =!= 0), p.toString))
@@ -657,7 +664,7 @@ object TextAnalysis {
     * scan gets). The sketch/verify stages are identical in both shapes. */
   def heavyHittersCms(s: SparkSession, d: String): DataFrame = {
     graft.functions.CmsFunctions.register(s)
-    val toks = documents(s, d)
+    val toks = docsW(s, d)
       .select(explode(split(col("text"), " ")).as("token"))
     toks.createOrReplaceTempView("graft_hh_tokens")
     val localCand =
@@ -707,7 +714,7 @@ object TextAnalysis {
     * fingerprint group in one window partition AQE cannot split, while
     * the skewed side of this join it can. */
   def trainingSelect(s: SparkSession, d: String): DataFrame = {
-    val scored = documents(s, d)
+    val scored = docsW(s, d)
       .withColumn("n_tokens", expr("size(split(text, ' '))"))
       .withColumn("ttr",
         expr("size(array_distinct(split(text, ' ')))").cast("double") / col("n_tokens"))
@@ -734,7 +741,7 @@ object TextAnalysis {
     * between engines. Shape: one explode + two partial-agg shuffles
     * keyed by (doc, gram) then doc — uniform keys, scales linearly. */
   def repetitionFilter(s: SparkSession, d: String): DataFrame = {
-    val grams = documents(s, d)
+    val grams = docsW(s, d)
       .select(col("doc_id"),
         explode(expr(
           """CASE WHEN size(split(text, ' ')) >= 2
@@ -745,7 +752,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
       .agg(max(col("cnt")).as("top2"), sum(col("cnt")).as("tot2"))
-    documents(s, d)
+    docsW(s, d)
       .select(col("doc_id"),
         expr("size(split(text, ' '))").cast("long").as("n_tokens"),
         expr("size(array_distinct(split(text, ' ')))").cast("long").as("n_distinct"))
@@ -770,7 +777,7 @@ object TextAnalysis {
   def piiRedact(s: SparkSession, d: String): DataFrame = {
     val emailRe = "[a-z0-9._]+@[a-z0-9.-]+"
     val phoneRe = "555-[0-9]{4}"
-    documents(s, d)
+    docsW(s, d)
       .withColumn("pii_text", concat(
         col("text"),
         when(col("doc_id") % 3 === 0,
@@ -792,7 +799,7 @@ object TextAnalysis {
     * aggregate immediately — the fan-out never materializes as an array. */
   def udtfShingles(s: SparkSession, d: String): DataFrame = {
     graft.functions.ShingleExplode.register(s)
-    documents(s, d)
+    docsW(s, d)
       .select(col("doc_id"), expr("shingle_explode(text, 4)"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
@@ -812,8 +819,8 @@ object TextAnalysis {
     * the same pattern as the clustering fixpoint test — an aggregate, not
     * a row collect). */
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
-    val nDocs = documents(s, d).count()
-    documents(s, d)
+    val nDocs = documents(s, d).count() // scalar count: no compute to widen
+    docsW(s, d)
       .select(col("doc_id"), explode(expr("split(text, ' ')")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("total_cnt"),
@@ -836,7 +843,7 @@ object TextAnalysis {
     * size-2 guard respects the `sequence(1, 0)` descending gotcha
     * (NOTES determinism rules). */
   def vocabPairs(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    docsW(s, d)
       .select(split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(explode(expr(
@@ -897,7 +904,7 @@ object TextAnalysis {
     * tokenizer trainer). */
   private def bpeTrain(s: SparkSession, d: String,
       rounds: Int): (DataFrame, Seq[(Long, String, Long)]) = {
-    val corpusWire = documents(s, d)
+    val corpusWire = docsW(s, d)
       .select(col("doc_id"),
         concat(lit("|"), expr("replace(text, ' ', '||')"), lit("|")).as("w"))
     var hist = graft.operators.Dedup.truncateLineage(
@@ -953,7 +960,7 @@ object TextAnalysis {
     * shuffle at all beyond the trainer's own counting rounds. */
   def bpeEncode(s: SparkSession, d: String): DataFrame = {
     val (wire, _) = bpeTrain(s, d, rounds = 5)
-    documents(s, d)
+    docsW(s, d)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens_raw"))
       .join(wire, "doc_id")
@@ -982,7 +989,7 @@ object TextAnalysis {
     * (chars minus separators over token count) so the rule boundary
     * compares identical doubles in both engines. */
   def gopherFilter(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    docsW(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("mwl",
@@ -1031,7 +1038,7 @@ object TextAnalysis {
     * sort-merge join it CAN — the inverted-index shuffle shape that
     * survives a 100 TB corpus. */
   def noveltyScore(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d)
+    val sh = docsW(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -1093,7 +1100,7 @@ object TextAnalysis {
     * The conf keeps that a session decision instead of an edit. */
   def lmRareTrigram(s: SparkSession, d: String): DataFrame = {
     val rareCount = graft.GraftConf.long(s, "spark.graft.lm.rareCount", 2L)
-    val pos = documents(s, d)
+    val pos = docsW(s, d)
       .select(col("doc_id"),
         expr("filter(split(lower(text), ' '), t -> t != '')").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -1163,7 +1170,7 @@ object TextAnalysis {
     * can never drift from the audited battery. */
   private[operators] def funnelFlags(s: SparkSession, d: String): DataFrame = {
     val lm = lmRareTrigram(s, d).select(col("doc_id"), col("kept").as("r_lm"))
-    documents(s, d)
+    docsW(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("stop_hits", expr(
