@@ -429,6 +429,7 @@ object GraftConf {
     "spark.graft.shuffle.targetBytesPerPartition",
     "spark.graft.shuffle.targetShuffleBytesPerPartition",
     "spark.graft.span.minCut",
+    "spark.graft.stream.statePartitions",
     "spark.graft.text.hhLocalCandidates",
     "spark.graft.topkPerGroup.maxBufferedRows",
     "spark.graft.winnow.evalMod",

@@ -1165,15 +1165,18 @@ object Dedup {
     // Level 1 — every node takes min(self, direct neighbors), computed
     // WITHOUT materializing the 2× symmetric edge list: pairs carry
     // d1 < d2, so a node's min neighbor below itself can only arrive via
-    // its backward edges — one partial-agg pass over the directed pairs.
+    // its backward edges. ONE partial-aggregated pass: backward rows
+    // (d2 → candidate label d1) unioned with self rows (d1 → d1), then
+    // min per node. Equivalent to the displaced three-exchange form
+    // (backward-min agg + union DISTINCT over 2|E| node mentions + join
+    // back): a node appearing as d2 gets min(its d1s) — all below it —
+    // and a node appearing only as d1 gets itself; the partial agg
+    // collapses each partition to ≤|V| rows before the only exchange.
     // Near-dup components are dense, so this collapses most of each
     // component onto its minimum immediately.
-    val bwd = pairs.groupBy(col("d2")).agg(min(col("d1")).as("mn"))
-    val l1 = pairs.select(col("d1").as("node"))
-      .union(pairs.select(col("d2")))
-      .distinct()
-      .join(bwd.select(col("d2").as("node"), col("mn")), Seq("node"), "left")
-      .select(col("node"), coalesce(col("mn"), col("node")).as("lbl"))
+    val l1 = pairs.select(col("d2").as("node"), col("d1").as("lbl"))
+      .union(pairs.select(col("d1").as("node"), col("d1").as("lbl")))
+      .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
       .transform(truncateLineage)
     // Contract: project the directed pairs onto level-1 labels and dedup.
     // Dense components collapse to a handful of inter-label edges, so the

@@ -33,8 +33,10 @@ object GraphOps {
     * mass uniformly each superstep (GraphOpsSpec exercises both paths —
     * the oracle covers this no-dangling graph). */
   def pagerank(s: SparkSession, d: String): DataFrame = {
-    val e0 = lineitem(s, d)
-      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    // widen: the 600k-row distinct's partial agg otherwise runs inside
+    // the single-row-group scan's one task ([[graft.Tables.widen]])
+    val e0 = graft.Tables.widen(lineitem(s, d)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst")))
       .distinct()
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     val dangling =

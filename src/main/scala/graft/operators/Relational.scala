@@ -106,7 +106,10 @@ object Relational {
     * oracle pins to TRUE. The sketch runs, and the check is a real value
     * check rather than the driver's weaker rows-only fallback. */
   def aggApprox(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+    // widen: the multi-count-distinct Expand (×4 rows) + partial aggs
+    // otherwise run inside the single-row-group scan's one task
+    graft.Tables.widen(lineitem(s, d)
+        .select($c("l_returnflag"), $c("l_orderkey"), $c("l_partkey")))
       .groupBy($c("l_returnflag"))
       .agg(
         countDistinct($c("l_orderkey")).as("exact_orders"),

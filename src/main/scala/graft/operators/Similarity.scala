@@ -238,10 +238,19 @@ object Similarity {
     } else {
       for (_ <- 1 to lloydIters) cents = lloydStep(cents)
     }
-    val top2 = scoreTop2(cents).persist()
+    // materialize the trained quantizer once: the centroid frame is ≤ k
+    // rows, but its PLAN embeds the full corpus assignment of every
+    // Lloyd step — without this cache, every later action that touches
+    // `cents` (the final assignment's broadcast build AND the index
+    // sidecar write in writeIvfIndexModel) re-trains the quantizer
+    // end-to-end (measured r20: one extra full assignment pass per
+    // index build).
+    val centsM = graft.CacheScope.track(cents.persist())
+    centsM.count()
+    val top2 = scoreTop2(centsM).persist()
     graft.CacheScope.track(top2)
     top2.count()
-    (cents, top2)
+    (centsM, top2)
   }
 
   /** IVF+PQ composed (the FAISS `IVF16,PQ8` architecture — what a

@@ -231,16 +231,36 @@ object Streaming {
       .orderBy(col("user_id"), col("session_start_ms"))
   }
 
+  /** Scope `spark.sql.shuffle.partitions` to a streaming query START:
+    * the state-partition count is pinned into the checkpoint at query
+    * start, and at fixture volume the session's 32 means 32 state-store
+    * instances (64 for stream-stream joins) doing fixed-cost work per
+    * micro-batch. The per-face precedents (late_drop's 2, the four
+    * stream-stream joins' 8) generalize here behind
+    * `spark.graft.stream.statePartitions` (default 8) — results are
+    * partition-count independent; a production deployment sizes it to
+    * its executor count exactly like every other state geometry dial. */
+  private def scopedStateParts[A](s: SparkSession)(body: => A): A = {
+    val n = graft.GraftConf.int(s, "spark.graft.stream.statePartitions", 8)
+    require(n >= 1, "spark.graft.stream.statePartitions must be >= 1")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink and return
     * the materialized result (synchronous: processAllAvailable). */
   def runToMemory(s: SparkSession, streamed: DataFrame, name: String,
       mode: String): DataFrame = {
     s.catalog.dropTempView(name)
-    val q = streamed.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
+    val q = scopedStateParts(s) {
+      streamed.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    }
     try q.processAllAvailable()
     finally q.stop()
     s.table(name)
@@ -282,12 +302,14 @@ object Streaming {
     import org.apache.spark.sql.streaming.Trigger
     val name = "graft_stream_availablenow"
     s.catalog.dropTempView(name)
-    val q = tumblingCounts(eventsStream(s, d)).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = scopedStateParts(s) {
+      tumblingCounts(eventsStream(s, d)).writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     try q.awaitTermination() // AvailableNow terminates itself when drained
     finally q.stop()
     s.table(name).select(
@@ -351,7 +373,7 @@ object Streaming {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val q1 = start()
+      val q1 = scopedStateParts(s)(start())
       // let at least batches 0 and 1 commit, then kill the query mid-run
       val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
       while (Option(q1.lastProgress).forall(_.batchId < 1) &&
@@ -361,7 +383,7 @@ object Streaming {
       // redelivery arrives AFTER the crash, as new files
       raw.filter(col("event_id") % 10 === 0)
         .repartition(2).write.mode("append").parquet(landing)
-      val q2 = start()
+      val q2 = scopedStateParts(s)(start())
       try q2.processAllAvailable()
       finally q2.stop()
     } finally {
