@@ -1195,9 +1195,12 @@ object Dedup {
       .toDF("src", "dst").transform(truncateLineage)
     var labels = cBoth.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).transform(truncateLineage)
-    var prevSum = Option(labels.agg(sum(col("lbl"))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    var converged = labels.isEmpty // fully contracted already
+    // one action answers both "fully contracted already" (count == 0)
+    // and the fixpoint baseline (sum) — the separate isEmpty probe was a
+    // second job over the just-checkpointed frame, ×6 CC calls per run
+    val init = labels.agg(count(lit(1)), sum(col("lbl"))).head()
+    var prevSum = if (init.isNullAt(1)) 0L else init.getLong(1)
+    var converged = init.getLong(0) == 0L // fully contracted already
     var iter = 0
     while (!converged && iter < 25) {
       // One HOP of neighbor-min (the Pregel superstep) ...

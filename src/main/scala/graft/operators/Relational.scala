@@ -57,6 +57,10 @@ object Relational {
   /** TPC-H Q1-shaped pricing summary: the canonical partial-agg benchmark.
     * All money math in exact decimals (see graft.Exact). */
   def q1Agg(s: SparkSession, d: String): DataFrame = {
+    // NOT widened (measured r20): the serial parquet decode of the
+    // single-row-group lineitem file dominates this query, not the
+    // aggregation — widening moved the decimal aggs off the scan task
+    // for a net 0.0 s; the exchange isn't worth paying for that
     val li = lineitem(s, d)
       .filter($c("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
     val price = dec(col("l_extendedprice"), 12, 2)

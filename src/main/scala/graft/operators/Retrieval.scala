@@ -471,10 +471,23 @@ object Retrieval {
   /** [[writePostingsIndex]] over any (doc_id, text) frame — the unit
     * [[bm25BatchIndexed]] uses to index the training side only. */
   def writePostingsIndexOf(docs: DataFrame, path: String): Unit = {
-    postingsRows(docs)
+    // sidecars from the SAME bucket-partitioned frame (the span-index
+    // build's contract, writeGramIndexOf): the fresh build pays no
+    // read-back of the files it just wrote — refreshPostingsMeta stays
+    // the idempotent recovery/append path
+    val rows = postingsRows(docs)
       .repartition(IndexBuckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    refreshPostingsMeta(docs.sparkSession, path)
+      .persist()
+    try {
+      rows.write.mode("overwrite").partitionBy("bucket").parquet(path)
+      rows.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path + "/_postings_df")
+      rows.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_d"), sum(col("dl")).as("a_l"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path + "/_postings_meta")
+    } finally rows.unpersist(blocking = false)
   }
 
   /** Rebuild both sidecars from the postings table (idempotent; the only

@@ -907,8 +907,18 @@ object TextAnalysis {
     val corpusWire = docsW(s, d)
       .select(col("doc_id"),
         concat(lit("|"), expr("replace(text, ' ', '||')"), lit("|")).as("w"))
-    var hist = graft.operators.Dedup.truncateLineage(
-      corpusWire.groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+    // Lazy CACHE chain, not a per-round eager checkpoint: round r's
+    // argmax job materializes hist_r's cache on the way (reading
+    // hist_{r-1}'s cached blocks), so each round costs ONE job instead
+    // of two. Earlier rounds' caches stay pinned until CacheScope
+    // releases them (dedup-sized frames — a few MB for all rounds);
+    // plan depth grows one replace+regroup layer per round — linear,
+    // trivially analyzable at this trainer's round counts. A 32k-round
+    // production trainer would re-introduce a checkpoint every few
+    // hundred rounds; that cadence belongs to the deployment, not the
+    // reference loop.
+    var hist = graft.CacheScope.track(
+      corpusWire.groupBy(col("w")).agg(count(lit(1)).as("cnt")).persist())
     val merges = collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     for (r <- 1 to rounds) {
       val best = hist
@@ -927,12 +937,13 @@ object TextAnalysis {
         merges += ((r.toLong, pair, n))
         // lit() columns, not SQL literal splicing: token text never has
         // to survive a second trip through the SQL parser
-        hist = graft.operators.Dedup.truncateLineage(
+        hist = graft.CacheScope.track(
           hist.select(
               org.apache.spark.sql.functions.replace(
                 col("w"), lit(wireSearch(pair)), lit(wireTarget(pair))).as("w"),
               col("cnt"))
-            .groupBy(col("w")).agg(sum(col("cnt")).as("cnt")))
+            .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
+            .persist())
       }
     }
     val wire = merges.foldLeft(corpusWire) { case (df, (_, pair, _)) =>

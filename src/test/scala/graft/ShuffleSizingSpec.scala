@@ -71,9 +71,15 @@ class ShuffleSizingSpec extends AnyFunSuite {
       cap = 1 << 20)
     val light = GraftConf.expansionSizedPartitions("q_winnow_matches", tenGiB, 32,
       cap = 1 << 20)
-    assert(heavy === math.ceil(tenGiB * 62.0 / GraftConf.DefaultTargetShuffleBytes).toInt)
-    assert(light === math.ceil(tenGiB * 0.8 / GraftConf.DefaultTargetShuffleBytes).toInt)
-    assert(heavy > 70 * light / 2 && heavy < 90 * light,
+    // against the SNAPSHOT factors (refreshed each round from the smoke
+    // artifact — hardcoding last round's values here is exactly the
+    // staleness the divergence guard below exists to kill)
+    val fHeavy = GraftConf.ShuffleExpansionPerCorpusByte("q_dedup_containment")
+    val fLight = GraftConf.ShuffleExpansionPerCorpusByte("q_winnow_matches")
+    assert(heavy === math.ceil(tenGiB * fHeavy / GraftConf.DefaultTargetShuffleBytes).toInt)
+    assert(light === math.ceil(tenGiB * fLight / GraftConf.DefaultTargetShuffleBytes).toInt)
+    assert(fHeavy / fLight > 10.0 &&
+      heavy > light * (fHeavy / fLight) * 0.9 && heavy < light * (fHeavy / fLight) * 1.1,
       s"family differentiation lost: heavy=$heavy light=$light")
     // the default cap still bounds everything
     assert(GraftConf.expansionSizedPartitions("q_dedup_containment", tenGiB, 32)
