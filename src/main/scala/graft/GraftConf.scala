@@ -383,6 +383,7 @@ object GraftConf {
   val KnownKeys: Set[String] = Set(
     "spark.graft.bench.queryTimeoutSec",
     "spark.graft.bitext.k",
+    "spark.graft.cc.localMaxEdges",
     "spark.graft.bitext.minMargin",
     "spark.graft.checkpointDir",
     "spark.graft.classifier.vocabK",

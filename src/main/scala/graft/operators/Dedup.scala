@@ -1159,6 +1159,7 @@ object Dedup {
     * on the dense-graph assumption). */
   private[graft] def connectedComponentsWithRounds(
       pairsIn: DataFrame): (DataFrame, Int) = {
+    val s = pairsIn.sparkSession
     val pairs = graft.CacheScope.track(
       pairsIn.select(col("d1"), col("d2")).persist())
     pairs.count()
@@ -1191,16 +1192,75 @@ object Dedup {
       .select(least(col("ls"), col("ld")).as("src"),
         greatest(col("ls"), col("ld")).as("dst"))
       .distinct()
-    val cBoth = cEdges.union(cEdges.select(col("dst"), col("src")))
+    // The contracted graph is orders of magnitude smaller than the pair
+    // input (dense near-dup components collapse onto their minimum at
+    // level 1), so the distributed fixpoint below spends its wall-clock
+    // on per-round JOB OVERHEAD (a lineage-truncating materialization +
+    // a convergence-sum action per round, ×~6 CC call sites per catalog
+    // run), not on data. When the contracted edge list is provably
+    // small, solve it ON THE DRIVER in one bounded collect (union-find
+    // with min-id roots — exactly the per-component minima the fixpoint
+    // converges to) and skip the loop machinery entirely. Bounded the
+    // way every driver-side probe in this engine is bounded
+    // (`spark.graft.search.maxQueryTerms`, the IVF probed-cell
+    // collect): `spark.graft.cc.localMaxEdges` caps the collect (500k
+    // edges ≈ 8 MB on the driver; 0 disables), and a larger contracted
+    // graph — adversarial chain corpora at 100 TB — falls back to the
+    // pointer-doubling loop, which CcSpec still pins at O(log diameter)
+    // rounds with the conf forced to 0.
+    val localMax = graft.GraftConf.int(s, "spark.graft.cc.localMaxEdges", 500000)
+    require(localMax >= 0, "spark.graft.cc.localMaxEdges must be >= 0")
+    val cCached = graft.CacheScope.track(cEdges.persist())
+    val cCount = cCached.count()
+    def mapThrough(contracted: DataFrame): DataFrame =
+      l1.as("a")
+        .join(contracted.select(col("node").as("n2"), col("lbl").as("l2")),
+          col("a.lbl") === col("n2"), "left")
+        .select(col("a.node").as("node"),
+          coalesce(col("l2"), col("a.lbl")).as("lbl"))
+    if (cCount == 0L) { // fully contracted at level 1 — l1 IS the answer
+      cCached.unpersist(blocking = false)
+      return (l1, 0)
+    }
+    if (cCount <= localMax) {
+      val edges = cCached.collect()
+      cCached.unpersist(blocking = false)
+      // union-find with MIN-ID roots: attaching the larger root under
+      // the smaller makes each final root the component minimum — the
+      // same label the distributed min-propagation fixpoint converges
+      // to, so the two routes are output-identical (CcSpec asserts it).
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edges.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet.forEach(n => out += ((n, find(n))))
+      import s.implicits._
+      val localLabels = out.toSeq.toDF("node", "lbl")
+      return (mapThrough(broadcast(localLabels)), 0)
+    }
+    val cBoth = cCached.union(cCached.select(col("dst"), col("src")))
       .toDF("src", "dst").transform(truncateLineage)
+    cCached.unpersist(blocking = false)
     var labels = cBoth.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).transform(truncateLineage)
-    // one action answers both "fully contracted already" (count == 0)
-    // and the fixpoint baseline (sum) — the separate isEmpty probe was a
-    // second job over the just-checkpointed frame, ×6 CC calls per run
-    val init = labels.agg(count(lit(1)), sum(col("lbl"))).head()
-    var prevSum = if (init.isNullAt(1)) 0L else init.getLong(1)
-    var converged = init.getLong(0) == 0L // fully contracted already
+    var prevSum = {
+      val init = labels.agg(sum(col("lbl"))).head()
+      if (init.isNullAt(0)) 0L else init.getLong(0)
+    }
+    var converged = false
     var iter = 0
     while (!converged && iter < 25) {
       // One HOP of neighbor-min (the Pregel superstep) ...
@@ -1251,11 +1311,7 @@ object Dedup {
     require(converged, s"label propagation did not converge in $iter rounds")
     // Map level-1 labels through the contracted components; labels that
     // never appeared in a contracted edge are already component minima.
-    (l1.as("a")
-      .join(labels.select(col("node").as("n2"), col("lbl").as("l2")),
-        col("a.lbl") === col("n2"), "left")
-      .select(col("a.node").as("node"), coalesce(col("l2"), col("a.lbl")).as("lbl")),
-      iter)
+    (mapThrough(labels), iter)
   }
 
   /** Shingle sets as sorted 64-bit hash arrays, one row per doc. Guarded
