@@ -208,53 +208,85 @@ object Retrieval {
     * touches ≤ k rows per query. `spark.graft.search.batchK`
     * (default 5, oracle-pinned) is the depth dial. */
   def bm25Batch(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val k = GraftConf.int(s, "spark.graft.search.batchK", 5)
     require(k >= 1, "spark.graft.search.batchK must be >= 1")
-    val docs = graft.Tables.widen(documents(s, d))
+    graft.functions.PostingExplode.register(s)
+    // UNWIDENED tokenization for the two scalar/benchmark-sized branches:
+    // the (N, A) stats agg partial-aggregates in the scan stage and the
+    // qterms explode is eval-slice-sized — widening them bought nothing
+    // but re-paid the round-robin exchange of the corpus text once per
+    // action (measured at ×10: the widen exchange was the single largest
+    // shuffle writer of this face). Only the hits branch below — the
+    // corpus-sized posting fold — is widened.
+    val docs = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val train = docs.filter(col("doc_id") % 97 =!= 0)
     val statsRow = train.agg(count(lit(1)).as("n_d"), sum(col("dl")).as("a_l"))
       .collect()(0)
-    val (nD, aL) = (statsRow.getLong(0), statsRow.getLong(1))
-    val qterms = docs.filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("qid"), explode(col("toks")).as("token"))
-      .distinct()
-    val hits = train
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
-      .join(broadcast(qterms.select(col("token")).distinct()),
-        Seq("token"), "left_semi")
-      .groupBy(col("doc_id"), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    // persisted: the scoring join AND the semi-join's term list both read
+    // this benchmark-sized frame — without the cache the eval-side
+    // tokenize ran once per broadcast (twice per query)
+    val qterms = graft.CacheScope.track(
+      docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"), explode(col("toks")).as("token"))
+        .distinct().persist())
+    // per-(doc, token) tf folded IN THE ROW (posting_explode — the
+    // postings build's idiom): the old explode + groupBy(doc, dl, token)
+    // exchanged one row per token OCCURRENCE (tf ≈ 1 for natural text,
+    // so the aggregation combined ~nothing — the dominant share of this
+    // face's 10.5×-corpus shuffle factor, GraftConf expansion map). With
+    // the fold the hits frame never crosses an exchange at all: a doc's
+    // rows stay in its scan partition, which is exactly the clustering
+    // the (qid, doc_id) scoring aggregate needs — see bm25BatchScore's
+    // partitionByDoc = false leg. Persisted: the dfs prelude and the
+    // scoring pass both read it (one corpus fold, not two).
+    val hits = graft.CacheScope.track(
+      graft.Tables.widen(documents(s, d).filter(col("doc_id") % 97 =!= 0))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("dl", size(col("toks")).cast("long"))
+        .select(col("doc_id"), col("dl"), expr("posting_explode(toks)"))
+        .select(col("token"), col("doc_id"), col("dl"), col("tf"))
+        .join(broadcast(qterms.select(col("token")).distinct()),
+          Seq("token"), "left_semi")
+        .persist())
     val dfs = hits.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    bm25BatchScore(hits, dfs, qterms, statsRow.getLong(0), statsRow.getLong(1), k)
+    bm25BatchScore(hits, dfs, qterms, statsRow.getLong(0), statsRow.getLong(1), k,
+      partitionByDoc = false)
   }
 
   /** The batch scoring tail shared by the scan path ([[bm25Batch]]) and
     * the index path ([[bm25BatchFromIndex]]): per-(query, doc) q6 sums,
     * spilling per-query top-k, rank window over ≤ k rows per query. */
   private def bm25BatchScore(hits: DataFrame, dfs: DataFrame, qterms: DataFrame,
-      nD: Long, aL: Long, k: Int): DataFrame = {
+      nD: Long, aL: Long, k: Int, partitionByDoc: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = hits
-      // ONE exchange of the narrow (token, doc, dl, tf) rows keyed by
-      // doc_id: HashPartitioning(doc_id) satisfies the scoring
-      // aggregate's (qid, doc_id) clustering (hash on a SUBSET of the
-      // group keys co-locates every group), so the per-(query, doc)
-      // sum completes in place with no exchange of its own. Without
-      // this, the aggregate's exchange ships partial rows with each
-      // (qid, doc) group duplicated once per query×token partition it
-      // scored in — measured at ×10 as 378 of q_bm25_batch_indexed's
-      // 507 MiB of shuffle (NOTES r19). The partition count is PINNED
-      // to the session's shuffle.partitions: a bare repartition(col)
-      // lets AQE coalesce this few-MB exchange to ONE partition by
-      // advisory size, serializing the downstream query fan-out + q6
-      // scoring on one core (measured: serve 3.3 → 15 s at sf0.1) —
-      // the bytes through this exchange are small precisely because
-      // the expensive fan-out happens AFTER it.
-      .repartition(hits.sparkSession.sessionState.conf.numShufflePartitions,
-        col("doc_id"))
+    // partitionByDoc — the INDEX path's leg: its hits arrive laid out by
+    // token BUCKET, so a doc's rows are scattered across partitions and
+    // the scoring aggregate's exchange would ship partial rows with each
+    // (qid, doc) group duplicated once per partition it scored in —
+    // measured at ×10 as 378 of q_bm25_batch_indexed's 507 MiB of
+    // shuffle (NOTES r19). ONE up-front exchange of the narrow (token,
+    // doc, dl, tf) rows keyed by doc_id fixes that:
+    // HashPartitioning(doc_id) satisfies the aggregate's (qid, doc_id)
+    // clustering (hash on a SUBSET of the group keys co-locates every
+    // group), so the per-(query, doc) sum completes in place. The
+    // partition count is PINNED to the session's shuffle.partitions: a
+    // bare repartition(col) lets AQE coalesce this few-MB exchange to
+    // ONE partition by advisory size, serializing the downstream query
+    // fan-out + q6 scoring on one core (measured: serve 3.3 → 15 s at
+    // sf0.1). The SCAN path passes false: posting_explode keeps a doc's
+    // rows inside its scan partition, so the groups are already
+    // partition-complete — the partial aggregate collapses the fan-out
+    // in place and the final exchange ships ≤ one aggregated row per
+    // (qid, doc), no up-front exchange needed at all.
+    val placed =
+      if (partitionByDoc)
+        hits.repartition(
+          hits.sparkSession.sessionState.conf.numShufflePartitions,
+          col("doc_id"))
+      else hits
+    val scored = placed
       .join(broadcast(dfs), "token")
       .withColumn("tf_q6", tfQ6Expr(nD, aL))
       .withColumn("idf_q6", idfQ6Expr(nD))
