@@ -52,6 +52,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
+      // fixture-scale state geometry: the operator default is
+      // defaultParallelism (the 100 TB-safe value); the harness pins the
+      // measured-best fixture count so tiny streams don't spin up a
+      // state store per core (see Streaming.scopedStateParts) and the
+      // driver's stream timings stay comparable round-over-round
+      .config("spark.graft.stream.statePartitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Pipeline mode: dedupClusters publishes its cluster table and

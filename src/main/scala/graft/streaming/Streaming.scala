@@ -236,12 +236,30 @@ object Streaming {
     * start, and at fixture volume the session's 32 means 32 state-store
     * instances (64 for stream-stream joins) doing fixed-cost work per
     * micro-batch. The per-face precedents (late_drop's 2, the four
-    * stream-stream joins' 8) generalize here behind
-    * `spark.graft.stream.statePartitions` (default 8) — results are
-    * partition-count independent; a production deployment sizes it to
-    * its executor count exactly like every other state geometry dial. */
+    * stream-stream joins' old 8) generalize here behind
+    * `spark.graft.stream.statePartitions` — results are partition-count
+    * independent; a production deployment sizes it to its executor
+    * count exactly like every other state geometry dial.
+    *
+    * The DEFAULT is `defaultParallelism`, not a constant: a 100 TB
+    * stream started without the conf would otherwise bottleneck every
+    * stateful operator on 8 state stores for the life of its checkpoint
+    * (the count is frozen at first start). The fixture entry points
+    * (Bench, Verify) pin the conf to 8 explicitly — the measured-best
+    * count at fixture volume, and the value that keeps driver bench
+    * numbers comparable round-over-round — so small-scale timing floors
+    * live in the harness, never in the operator default. (Measured at
+    * sf0.1/local[32]: 2 vs 8 state partitions is timing-neutral; the
+    * family's fixed cost is query start/stop + per-batch planning, not
+    * state-store count.) */
+  /** The resolved state-partition count ([[scopedStateParts]]'s value;
+    * seam for the spec that pins the scale-safe default). */
+  private[graft] def resolvedStatePartitions(s: SparkSession): Int =
+    graft.GraftConf.int(s, "spark.graft.stream.statePartitions",
+      s.sparkContext.defaultParallelism.max(1))
+
   private def scopedStateParts[A](s: SparkSession)(body: => A): A = {
-    val n = graft.GraftConf.int(s, "spark.graft.stream.statePartitions", 8)
+    val n = resolvedStatePartitions(s)
     require(n >= 1, "spark.graft.stream.statePartitions must be >= 1")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -555,15 +573,10 @@ object Streaming {
       expr("""user_id = p_user AND
              |purchase_ts >= click_ts AND
              |purchase_ts <= click_ts + INTERVAL 10 MINUTES""".stripMargin))
-    // State-partition count is fixed at query start; at this volume 32
-    // partitions means 64 state-store instances (both sides) per
-    // micro-batch doing fixed-cost work. Scope a smaller value to this
-    // query only — on a real cluster you'd size it to executor count.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val res =
-      try runToMemory(s, joined, "graft_stream_stream_join", "append")
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // State-partition geometry comes from scopedStateParts inside
+    // runToMemory (spark.graft.stream.statePartitions) — the per-face
+    // shuffle-partition override that used to sit here was masked by it.
+    val res = runToMemory(s, joined, "graft_stream_stream_join", "append")
     res.select(col("click_id"), col("purchase_id"), col("user_id"),
         unix_millis(col("click_ts")).as("click_ms"),
         unix_millis(col("purchase_ts")).as("purchase_ms"), col("value"))
@@ -595,11 +608,7 @@ object Streaming {
              |purchase_ts >= click_ts AND
              |purchase_ts <= click_ts + INTERVAL 10 MINUTES""".stripMargin),
       "left_outer")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val res =
-      try runToMemory(s, joined, "graft_stream_stream_left", "append")
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val res = runToMemory(s, joined, "graft_stream_stream_left", "append")
     res.select(col("click_id"), col("purchase_id"), col("user_id"),
         unix_millis(col("click_ts")).as("click_ms"),
         unix_millis(col("purchase_ts")).as("purchase_ms"))
@@ -633,11 +642,7 @@ object Streaming {
              |purchase_ts >= click_ts AND
              |purchase_ts <= click_ts + INTERVAL 10 MINUTES""".stripMargin),
       "full_outer")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val res =
-      try runToMemory(s, joined, "graft_stream_stream_full", "append")
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val res = runToMemory(s, joined, "graft_stream_stream_full", "append")
     // user_id comes from the CLICK side — null for unmatched purchases;
     // p_user carries the purchase's user so no output row loses its key
     res.select(col("click_id"), col("purchase_id"),
@@ -672,11 +677,8 @@ object Streaming {
              |purchase_ts >= click_ts AND
              |purchase_ts <= click_ts + INTERVAL 10 MINUTES""".stripMargin),
       "left_outer")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
     val res =
-      try runToMemory(s, joined, "graft_stream_stream_left_delay", "append")
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      runToMemory(s, joined, "graft_stream_stream_left_delay", "append")
     res.select(col("click_id"), col("purchase_id"), col("user_id"),
         unix_millis(col("click_ts")).as("click_ms"),
         unix_millis(col("purchase_ts")).as("purchase_ms"))

@@ -93,6 +93,36 @@ class ShuffleSizingSpec extends AnyFunSuite {
         s"legacy equivalence broke at $bytes bytes")
   }
 
+  test("independent per-family ceilings: snapshot factors stay inside hardcoded absolute bounds") {
+    // The TB-differentiation test above reads the SNAPSHOT map, and the
+    // divergence guard below reads the ARTIFACT the same round refreshes
+    // the snapshot from — so a wrongly-refreshed factor could sail
+    // through both (round-20 verdict finding). These bounds are
+    // deliberately HARDCODED, not derived from either source: one
+    // absolute sanity ceiling/floor per family class, wide enough that
+    // honest re-measures never trip them, tight enough that an
+    // orders-of-magnitude refresh mistake (units, wrong denominator,
+    // swapped rows) fails CI by name. Update them only with a hand-checked
+    // measurement in the commit message.
+    val bounds = Map( // family -> (min, max) shuffle bytes per corpus byte
+      "q_dedup_containment" -> (20.0, 130.0),
+      "q_dedup_ngram" -> (15.0, 90.0),
+      "q_dedup_minhash" -> (8.0, 60.0),
+      "q_bm25_batch" -> (1.0, 25.0),
+      "q_bm25_batch_indexed" -> (1.0, 25.0),
+      "q_dedup_clusters" -> (0.5, 15.0),
+      "q_curation_pipeline" -> (2.0, 25.0),
+      "q_bpe_merges" -> (1.5, 20.0),
+      "q_span_dedup" -> (0.8, 12.0),
+      "q_winnow_contamination" -> (0.3, 6.0))
+    for ((q, (lo, hi)) <- bounds) {
+      val f = GraftConf.ShuffleExpansionPerCorpusByte(q)
+      assert(f >= lo && f <= hi,
+        s"$q snapshot factor $f outside its hardcoded sanity bound [$lo, $hi] " +
+          "— if the new measurement is real, update the bound by hand")
+    }
+  }
+
   test("expansionFactorsFrom: parses the artifact, degrades to empty on every bad shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sizingspec_")
     val p = dir.resolve("shuffle_profile.json")

@@ -541,4 +541,16 @@ class StreamingSpec extends SparkFunSuite {
       CacheScope.releaseAll()
     }
   }
+
+  test("state partitions default to defaultParallelism, conf overrides") {
+    // The operator default must be the scale-safe value (a 100 TB stream
+    // started without the conf must NOT freeze 8 state stores into its
+    // checkpoint); fixture entry points pin 8 explicitly in the harness.
+    spark.conf.unset("spark.graft.stream.statePartitions")
+    assert(Streaming.resolvedStatePartitions(spark)
+      === spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.graft.stream.statePartitions", "8")
+    try assert(Streaming.resolvedStatePartitions(spark) === 8)
+    finally spark.conf.unset("spark.graft.stream.statePartitions")
+  }
 }
