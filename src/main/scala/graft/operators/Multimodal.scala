@@ -245,14 +245,38 @@ object Multimodal {
     * its amplitude, so the oracle is analytic. */
   def audioPipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // NOT widened (measured r20): javax.sound's AudioSystem entry points
-    // route every encode/decode through a synchronized JDK provider
-    // lookup (JDK13Services.getProviders), so 32 concurrent tasks
-    // serialize on that monitor and run SLOWER than one (1.8 s single
-    // task → 3.0-3.8 s widened). The image pipeline has no such global
-    // lock and widens 4.5×.
+    // JDK provider lock BYPASSED, still NOT widened: AudioSystem.write /
+    // .getAudioInputStream route every call through a synchronized
+    // JDK-global provider lookup (JDK13Services.getProviders), so 32
+    // concurrent tasks serialized on that monitor and ran SLOWER than
+    // one (r20 measured 1.8 s single-task → 3.0-3.8 s widened). Each
+    // task now loads the SPI codec instances once per partition via
+    // ServiceLoader (no shared monitor) and calls the real
+    // WaveFileWriter/WaveFileReader directly — identical bytes and
+    // semantics (AudioSystem itself just iterates these providers).
+    // Measured r21 at sf0.1/local[32]: the bypass alone is 1.16 → 0.92 s
+    // warm, but widening REMAINED a loss even with it (0.92 → ~1.9 s) —
+    // something below the SPI surface still serializes concurrent
+    // encode/decode — so the scan stays at its natural partitioning;
+    // re-test widening if the JDK's sound stack ever drops its locks.
     val out = documents(s, d).select(col("doc_id"))
       .as[Long].mapPartitions { it =>
+      import javax.sound.sampled._
+      import scala.jdk.CollectionConverters._
+      val writers = java.util.ServiceLoader
+        .load(classOf[spi.AudioFileWriter]).iterator().asScala.toList
+      val wavWriter = writers
+        .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+        .getOrElse(throw new IllegalStateException(
+          "no WAVE AudioFileWriter SPI on this JVM"))
+      val readers = java.util.ServiceLoader
+        .load(classOf[spi.AudioFileReader]).iterator().asScala.toList
+      def openWav(bytes: Array[Byte]): AudioInputStream =
+        readers.iterator.flatMap { r =>
+          try Some(r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: UnsupportedAudioFileException => None }
+        }.nextOption().getOrElse(throw new IllegalStateException(
+          "no AudioFileReader SPI accepted the WAV header"))
       it.map { id =>
         val rate = 8000
         val nFrames = (800 + id % 800).toInt
@@ -267,14 +291,13 @@ object Multimodal {
         }
         val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
         val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(
+        wavWriter.write(
           new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), fmt, nFrames),
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         val wav = bos.toByteArray
         // REAL decode of the bytes we just minted
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(wav))
+        val ais = openWav(wav)
         val frames = ais.getFrameLength
         val hz = ais.getFormat.getSampleRate.toLong
         val decoded = ais.readAllBytes()
