@@ -196,25 +196,28 @@ object GraftConf {
     * artifact carries `scaled_corpus_mb` and the guard is armed.
     * Refreshed each round from the smoke's shuffle profile. */
   val ShuffleExpansionPerCorpusByte: Map[String, Double] = Map(
-    "q_dedup_containment" -> 63.1, "q_dedup_containment_bucketed" -> 63.2,
-    "q_dedup_containment_topn" -> 60.8,
+    "q_dedup_containment" -> 64.8, "q_dedup_containment_bucketed" -> 64.9,
+    "q_dedup_containment_topn" -> 62.4,
     "q_dedup_ngram" -> 43.2, "q_dedup_ngram_bucketed" -> 43.2,
     "q_dedup_ngram_topn" -> 42.6,
     "q_span_removal_served" -> 12.9,
-    // the r20 refresh: several families climbed ~1 corpus-unit per
-    // widened scan (graft.Tables.widen's input-sized exchange fires on
-    // the single-file ×10 smoke corpus; at real scale the gate is off
-    // and the factor reverts toward the old value — the map keeps the
-    // MEASURED number, which is the conservative sizing side);
-    // curation's larger move is its several widened sub-pipelines
-    "q_bm25_batch_indexed" -> 9.2, "q_bm25_batch" -> 10.5,
+    // the r21 refresh (fleet artifact SCALESMOKE_shuffle_latest.json):
+    // bm25_batch dropped 10.5 → 8.3 with the in-row tf fold (the
+    // token-occurrence aggregation exchange is gone), curation and the
+    // CC-backed cluster families eased with the driver union-find (no
+    // per-round checkpoint shuffles), containment crept +1.7 within its
+    // noise band — the map keeps the MEASURED numbers, which remain the
+    // conservative sizing side at real scale (widen's input-sized
+    // exchange fires on the single-file ×10 smoke corpus but not on a
+    // many-split 100 TB scan)
+    "q_bm25_batch_indexed" -> 9.2, "q_bm25_batch" -> 8.3,
     "q_bm25_batch_served" -> 5.0,
     "q_dedup_minhash" -> 25.9, "q_dedup_minhash_bucketed" -> 26.1,
     "q_span_dedup_served" -> 10.3, "q_span_removal_shard_served" -> 3.0,
     "q_span_dedup_shard_served" -> 3.2, "q_span_dedup" -> 3.9,
-    "q_bpe_merges" -> 7.9, "q_semantic_dedup_lsh" -> 4.8,
-    "q_repetition_filter" -> 5.7, "q_curation_pipeline" -> 10.3,
-    "q_dedup_clusters" -> 3.2, "q_dedup_clusters_collapsed" -> 3.2,
+    "q_bpe_merges" -> 7.9, "q_semantic_dedup_lsh" -> 4.3,
+    "q_repetition_filter" -> 5.7, "q_curation_pipeline" -> 9.3,
+    "q_dedup_clusters" -> 3.0, "q_dedup_clusters_collapsed" -> 3.0,
     "q_winnow_contamination_indexed" -> 2.4, "q_dedup_minhash_topn" -> 2.6,
     "q_cdc_dedup" -> 2.3, "q_knn_ivf_indexed" -> 1.0,
     "q_winnow_contamination" -> 1.8, "q_winnow_matches" -> 1.6,

@@ -619,8 +619,16 @@ object Curation {
         (when(col("rk") <= k, 1).otherwise(0)
           + when(col("rk") > col("v") - k, -1).otherwise(0)).as("vote"))
       .filter(col("vote") =!= 0)
-    val scores = toks.select(col("doc_id"), col("token")).distinct()
+    // vocab join BEFORE the distinct (guide §2.3 — filter before the
+    // exchange): only the ±2K voting tokens matter, so the broadcast
+    // semi-prunes the token stream first and the distinct's exchange
+    // carries vocab-matched pairs instead of every (doc, token) pair —
+    // at a real 10⁵-token vocab that is a ~10⁴× cut of this exchange.
+    // vote is a function of token, so distinct on (doc, token, vote)
+    // equals the old distinct-then-join row set exactly.
+    val scores = toks.select(col("doc_id"), col("token"))
       .join(broadcast(vocab), "token")
+      .select(col("doc_id"), col("token"), col("vote")).distinct()
       .groupBy(col("doc_id"))
       .agg(sum(when(col("vote") > 0, 1L).otherwise(0L)).as("votes_pos"),
         sum(when(col("vote") < 0, 1L).otherwise(0L)).as("votes_neg"))

@@ -155,6 +155,9 @@ object GraphOps {
     * broadcasts it) plus one partial-aggregated sum — two Pregel
     * supersteps, no global sort, lineage depth 2. */
   def hits(s: SparkSession, d: String): DataFrame = {
+    // NOT widened (measured r21: 2.2 → 3.1 s widened — unlike pagerank's
+    // edge distinct, these (p, sup) pairs are ~all-distinct, so the
+    // partial agg combines nothing and the added exchange is pure cost)
     val edges = graft.CacheScope.track(
       lineitem(s, d)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
